@@ -1,0 +1,298 @@
+"""HTML main-content extraction (boilerplate stripping) — from scratch.
+
+Replaces the reference's GPU OCR model (``app/core/ocr_engine.py``) for
+the HTML branch with a deterministic DOM-walk extractor producing the
+same *kind* of tagged markdown the model emits, which the shared
+post-processing folds (:mod:`.markdown`, :mod:`.blocks`) then consume.
+
+Heuristics are the published boilerpipe / Readability family
+(Kohlschütter et al., WSDM 2010): structural boilerplate containers are
+dropped outright, and remaining text blocks are kept or dropped by
+**link density**.  All thresholds are frozen constants — they define the
+golden fixtures, so changing them is a breaking change.
+
+Implementation: stdlib ``html.parser.HTMLParser`` (tolerant of tag soup;
+no third-party HTML library is available in the runtime).  Grounding
+tags like ``<|ref|>…<|/ref|>`` pass through the parser as character data
+because ``<|`` is not a valid markup start, so tagged passages embedded
+in page text survive verbatim for the span pipeline.
+
+Emission rules (one markdown "page" per HTML document):
+
+- ``h1..h6``      -> ``#`` * level + `` `` + text
+- ``p/li/...``    -> whitespace-normalized paragraph line
+- ``<table>``     -> reconstructed single-line
+  ``<table><tr><td>…</td></tr></table>`` so the block state machine's
+  HTML-table path (postprocess_json.py:231) triggers; ``<th>`` cells are
+  emitted as ``<td>`` (the reference's table regex drops ``<th>``)
+- ``<pre>``       -> verbatim lines (lets markdown pipe-tables through)
+- ``<img>``       -> a full-page image grounding tag, so HTML images flow
+  through the same image-placeholder path OCR images do
+- blocks are joined with blank lines
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+# ---- frozen heuristics (define golden-fixture bytes; do not tune) ----
+# A block survives iff 3 * link_chars <= chars (link density <= 1/3).
+LINK_DENSITY_NUM = 3
+# Containers whose entire subtree is boilerplate.
+BOILERPLATE_TAGS = frozenset(
+    {
+        "nav",
+        "header",
+        "footer",
+        "aside",
+        "script",
+        "style",
+        "noscript",
+        "form",
+        "button",
+        "select",
+        "option",
+        "iframe",
+        "svg",
+        "head",
+        "template",
+    }
+)
+# Tags that open/close a text block.
+BLOCK_TAGS = frozenset(
+    {
+        "p",
+        "div",
+        "section",
+        "article",
+        "main",
+        "blockquote",
+        "li",
+        "ul",
+        "ol",
+        "h1",
+        "h2",
+        "h3",
+        "h4",
+        "h5",
+        "h6",
+        "pre",
+        "table",
+        "tr",
+        "td",
+        "th",
+        "body",
+        "html",
+        "figure",
+        "figcaption",
+        "dl",
+        "dt",
+        "dd",
+    }
+)
+_HEADING_LEVELS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+# Synthetic grounding tag emitted for content <img> elements: full page
+# box in the 0-999 space (no pixel data exists in the input table).
+IMG_GROUNDING_TAG = "<|ref|>image<|/ref|><|det|>[[0, 0, 999, 999]]<|/det|>"
+
+_VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input", "area", "base", "col", "embed", "source", "track", "wbr"})
+
+
+class _Block:
+    __slots__ = ("kind", "text", "chars", "link_chars", "heading_level")
+
+    def __init__(self, kind: str, text: str, chars: int, link_chars: int, heading_level: int = 0):
+        self.kind = kind
+        self.text = text
+        self.chars = chars
+        self.link_chars = link_chars
+        self.heading_level = heading_level
+
+
+def _nonspace_len(s: str) -> int:
+    return sum(1 for c in s if not c.isspace())
+
+
+class _ContentParser(HTMLParser):
+    """Single-pass DOM walk collecting candidate text blocks."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[_Block] = []
+        self._boiler_depth = 0
+        self._a_depth = 0
+        self._pre_depth = 0
+        self._heading: Optional[str] = None
+        # current flowing-text buffer
+        self._buf: List[str] = []
+        self._buf_link_chars = 0
+        # table capture state
+        self._table_depth = 0
+        self._table_rows: List[List[str]] = []
+        self._cell: Optional[List[str]] = None
+
+    # -- buffer management -------------------------------------------------
+    def _flush(self) -> None:
+        text = "".join(self._buf)
+        self._buf = []
+        link_chars = self._buf_link_chars
+        self._buf_link_chars = 0
+        if self._heading is not None:
+            kind = "heading"
+            level = _HEADING_LEVELS[self._heading]
+        else:
+            kind = "pre" if self._pre_depth > 0 else "p"
+            level = 0
+        if kind == "pre":
+            lines = [ln.rstrip() for ln in text.split("\n")]
+            while lines and not lines[0]:
+                lines.pop(0)
+            while lines and not lines[-1]:
+                lines.pop()
+            norm = "\n".join(lines)
+        else:
+            norm = " ".join(text.split())
+        if not norm:
+            return
+        self.blocks.append(
+            _Block(kind, norm, _nonspace_len(norm), link_chars, level)
+        )
+
+    # -- tag events --------------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in BOILERPLATE_TAGS:
+            self._flush()
+            self._boiler_depth += 1
+            return
+        if self._boiler_depth > 0:
+            return
+        if tag == "a":
+            self._a_depth += 1
+            return
+        if tag == "img":
+            if self._table_depth == 0:
+                self._flush()
+                self.blocks.append(_Block("img", IMG_GROUNDING_TAG, 1, 0))
+            return
+        if tag == "br":
+            if self._cell is not None:
+                self._cell.append(" ")
+            else:
+                self._buf.append("\n" if self._pre_depth > 0 else " ")
+            return
+        if tag == "table":
+            if self._table_depth == 0:
+                self._flush()
+                self._table_rows = []
+                self._cell = None
+            self._table_depth += 1
+            return
+        if self._table_depth > 0:
+            if tag == "tr" and self._table_depth == 1:
+                self._table_rows.append([])
+                self._cell = None
+            elif tag in ("td", "th") and self._table_depth == 1:
+                if not self._table_rows:
+                    self._table_rows.append([])
+                self._cell = []
+                self._table_rows[-1].append(self._cell)  # type: ignore[arg-type]
+            return
+        if tag in _HEADING_LEVELS:
+            self._flush()
+            self._heading = tag
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag == "pre":
+                self._pre_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in BOILERPLATE_TAGS:
+            if self._boiler_depth > 0:
+                self._boiler_depth -= 1
+            return
+        if self._boiler_depth > 0:
+            return
+        if tag == "a":
+            if self._a_depth > 0:
+                self._a_depth -= 1
+            return
+        if tag == "table":
+            if self._table_depth > 0:
+                self._table_depth -= 1
+                if self._table_depth == 0:
+                    self._emit_table()
+            return
+        if self._table_depth > 0:
+            if tag in ("td", "th") and self._table_depth == 1:
+                self._cell = None
+            return
+        if tag in _HEADING_LEVELS:
+            self._flush()
+            self._heading = None
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag == "pre" and self._pre_depth > 0:
+                self._pre_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self._boiler_depth > 0:
+            return
+        if self._cell is not None:
+            self._cell.append(data)
+            return
+        if self._table_depth > 0:
+            return  # inter-cell whitespace / junk inside a table
+        self._buf.append(data)
+        if self._a_depth > 0:
+            self._buf_link_chars += _nonspace_len(data)
+
+    def close(self) -> None:  # flush trailing text at EOF
+        super().close()
+        self._flush()
+
+    # -- table reconstruction ---------------------------------------------
+    def _emit_table(self) -> None:
+        rows = []
+        for row in self._table_rows:
+            cells = []
+            for cell in row:
+                cell_text = " ".join("".join(cell).split())
+                cells.append(f"<td>{cell_text}</td>")
+            if cells:
+                rows.append("<tr>" + "".join(cells) + "</tr>")
+        if not rows:
+            return
+        html_line = "<table>" + "".join(rows) + "</table>"
+        self.blocks.append(_Block("table", html_line, _nonspace_len(html_line), 0))
+
+
+def extract_html_page(html_text: str) -> str:
+    """HTML document -> one page of tagged markdown text.
+
+    Boilerplate containers and high-link-density blocks are removed; the
+    surviving blocks are rendered in document order, separated by blank
+    lines.  Pure function of the input string.
+    """
+    parser = _ContentParser()
+    parser.feed(html_text)
+    parser.close()
+
+    out: List[str] = []
+    for b in parser.blocks:
+        if b.kind == "table" or b.kind == "img":
+            out.append(b.text)
+            continue
+        if b.chars == 0:
+            continue
+        if LINK_DENSITY_NUM * b.link_chars > b.chars:
+            continue  # link-dense -> boilerplate (menus, footers)
+        if b.kind == "heading":
+            out.append("#" * b.heading_level + " " + b.text)
+        else:
+            out.append(b.text)
+    return "\n\n".join(out)
