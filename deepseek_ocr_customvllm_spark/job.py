@@ -1,0 +1,132 @@
+"""The end-to-end batch extraction job (the reference's whole service,
+as one DataFrame program — SURVEY.md §3.3):
+
+    read pages -> resume anti-join -> salted repartition
+    -> mapInPandas extract -> write extracted (append)
+    -> MERGE extraction_state -> append lineage
+
+Run under spark-submit (packaged via ``scripts/build_pyfiles.sh``):
+
+    spark-submit --py-files dist/deepseek_ocr_customvllm_spark.zip \\
+        job.py --pages /data/pages_parquet --out /data/out \\
+        --partitions 256
+
+or as a module: ``python -m deepseek_ocr_customvllm_spark.job ...``.
+With ``--synth N`` the job generates the deterministic synthetic corpus
+executor-side instead of reading a parquet path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.extract import extract_pages, lineage_from_extracted
+from .plans.session import get_spark
+from .plans.state import open_state_store
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    pages_df: DataFrame,
+    out_dir: str,
+    num_partitions: Optional[int] = None,
+    resume: bool = True,
+    job_id: Optional[str] = None,
+    max_bytes: Optional[int] = None,
+) -> dict:
+    """Execute the pipeline; returns a metrics dict (A6 analogue:
+    ``pages_per_second`` at ``Scripts/benchmark.py:159-169`` becomes
+    docs/sec over job wall-clock)."""
+    job_id = job_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+
+    state = open_state_store(spark, os.path.join(out_dir, "extraction_state"))
+    if resume:
+        pending = state.pending(pages_df)
+    else:
+        pending = pages_df
+
+    kwargs = {}
+    if max_bytes is not None:
+        kwargs["max_bytes"] = max_bytes
+    extracted = extract_pages(pending, num_partitions=num_partitions, **kwargs)
+
+    # One pass over the heavy data: the extractor output lands in parquet
+    # partitioned by job run; state + lineage are then derived from the
+    # just-written (narrow) columns instead of re-running the extractor.
+    extracted_path = os.path.join(out_dir, "extracted")
+    extracted.withColumn("job_id", F.lit(job_id)).write.mode("append").partitionBy(
+        "job_id"
+    ).parquet(extracted_path)
+
+    this_run = (
+        spark.read.parquet(extracted_path)
+        .filter(F.col("job_id") == job_id)
+        .select("url", "status", "warc_ts", "partition_id", "n_bytes_in", "t_ms")
+    )
+    state.merge(
+        this_run.select("url", "status", F.col("warc_ts").alias("updated_at"))
+    )
+
+    lineage = lineage_from_extracted(
+        this_run.select("partition_id", "status", "n_bytes_in", "t_ms"), job_id
+    )
+    lineage_path = os.path.join(out_dir, "lineage")
+    lineage.write.mode("append").parquet(lineage_path)
+
+    n_this_run = this_run.count()
+    wall = time.time() - t0
+    return {
+        "job_id": job_id,
+        "wall_clock_s": round(wall, 3),
+        "rows_extracted": n_this_run,
+        "docs_per_sec": round(n_this_run / wall, 2) if wall > 0 else None,
+        "extracted_path": extracted_path,
+        "lineage_path": lineage_path,
+    }
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--pages", help="input pages parquet path")
+    parser.add_argument("--synth", type=int, help="generate N synthetic docs instead")
+    parser.add_argument("--out", required=True, help="output directory")
+    parser.add_argument("--partitions", type=int, default=None)
+    parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--max-bytes", type=int, default=None)
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args(argv)
+
+    spark = get_spark(master=args.master)
+    if args.synth:
+        from .sources.pages import synth_pages_df
+
+        pages = synth_pages_df(spark, args.synth)
+    elif args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        parser.error("one of --pages / --synth is required")
+
+    metrics = run_extraction_job(
+        spark,
+        pages,
+        args.out,
+        num_partitions=args.partitions,
+        resume=not args.no_resume,
+        job_id=None,
+        max_bytes=args.max_bytes,
+    )
+    import json
+
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()
