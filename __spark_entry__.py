@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full extraction pipeline over a pages
+corpus derived from the sf0.001 ``documents`` table.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family (SURVEY.md §2 + the training-data operators).  Every
+SQL-expressible operator carries a DuckDB oracle whose results are
+bit-identical to the Spark implementation (all hashes are md5-derived,
+all floats rounded, all ranks deterministically tie-broken).  The
+extraction pipeline itself is not SQL-expressible (the extractor is the
+engine under test) — those entries are rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +17,609 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from deepseek_ocr_customvllm_spark.operators import dedup, similarity, textstats
+from deepseek_ocr_customvllm_spark.operators.extract import extract_pages
+from deepseek_ocr_customvllm_spark.operators.multimodal import inspect_payloads
+from deepseek_ocr_customvllm_spark.sources.pages import pages_from_documents
+from deepseek_ocr_customvllm_spark.sources.tables import load_table, register_views
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _augmented_docs(docs: DataFrame) -> DataFrame:
+    """Documents plus planted near- and exact duplicates, so the dedup
+    operators have guaranteed hits.  Mirrored verbatim in the oracle's
+    ``aug`` CTE."""
+    base = docs.select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" near duplicate tail marker tokens appended")
+        ).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), F.col("text")
+    )
+    return base.unionByName(near).unionByName(exact)
+
+
+_AUG_CTE = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         text || ' near duplicate tail marker tokens appended' AS text
+  FROM documents WHERE doc_id % 37 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 41 = 0
+)
+"""
+
+# DuckDB-dialect normalized text (Spark twin: textstats.norm_text).
+_NORM_DUCK = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+_STOP_RE = "\\b(the|and|of|a|to|in)\\b"
+_PUNCT_RE = "[.,;:!?]"
+
+
+def _simhash_duck_sql(source_cte: str, table: str) -> str:
+    """DuckDB simhash signature query (twin of dedup.simhash_signatures)."""
+    v = dedup.hex32_sql("tok")
+    bit_aggs = ",\n    ".join(
+        f"sum(case when cast(floor(v / {2 ** b}.0) as bigint) % 2 = 1 then 1 else -1 end) AS b{b}"
+        for b in range(32)
+    )
+    sim = " + ".join(f"(case when b{b} > 0 then {2 ** b} else 0 end)" for b in range(32))
+    return f"""
+WITH {source_cte}
+norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM {table}),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm WHERE t <> ''),
+vals AS (SELECT doc_id, {v} AS v FROM toks),
+bits AS (SELECT doc_id, {bit_aggs} FROM vals GROUP BY doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract a pages corpus derived from sf0.001 documents,
+    summarize by content type / status."""
+    docs = _docs(spark, SF0001)
+    pages = pages_from_documents(docs)
+    extracted = extract_pages(pages, num_partitions=8)
+    return (
+        extracted.groupBy("content_type", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pages").alias("n_pages"),
+            F.sum("n_blocks").alias("n_blocks"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("content_type", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark side)
+# ---------------------------------------------------------------------------
+
+def _q_flagship_doc_stats(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.floor(F.avg("n_chars") * 100) / 100).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def _q_token_count(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark, sf_dir):
+    return textstats.quality_scores(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_augmented_docs(_docs(spark, sf_dir)))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_duplicates(_augmented_docs(_docs(spark, sf_dir)))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    sig = dedup.simhash_signatures(_augmented_docs(_docs(spark, sf_dir)))
+    return dedup.simhash_near_pairs(sig)
+
+
+def _q_ann_topk_dot(spark, sf_dir):
+    return similarity.topk_dot_neighbors(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_lsh_bucket(spark, sf_dir):
+    return similarity.lsh_buckets(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_embedding_norm_stats(spark, sf_dir):
+    return similarity.embedding_norm_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_resume_anti_join(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    done = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return (
+        docs.join(done, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_pending"))
+    )
+
+
+def _q_status_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    status = (
+        F.when(F.col("n_chars") % 97 == 0, F.lit("FAILED"))
+        .when(F.col("n_chars") > 500, F.lit("REJECTED"))
+        .otherwise(F.lit("SUCCESS"))
+    )
+    return docs.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def _q_quarantine_oversize(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("n_chars") > 450)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_oversize"), F.max("n_chars").alias("max_chars"))
+    )
+
+
+def _q_lineage_rollup(spark, sf_dir):
+    from deepseek_ocr_customvllm_spark.operators.textstats import dsum, dtrunc
+
+    ev = load_table(spark, sf_dir, "events")
+    total = dsum(F.col("value"), 2)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        total.alias("total_value"),
+        dtrunc(total / F.count("*"), 4).alias("avg_value"),
+        F.unix_timestamp(F.min("ts")).alias("first_ts"),
+        F.unix_timestamp(F.max("ts")).alias("last_ts"),
+    )
+
+
+def _q_tpch_q1(spark, sf_dir):
+    from deepseek_ocr_customvllm_spark.operators.textstats import dsum, dtrunc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            dtrunc(dsum(F.col("l_quantity"), 2) / n, 4).alias("avg_qty"),
+            dtrunc(dsum(F.col("l_extendedprice"), 2) / n, 4).alias("avg_price"),
+            dtrunc(dsum(F.col("l_discount"), 2) / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+_TOP_CUSTOMERS_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         cast(sum(cast(o_totalprice as decimal(28,2))) as double) AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT r.r_name AS region, c.c_custkey, c.c_name, rev.revenue, rev.n_orders
+  FROM rev
+  JOIN customer c ON c.c_custkey = rev.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+),
+rk AS (
+  SELECT region, c_custkey, c_name, revenue, n_orders,
+         row_number() OVER (PARTITION BY region ORDER BY revenue DESC, c_custkey) AS rnk
+  FROM j
+)
+SELECT region, c_custkey, c_name, revenue, n_orders, rnk FROM rk WHERE rnk <= 3
+"""
+
+
+def _q_top_customers_per_region(spark, sf_dir):
+    # Broadcast the dimension tables explicitly (customer/nation/region are
+    # tiny next to orders at scale); the SQL text itself is dialect-portable.
+    register_views(spark, sf_dir)
+    return spark.sql(_TOP_CUSTOMERS_SQL)
+
+
+def _q_events_sessionize(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL
+                   OR (unix_timestamp(ts) - unix_timestamp(prev)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+    )
+
+
+def _q_multimodal_inspect(spark, sf_dir):
+    return inspect_payloads(_docs(spark, sf_dir))
+
+
+# -- extraction pipeline (rows-only: the extractor IS the engine under test)
+
+def _q_extract_documents_pipeline(spark, sf_dir):
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    return extract_pages(pages, num_partitions=8).select(
+        "url", "content_type", "status", "n_pages", "n_blocks", "n_chars"
+    )
+
+
+def _q_extract_block_histogram(spark, sf_dir):
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    extracted = extract_pages(pages, num_partitions=8)
+    blocks = extracted.select(
+        F.explode("blocks").alias("page")
+    ).select(F.explode("page.blocks").alias("b"))
+    return blocks.groupBy(F.col("b.type").alias("block_type")).agg(
+        F.count("*").alias("n_blocks")
+    )
+
+
+def _q_extract_synth_summary(spark, sf_dir):
+    from deepseek_ocr_customvllm_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 300)
+    extracted = extract_pages(pages, num_partitions=8, max_bytes=64 * 1024)
+    return (
+        extracted.groupBy("content_type", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pages").alias("n_pages"),
+            F.sum("n_blocks").alias("n_blocks"),
+            F.sum(F.size("spans")).alias("n_spans"),
+        )
+        .orderBy("content_type", "status")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_doc_stats": _q_flagship_doc_stats,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "ann_topk_dot": _q_ann_topk_dot,
+        "ann_lsh_bucket": _q_ann_lsh_bucket,
+        "embedding_norm_stats": _q_embedding_norm_stats,
+        "resume_anti_join": _q_resume_anti_join,
+        "status_counts": _q_status_counts,
+        "quarantine_oversize": _q_quarantine_oversize,
+        "lineage_rollup": _q_lineage_rollup,
+        "tpch_q1": _q_tpch_q1,
+        "top_customers_per_region": _q_top_customers_per_region,
+        "events_sessionize": _q_events_sessionize,
+        "multimodal_inspect": _q_multimodal_inspect,
+        "extract_documents_pipeline": _q_extract_documents_pipeline,
+        "extract_block_histogram": _q_extract_block_histogram,
+        "extract_synth_summary": _q_extract_synth_summary,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+def _oracle_minhash() -> str:
+    min_aggs = ", ".join(
+        f"min(md5('{i}|' || sh)) AS m{i}" for i in range(dedup.N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(m{2 * b} || m{2 * b + 1}) AS bk FROM sig"
+        for b in range(dedup.N_BANDS)
+    )
+    return f"""
+WITH {_AUG_CTE.strip().rstrip()},
+norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM aug),
+toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r
+  WHERE len(ts) >= 3
+),
+sig AS (SELECT doc_id, {min_aggs} FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_int
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.id_a
+  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+  GROUP BY c.id_a, c.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT i.id_a, i.id_b,
+       floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000 AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000 >= {dedup.JACCARD_MIN}
+"""
+
+
+def _oracle_simhash() -> str:
+    sim = " + ".join(f"(case when b{b} > 0 then {2 ** b} else 0 end)" for b in range(32))
+    return (
+        _simhash_duck_sql("norm_src AS (SELECT doc_id, text FROM documents),", "norm_src")
+        + f"SELECT doc_id, cast({sim} as bigint) AS simhash FROM bits"
+    )
+
+
+def _oracle_simhash_pairs() -> str:
+    sim = " + ".join(f"(case when b{b} > 0 then {2 ** b} else 0 end)" for b in range(32))
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {k} AS band, "
+        f"cast(floor(simhash / {256 ** k}.0) as bigint) % 256 AS bk FROM sig"
+        for k in range(4)
+    )
+    return (
+        _simhash_duck_sql(_AUG_CTE.strip().rstrip() + ",", "aug")
+        + f""", sig AS (SELECT doc_id, cast({sim} as bigint) AS simhash FROM bits),
+bands AS (
+{band_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= {dedup.HAMMING_MAX}
+"""
+    )
+
+
+def _oracle_ann_lsh_bucket() -> str:
+    planes = similarity.hyperplanes()
+    bucket_terms = " + ".join(
+        f"(case when cast(list_dot_product(qe, {plane}) as bigint) > 0 then {2 ** k} else 0 end)"
+        for k, plane in enumerate(planes)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(x * {similarity.QUANT}) as bigint)) AS qe
+  FROM embeddings
+)
+SELECT vec_id, cast({bucket_terms} as bigint) AS bucket FROM q
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    aug = _AUG_CTE.strip().rstrip()
+    return {
+        "flagship_doc_stats": """
+SELECT source, count(*) AS n_docs,
+       floor(avg(n_chars) * 100) / 100 AS avg_chars,
+       sum(n_chars) AS total_chars, count(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+""",
+        "token_count": f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents)
+SELECT doc_id, length(t) AS n_chars_norm,
+       CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_ws_tokens,
+       len(regexp_extract_all(t, '{_BPE_RE}')) AS n_bpe_tokens
+FROM norm
+""",
+        "lang_id": f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{_STOP_RE}')) AS n_stopwords,
+         CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_ws_tokens
+  FROM norm
+)
+SELECT doc_id, n_stopwords, n_ws_tokens,
+       CASE WHEN n_stopwords * 10 >= n_ws_tokens THEN 'en' ELSE 'und' END AS pred_lang
+FROM c
+""",
+        "quality_score": f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+c AS (
+  SELECT doc_id, length(t) AS n_chars_norm,
+         CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_words,
+         len(regexp_extract_all(t, '{_STOP_RE}')) AS n_stop,
+         len(regexp_extract_all(t, '{_PUNCT_RE}')) AS n_punct
+  FROM norm
+),
+d AS (
+  SELECT doc_id, n_chars_norm, n_words, n_punct,
+         floor((n_chars_norm * 1.0 / greatest(n_words, 1)) * 10000) / 10000 AS avg_word_len,
+         floor((n_stop * 1.0 / greatest(n_words, 1)) * 10000) / 10000 AS stop_ratio
+  FROM c
+)
+SELECT doc_id, n_chars_norm, n_words, n_punct, avg_word_len, stop_ratio,
+       floor((least(1.0, n_words / 100.0) * 0.5 + stop_ratio * 0.3 +
+              CASE WHEN avg_word_len >= 3 AND avg_word_len <= 8 THEN 0.2 ELSE 0.0 END)
+             * 10000) / 10000 AS quality_score
+FROM d
+""",
+        "doc_fingerprint": f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents)
+SELECT doc_id, md5(t) AS fp, md5(substr(t, 1, 64)) AS fp_head,
+       length(t) AS n_chars_norm
+FROM norm
+""",
+        "dedup_exact": f"""
+WITH {aug},
+fps AS (SELECT doc_id, md5({_NORM_DUCK}) AS fp FROM aug)
+SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM fps GROUP BY fp HAVING count(*) > 1
+""",
+        "dedup_minhash_lsh": _oracle_minhash(),
+        "dedup_simhash": _oracle_simhash(),
+        "dedup_simhash_pairs": _oracle_simhash_pairs(),
+        "ann_topk_dot": f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(x * {similarity.QUANT}) as bigint)) AS qe
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS query_id, qe AS qv FROM q WHERE vec_id % {similarity.QUERY_MOD} = 0),
+pairs AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         cast(list_dot_product(qv, qe) as bigint) AS dot
+  FROM qs CROSS JOIN q WHERE vec_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {similarity.TOP_K}
+""",
+        "ann_lsh_bucket": _oracle_ann_lsh_bucket(),
+        "embedding_norm_stats": f"""
+WITH q AS (
+  SELECT label,
+         cast(list_dot_product(
+           list_transform(embedding, x -> cast(round(x * {similarity.QUANT}) as bigint)),
+           list_transform(embedding, x -> cast(round(x * {similarity.QUANT}) as bigint))
+         ) as bigint) AS sqnorm
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       floor(avg(sqnorm) * 100) / 100 AS avg_sqnorm,
+       max(sqnorm) AS max_sqnorm
+FROM q GROUP BY label
+""",
+        "resume_anti_join": """
+SELECT source, count(*) AS n_pending
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents s WHERE s.doc_id = d.doc_id AND s.doc_id % 3 = 0
+)
+GROUP BY source
+""",
+        "status_counts": """
+SELECT CASE WHEN n_chars % 97 = 0 THEN 'FAILED'
+            WHEN n_chars > 500 THEN 'REJECTED'
+            ELSE 'SUCCESS' END AS status,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+        "quarantine_oversize": """
+SELECT source, count(*) AS n_oversize, max(n_chars) AS max_chars
+FROM documents WHERE n_chars > 450 GROUP BY source
+""",
+        "lineage_rollup": """
+SELECT event_type, count(*) AS n_events,
+       cast(sum(cast(value as decimal(28,2))) as double) AS total_value,
+       floor((cast(sum(cast(value as decimal(28,2))) as double) / count(*)) * 10000) / 10000 AS avg_value,
+       cast(floor(epoch(min(ts))) as bigint) AS first_ts,
+       cast(floor(epoch(max(ts))) as bigint) AS last_ts
+FROM events GROUP BY event_type
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(28,2))) as double) AS sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(28,2))) as double) AS sum_base_price,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(28,6))) as double) AS sum_disc_price,
+       cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(28,6))) as double) AS sum_charge,
+       floor((cast(sum(cast(l_quantity as decimal(28,2))) as double) / count(*)) * 10000) / 10000 AS avg_qty,
+       floor((cast(sum(cast(l_extendedprice as decimal(28,2))) as double) / count(*)) * 10000) / 10000 AS avg_price,
+       floor((cast(sum(cast(l_discount as decimal(28,2))) as double) / count(*)) * 10000) / 10000 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "top_customers_per_region": _TOP_CUSTOMERS_SQL,
+        "events_sessionize": """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL
+                   OR (floor(epoch(ts)) - floor(epoch(prev))) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+""",
+        "multimodal_inspect": """
+SELECT doc_id, cast(strlen(text) as bigint) AS n_bytes,
+       md5(substr(text, 1, 64)) AS head_hash
+FROM documents
+""",
+        # extract_documents_pipeline / extract_block_histogram /
+        # extract_synth_summary: intentionally no oracle — the extractor is
+        # the engine under test (rows-only checks).
+    }

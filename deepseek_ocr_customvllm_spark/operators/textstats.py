@@ -1,0 +1,135 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+All built from JVM-side ``pyspark.sql.functions`` (whole-stage codegen,
+no Python in the hot path): language-ID (stopword-marker heuristic),
+quality scoring (length / punctuation / stopword ratios), token counting
+(whitespace + BPE-ish regex), and md5 document fingerprinting.
+
+Every function takes/returns DataFrames and keeps expressions
+deterministic and dialect-portable so the DuckDB oracle in
+``__spark_entry__`` can reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Markers for the language-ID heuristic (frozen).
+STOPWORD_PATTERN = r"\b(the|and|of|a|to|in)\b"
+# BPE-ish tokenization: letter runs, single digits, single punctuation.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+PUNCT_PATTERN = r"[.,;:!?]"
+
+
+def norm_text(col: str = "text") -> Column:
+    """Whitespace-collapsed lowercase text (the shared normalization)."""
+    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+
+
+def dtrunc(col: Column, n: int = 4) -> Column:
+    """Floor-truncate a double to ``n`` decimals.
+
+    Used instead of ``round()`` for every float the DuckDB oracle must
+    reproduce: Spark's ``round`` on doubles goes through the shortest
+    decimal representation (BigDecimal HALF_UP) while DuckDB rounds the
+    raw binary double, so values ending in ...5 at the cut position
+    disagree.  ``floor(x * 10^n) / 10^n`` is bit-identical in both
+    engines for identical inputs.
+    """
+    p = 10 ** n
+    return F.floor(col * p) / p
+
+
+def dsum(col: Column, scale: int = 2) -> Column:
+    """Order-independent exact sum of a double column.
+
+    Casting to decimal before summing makes the aggregation exact
+    integer arithmetic — immune to the float-summation-order differences
+    between Spark partial aggregation and the DuckDB oracle.  ``scale``
+    must cover the data's true decimal precision.
+    """
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def with_norm(df: DataFrame, col: str = "text") -> DataFrame:
+    return df.withColumn("t", norm_text(col))
+
+
+def token_counts(df: DataFrame) -> DataFrame:
+    """Per-document token counts over ``documents(doc_id, text)``."""
+    d = with_norm(df)
+    n_ws = F.when(F.col("t") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("t"), " "))
+    )
+    return d.select(
+        "doc_id",
+        F.length("t").alias("n_chars_norm"),
+        n_ws.alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(BPE_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def language_id(df: DataFrame) -> DataFrame:
+    """N-gram/stopword-marker language identification.
+
+    A document is tagged ``en`` when marker stopwords make up >= 10% of
+    its whitespace tokens, else ``und`` — the standard cheap heuristic
+    tier before a real classifier in corpus pipelines.
+    """
+    d = with_norm(df)
+    n_ws = F.when(F.col("t") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("t"), " "))
+    )
+    n_stop = F.size(F.regexp_extract_all(F.col("t"), F.lit(STOPWORD_PATTERN), F.lit(0)))
+    return d.select(
+        "doc_id",
+        n_stop.alias("n_stopwords"),
+        n_ws.alias("n_ws_tokens"),
+        F.when((n_stop * 10) >= n_ws, F.lit("en")).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+    )
+
+
+def quality_scores(df: DataFrame) -> DataFrame:
+    """Deterministic quality features + composite score per document."""
+    d = with_norm(df)
+    chars = F.length("t")
+    words = F.when(F.col("t") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("t"), " "))
+    )
+    n_stop = F.size(F.regexp_extract_all(F.col("t"), F.lit(STOPWORD_PATTERN), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all(F.col("t"), F.lit(PUNCT_PATTERN), F.lit(0)))
+    avg_word_len = dtrunc(chars * F.lit(1.0) / F.greatest(words, F.lit(1)), 4)
+    stop_ratio = dtrunc(n_stop * F.lit(1.0) / F.greatest(words, F.lit(1)), 4)
+    score = dtrunc(
+        F.least(F.lit(1.0), words / F.lit(100.0)) * 0.5
+        + stop_ratio * 0.3
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 8), F.lit(0.2)).otherwise(
+            F.lit(0.0)
+        ),
+        4,
+    )
+    return d.select(
+        "doc_id",
+        chars.alias("n_chars_norm"),
+        words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprints(df: DataFrame) -> DataFrame:
+    """md5 fingerprints of the normalized text (whole doc + 64-char head)."""
+    d = with_norm(df)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("t").cast("binary")).alias("fp"),
+        F.md5(F.substring(F.col("t"), 1, 64).cast("binary")).alias("fp_head"),
+        F.length("t").alias("n_chars_norm"),
+    )

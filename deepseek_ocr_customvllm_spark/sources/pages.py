@@ -53,6 +53,53 @@ def synth_pages_df(
     return base.mapInPandas(_gen_batch, schema=PAGES_SPARK_SCHEMA)
 
 
+_NAV_HTML = (
+    '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li>'
+    '<li><a href="/contact">Contact</a></li><li><a href="/blog">Blog</a></li></ul></nav>'
+)
+_FOOTER_HTML = (
+    '<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms</a>'
+    " <span>© 2025 docs.test</span></footer>"
+)
+
+
+def pages_from_documents(docs_df: DataFrame) -> DataFrame:
+    """Wrap the testdata ``documents`` table into ``pages`` rows.
+
+    A deterministic HTML template (with real nav/footer boilerplate the
+    extractor must strip) built entirely from JVM-side ``concat`` — no
+    Python in the path.  Gives the extraction pipeline a corpus derived
+    from the driver's own tables.
+    """
+    from pyspark.sql import functions as F
+
+    html = F.concat(
+        F.lit("<html><head><title>doc</title></head><body>"),
+        F.lit(_NAV_HTML),
+        F.lit("<article><h1>Document "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p></article>"),
+        F.lit(_FOOTER_HTML),
+        F.lit("</body></html>"),
+    )
+    return docs_df.select(
+        F.concat(
+            F.lit("https://docs.test/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.expr("timestampadd(SECOND, cast(doc_id as int), TIMESTAMP '2025-01-01 00:00:00')").alias(
+            "warc_ts"
+        ),
+        html.cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def write_pages_parquet(
     spark: SparkSession, n_docs: int, path: str, num_partitions: int | None = None
 ) -> None:

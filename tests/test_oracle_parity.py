@@ -1,0 +1,104 @@
+"""Driver-contract parity tests: every oracled query in
+``__spark_entry__`` must produce value-identical results from Spark and
+from DuckDB over the same parquet tables (mirrors the driver's
+CORRECTNESS check: row count + schema + order-insensitive values).
+"""
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from deepseek_ocr_customvllm_spark.plans.session import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
+    sort_cols = list(df.columns)
+    df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    a, b = _canon(spark_pdf), _canon(duck_pdf)
+    assert list(a.columns) == list(b.columns), f"{name}: column names differ"
+    assert len(a) == len(b), f"{name}: row counts differ ({len(a)} vs {len(b)})"
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) or isinstance(y, float):
+                ok = (
+                    (pd.isna(x) and pd.isna(y))
+                    or math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9)
+                )
+            else:
+                ok = x == y
+            assert ok, f"{name}: col {col} row {i}: spark={x!r} duck={y!r}"
+
+
+_ORACLES = entrymod.oracle_sql()
+_QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES), ids=sorted(_ORACLES))
+def test_oracle_parity(name, spark, duck):
+    spark_df = _QUERIES[name](spark, SF_DIR)
+    spark_pdf = spark_df.toPandas()
+    duck_pdf = duck.execute(_ORACLES[name]).fetchdf()
+    _compare(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(_QUERIES) - set(_ORACLES)), ids=sorted(set(_QUERIES) - set(_ORACLES))
+)
+def test_rows_only_queries_run(name, spark):
+    df = _QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+
+
+def test_every_oracle_has_query():
+    assert set(_ORACLES) <= set(_QUERIES)
