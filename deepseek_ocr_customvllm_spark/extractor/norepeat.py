@@ -64,32 +64,50 @@ def suppress_repeated_ngrams(
         for tok in line.split():
             stream.append((li, tok, exempt))
 
+    # History n-grams are tracked incrementally: `grams` maps each n-gram of
+    # consecutive *emitted* tokens to the emitted-index where it starts;
+    # a gram counts as "within the trailing window" while its start index
+    # is >= len(emitted) - window_size.  Semantically identical to scanning
+    # emitted[-window_size:] for the run, but O(1) per lookup instead of
+    # O(window * n) (the golden fixtures pin the equivalence).
+    from collections import deque
+
     emitted: List[str] = []  # history of emitted token strings
     dropped: set = set()  # indices into `stream` that were suppressed
+    grams: dict = {}  # gram tuple -> count of live occurrences
+    live: deque = deque()  # (start_idx, gram) in emission order
 
-    def _window_contains(run: List[str]) -> bool:
-        w = emitted[-window_size:]
-        n = len(run)
-        if len(w) < n:
-            return False
-        for s in range(len(w) - n + 1):
-            if w[s : s + n] == run:
-                return True
-        return False
+    def _emit(tok: str) -> None:
+        emitted.append(tok)
+        j = len(emitted)
+        if j >= ngram_size:
+            gram = tuple(emitted[j - ngram_size : j])
+            grams[gram] = grams.get(gram, 0) + 1
+            live.append((j - ngram_size, gram))
+        # evict grams whose start fell out of the window
+        floor = j - window_size
+        while live and live[0][0] < floor:
+            _, old = live.popleft()
+            cnt = grams[old] - 1
+            if cnt:
+                grams[old] = cnt
+            else:
+                del grams[old]
 
     i = 0
-    while i < len(stream):
+    n_stream = len(stream)
+    while i < n_stream:
         _, tok, exempt = stream[i]
-        if not exempt and i + ngram_size <= len(stream):
+        if not exempt and i + ngram_size <= n_stream:
             run = stream[i : i + ngram_size]
             if all(not e for _, _, e in run):
-                run_toks = [t for _, t, _ in run]
-                if _window_contains(run_toks):
+                run_toks = tuple(t for _, t, _ in run)
+                if run_toks in grams:
                     for j in range(i, i + ngram_size):
                         dropped.add(j)
                     i += ngram_size
                     continue
-        emitted.append(tok)
+        _emit(tok)
         i += 1
 
     if not dropped:

@@ -92,9 +92,15 @@ EXTRACTED_SCHEMA = T.StructType(
 _BLOCK_KEYS = ("type", "level", "text", "table_id", "rows", "validation", "source")
 
 # Default salt factor: sub-buckets per partition for the skew-taming
-# repartition (a handful of giant Zipf-head domains per partition
-# otherwise dominates stragglers).
-DEFAULT_SALT = 8
+# repartition.  Must be LARGE: Spark re-hashes the partition expression,
+# so with only a handful of distinct key values per partition the
+# re-hash clumps them binomially and the biggest partition (the
+# straggler) ends up ~1.5x the mean — measured as a 0.52 scaling
+# efficiency before this was fixed.  1024 sub-buckets per partition
+# keeps the clumping variance under 2% while still being an explicit,
+# deterministic url-hash bucket id (usable as an Iceberg bucket
+# partition transform at cluster scale).
+DEFAULT_SALT = 1024
 
 
 def _superset_block(block: dict) -> dict:

@@ -185,13 +185,16 @@ def _repeat_menu(rng: random.Random) -> str:
     return f"<div><p>{run}</p><p>{run}</p></div>"
 
 
-def _html_doc(rng: random.Random, i: int) -> bytes:
+def _html_doc(rng: random.Random, i: int, scale: int = 1) -> bytes:
+    """``scale`` multiplies body size (for benchmarking with
+    realistically sized pages).  ``scale=1`` consumes the rng stream
+    exactly as the committed golden fixtures expect — do not reorder."""
     parts: List[str] = ["<html><head><title>synthetic page</title></head><body>"]
     parts.append(_nav_block(rng))
     parts.append("<header><h1><a href='/'>Example Site</a></h1></header>")
     parts.append("<article>")
     parts.append(f"<h1>Document {i}</h1>")
-    n_sections = rng.randint(1, 4)
+    n_sections = rng.randint(1, 4) * scale
     for s in range(n_sections):
         parts.append(f"<h{min(s + 2, 4)}>Section {_words(rng, 2)}</h{min(s + 2, 4)}>")
         for _ in range(rng.randint(1, 4)):
@@ -296,8 +299,8 @@ def synth_pages_pdf(page_texts: List[List[str]], compress: bool = False) -> byte
     return bytes(out)
 
 
-def _pdf_doc(rng: random.Random, i: int) -> bytes:
-    n_pages = rng.randint(1, 3)
+def _pdf_doc(rng: random.Random, i: int, scale: int = 1) -> bytes:
+    n_pages = rng.randint(1, 3) * scale
     pages: List[List[str]] = []
     for p in range(n_pages):
         lines: List[str] = [f"# Report {i} page {p + 1}", ""]
@@ -317,8 +320,10 @@ def _pdf_doc(rng: random.Random, i: int) -> bytes:
 # Row synthesis
 # ---------------------------------------------------------------------------
 
-def synth_page(i: int) -> Dict[str, object]:
-    """Row ``i`` of the synthetic pages corpus — pure function of ``i``."""
+def synth_page(i: int, scale: int = 1) -> Dict[str, object]:
+    """Row ``i`` of the synthetic pages corpus — pure function of
+    ``(i, scale)``.  ``scale=1`` is the fixture-locked corpus; larger
+    scales produce proportionally bigger documents (bench realism)."""
     rng = random.Random(SEED * 1_000_000_007 + i)
     domain = _zipf_domain(rng)
     url = f"https://example-{domain:04d}.test/doc/{i:06d}"
@@ -327,9 +332,9 @@ def synth_page(i: int) -> Dict[str, object]:
 
     roll = rng.random()
     if roll < 0.85:
-        html = _html_doc(rng, i)
+        html = _html_doc(rng, i, scale)
     elif roll < 0.95:
-        html = _pdf_doc(rng, i)
+        html = _pdf_doc(rng, i, scale)
     else:
         edge = rng.randint(0, 3)
         if edge == 0:

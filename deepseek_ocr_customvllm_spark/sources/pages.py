@@ -29,9 +29,11 @@ PAGES_SPARK_SCHEMA = T.StructType(
 )
 
 
-def _gen_batch(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _gen_batch(
+    iterator: Iterator[pd.DataFrame], scale: int = 1
+) -> Iterator[pd.DataFrame]:
     for pdf in iterator:
-        rows = [synth_page(int(i)) for i in pdf["id"].tolist()]
+        rows = [synth_page(int(i), scale) for i in pdf["id"].tolist()]
         yield pd.DataFrame(
             {
                 "url": [r["url"] for r in rows],
@@ -44,13 +46,18 @@ def _gen_batch(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def synth_pages_df(
-    spark: SparkSession, n_docs: int, num_partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    num_partitions: int | None = None,
+    scale: int = 1,
 ) -> DataFrame:
     """The synthetic corpus as a DataFrame, generated executor-side."""
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     base = spark.range(0, n_docs, 1, num_partitions)
-    return base.mapInPandas(_gen_batch, schema=PAGES_SPARK_SCHEMA)
+    return base.mapInPandas(
+        lambda it: _gen_batch(it, scale), schema=PAGES_SPARK_SCHEMA
+    )
 
 
 _NAV_HTML = (
@@ -101,6 +108,12 @@ def pages_from_documents(docs_df: DataFrame) -> DataFrame:
 
 
 def write_pages_parquet(
-    spark: SparkSession, n_docs: int, path: str, num_partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    path: str,
+    num_partitions: int | None = None,
+    scale: int = 1,
 ) -> None:
-    synth_pages_df(spark, n_docs, num_partitions).write.mode("overwrite").parquet(path)
+    synth_pages_df(spark, n_docs, num_partitions, scale).write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the scale properties we claim must be
+visible in ``explain`` output, not just intended.
+
+- column pruning: the extraction scan must read ONLY (url, warc_ts, html)
+  even though the pages table is wider
+- predicate pushdown: filters on the parquet scan reach PushedFilters
+- broadcast: the top-k similarity query must broadcast the query side;
+  dimension joins must not shuffle the fact side twice
+- whole-stage codegen: the text-stats operators stay JVM-side
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from deepseek_ocr_customvllm_spark.plans.session import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._jdf.queryExecution().explainMode()
+    ) if False else df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _formatted(df) -> str:
+    from pyspark.sql.functions import lit  # noqa: F401
+
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_extract_scan_is_column_pruned(spark, tmp_path):
+    from deepseek_ocr_customvllm_spark.operators.extract import extract_pages
+    from deepseek_ocr_customvllm_spark.sources.pages import synth_pages_df
+
+    path = str(tmp_path / "pages")
+    synth_pages_df(spark, 50, num_partitions=2).write.parquet(path)
+    pages = spark.read.parquet(path)
+    plan = _formatted(extract_pages(pages, num_partitions=2))
+    scan = plan[plan.index("Scan parquet") :]
+    read_schema = scan[scan.index("ReadSchema") : scan.index("\n", scan.index("ReadSchema"))]
+    assert "html" in read_schema and "url" in read_schema
+    # the wide columns must NOT be read
+    assert "text" not in read_schema
+    assert "lang" not in read_schema
+
+
+def test_filter_pushdown_on_parquet_scan(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = docs.filter(F.col("n_chars") > 450).select("doc_id", "n_chars")
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,450)]" in plan
+
+
+def test_topk_similarity_broadcasts_queries(spark):
+    from deepseek_ocr_customvllm_spark.operators.similarity import topk_dot_neighbors
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _formatted(topk_dot_neighbors(emb))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_textstats_whole_stage_codegen(spark):
+    from deepseek_ocr_customvllm_spark.operators.textstats import token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(token_counts(docs))
+    assert "codegen id" in plan  # whole-stage codegen spans present
+    # no Python evaluation node anywhere in the text-stats path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salted_repartition_is_single_shuffle(spark):
+    from deepseek_ocr_customvllm_spark.operators.extract import extract_pages
+    from deepseek_ocr_customvllm_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 50, num_partitions=2)
+    plan = _formatted(extract_pages(pages, num_partitions=4))
+    # exactly one exchange node: the explicit salted repartition
+    assert plan.count("Exchange (") == 1
+    assert "xxhash64(url" in plan  # partitioned by url hash, not input order

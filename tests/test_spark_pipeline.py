@@ -1,0 +1,213 @@
+"""Spark-layer tests: extraction operator, state store, resume,
+determinism-at-any-parallelism, streaming variant, spark-submit job CLI.
+
+Mirrors SURVEY.md §5.2 items 3-5.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepseek_ocr_customvllm_spark.job import run_extraction_job
+from deepseek_ocr_customvllm_spark.operators.extract import (
+    extract_pages,
+    lineage_from_extracted,
+)
+from deepseek_ocr_customvllm_spark.plans.state import (
+    ParquetStateStore,
+    merge_sql,
+    open_state_store,
+)
+from deepseek_ocr_customvllm_spark.sources.pages import (
+    pages_from_documents,
+    synth_pages_df,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from deepseek_ocr_customvllm_spark.plans.session import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="spark_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+N = 120
+MAXB = 64 * 1024
+
+
+def _hash_output(df):
+    """Order-insensitive content hash of the deterministic columns."""
+    return (
+        df.select("url", "status", "markdown", "markdown_raw", "n_blocks")
+        .withColumn(
+            "h", F.md5(F.concat_ws("\x00", "url", "status", "markdown", "markdown_raw"))
+        )
+        .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")).alias("s"))
+        .collect()[0]["s"]
+    )
+
+
+class TestExtractOperator:
+    def test_extraction_matches_pure_python(self, spark):
+        """The Spark operator must agree byte-for-byte with the direct
+        extractor call for every row (Arrow round-trip is lossless)."""
+        from deepseek_ocr_customvllm_spark.extractor import extract_document
+        from deepseek_ocr_customvllm_spark.sources.pagegen import synth_page
+
+        pages = synth_pages_df(spark, N)
+        out = {
+            r["url"]: r
+            for r in extract_pages(pages, num_partitions=4, max_bytes=MAXB)
+            .select("url", "status", "markdown", "markdown_raw", "n_blocks")
+            .collect()
+        }
+        assert len(out) == N
+        for i in range(N):
+            row = synth_page(i)
+            expected = extract_document(row["url"], row["html"], max_bytes=MAXB)
+            got = out[row["url"]]
+            assert got["status"] == expected.status, row["url"]
+            assert got["markdown"] == expected.markdown, row["url"]
+            assert got["markdown_raw"] == expected.markdown_raw, row["url"]
+            assert got["n_blocks"] == expected.n_blocks, row["url"]
+
+    def test_determinism_across_parallelism(self, spark):
+        """Same corpus at different partition counts -> identical output
+        (no partition-dependent state leaks into results)."""
+        pages = synth_pages_df(spark, N)
+        h2 = _hash_output(extract_pages(pages, num_partitions=2, max_bytes=MAXB))
+        h7 = _hash_output(extract_pages(pages, num_partitions=7, max_bytes=MAXB))
+        assert h2 == h7
+
+    def test_blocks_struct_round_trip(self, spark):
+        pages = synth_pages_df(spark, 30)
+        ex = extract_pages(pages, num_partitions=2, max_bytes=MAXB)
+        blocks = ex.select(F.explode("blocks").alias("p")).select(
+            "p.page_number", F.explode("p.blocks").alias("b")
+        )
+        types = {r["b"]["type"] for r in blocks.collect()}
+        assert "heading" in types and "paragraph" in types
+
+    def test_lineage_aggregation(self, spark):
+        pages = synth_pages_df(spark, 50)
+        ex = extract_pages(pages, num_partitions=3, max_bytes=MAXB)
+        lin = lineage_from_extracted(ex, "jobx").collect()
+        assert sum(r["n_docs"] for r in lin) == 50
+        assert all(r["job_id"] == "jobx" for r in lin)
+
+
+class TestStateStore:
+    def test_merge_insert_update(self, spark, tmpdir):
+        store = ParquetStateStore(spark, tmpdir)
+        b1 = spark.createDataFrame(
+            [("u1", "SUCCESS"), ("u2", "FAILED")], ["url", "status"]
+        ).withColumn("updated_at", F.current_timestamp())
+        store.merge(b1)
+        state = {r["url"]: r for r in store.read().collect()}
+        assert state["u1"]["status"] == "SUCCESS" and state["u1"]["attempt"] == 1
+
+        b2 = spark.createDataFrame([("u2", "SUCCESS")], ["url", "status"]).withColumn(
+            "updated_at", F.current_timestamp()
+        )
+        store.merge(b2)
+        state = {r["url"]: r for r in store.read().collect()}
+        assert state["u2"]["status"] == "SUCCESS"
+        assert state["u2"]["attempt"] == 2
+        assert state["u1"]["attempt"] == 1  # untouched rows carried over
+
+    def test_pending_excludes_terminal(self, spark, tmpdir):
+        store = ParquetStateStore(spark, tmpdir)
+        batch = spark.createDataFrame(
+            [("u1", "SUCCESS"), ("u2", "FAILED"), ("u3", "REJECTED")],
+            ["url", "status"],
+        ).withColumn("updated_at", F.current_timestamp())
+        store.merge(batch)
+        pages = spark.createDataFrame(
+            [("u1",), ("u2",), ("u3",), ("u4",)], ["url"]
+        )
+        pending = {r["url"] for r in store.pending(pages).collect()}
+        assert pending == {"u2", "u4"}  # FAILED retried, terminal skipped
+
+    def test_time_travel_and_expiry(self, spark, tmpdir):
+        store = ParquetStateStore(spark, tmpdir)
+        for k in range(4):
+            b = spark.createDataFrame([(f"u{k}", "SUCCESS")], ["url", "status"]).withColumn(
+                "updated_at", F.current_timestamp()
+            )
+            store.merge(b)
+        assert store.read(version=1).count() == 1
+        assert store.read().count() == 4
+        removed = store.expire_versions(keep_last=2)
+        assert removed == 2
+        assert store.read().count() == 4
+
+    def test_iceberg_merge_sql_shape(self):
+        sql = merge_sql("cat.db.extraction_state", "batch")
+        assert "MERGE INTO cat.db.extraction_state" in sql
+        assert "WHEN MATCHED" in sql and "WHEN NOT MATCHED" in sql
+
+    def test_open_state_store_dispatch(self, spark, tmpdir):
+        assert isinstance(open_state_store(spark, tmpdir), ParquetStateStore)
+
+
+class TestJob:
+    def test_end_to_end_and_resume(self, spark, tmpdir):
+        pages = synth_pages_df(spark, 80)
+        m1 = run_extraction_job(
+            spark, pages, tmpdir, num_partitions=4, max_bytes=MAXB
+        )
+        assert m1["rows_extracted"] == 80
+        m2 = run_extraction_job(
+            spark, pages, tmpdir, num_partitions=4, max_bytes=MAXB
+        )
+        assert m2["rows_extracted"] == 0  # exactly-once per url
+
+    def test_partial_then_resume_completes_remainder(self, spark, tmpdir):
+        pages = synth_pages_df(spark, 60)
+        first_half = pages.limit(30)
+        run_extraction_job(spark, first_half, tmpdir, num_partitions=2, max_bytes=MAXB)
+        m2 = run_extraction_job(spark, pages, tmpdir, num_partitions=2, max_bytes=MAXB)
+        assert m2["rows_extracted"] == 30
+        total = spark.read.parquet(os.path.join(tmpdir, "extracted")).select(
+            "url"
+        ).distinct().count()
+        assert total == 60
+
+
+class TestStreaming:
+    def test_stream_drains_landing_dir(self, spark, tmpdir):
+        from deepseek_ocr_customvllm_spark.streaming import run_stream_once
+
+        landing = os.path.join(tmpdir, "landing")
+        synth_pages_df(spark, 40, num_partitions=4).write.parquet(landing)
+        n = run_stream_once(
+            spark,
+            landing,
+            os.path.join(tmpdir, "out"),
+            os.path.join(tmpdir, "ckpt"),
+        )
+        assert n == 40
+
+
+class TestPagesFromDocuments:
+    def test_wrap_and_extract(self, spark):
+        docs = spark.read.parquet(os.path.join(SF0001, "documents.parquet"))
+        pages = pages_from_documents(docs)
+        ex = extract_pages(pages.limit(50), num_partitions=2)
+        rows = ex.select("status", "n_blocks").collect()
+        assert all(r["status"] == "SUCCESS" for r in rows)
+        assert all(r["n_blocks"] >= 2 for r in rows)  # h1 + paragraph survive
