@@ -27,9 +27,9 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.extract import extract_pages, lineage_from_extracted
-from .plans.session import get_spark
-from .plans.state import open_state_store
+from deepseek_ocr_customvllm_spark.operators.extract import extract_pages, lineage_from_extracted
+from deepseek_ocr_customvllm_spark.plans.session import get_spark
+from deepseek_ocr_customvllm_spark.plans.state import open_state_store
 
 
 def run_extraction_job(
@@ -106,7 +106,7 @@ def main(argv=None) -> None:
 
     spark = get_spark(master=args.master)
     if args.synth:
-        from .sources.pages import synth_pages_df
+        from deepseek_ocr_customvllm_spark.sources.pages import synth_pages_df
 
         pages = synth_pages_df(spark, args.synth)
     elif args.pages:
