@@ -112,7 +112,15 @@ class _Block:
         self.heading_level = heading_level
 
 
+_ASCII_WS = " \t\n\r\x0b\f"
+
+
 def _nonspace_len(s: str) -> int:
+    if s.isascii():  # C-speed count path; identical result for ASCII
+        n = len(s)
+        for c in _ASCII_WS:
+            n -= s.count(c)
+        return n
     return sum(1 for c in s if not c.isspace())
 
 

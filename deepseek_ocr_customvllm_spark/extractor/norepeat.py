@@ -64,50 +64,92 @@ def suppress_repeated_ngrams(
         for tok in line.split():
             stream.append((li, tok, exempt))
 
-    # History n-grams are tracked incrementally: `grams` maps each n-gram of
-    # consecutive *emitted* tokens to the emitted-index where it starts;
-    # a gram counts as "within the trailing window" while its start index
-    # is >= len(emitted) - window_size.  Semantically identical to scanning
-    # emitted[-window_size:] for the run, but O(1) per lookup instead of
-    # O(window * n) (the golden fixtures pin the equivalence).
+    # History n-grams are tracked incrementally with a rolling polynomial
+    # hash; on a hash hit the candidate is confirmed by exact token
+    # comparison, so collisions (and Python's per-process string-hash
+    # randomization) can never change the output — the golden fixtures pin
+    # the equivalence with the direct windowed scan.  O(1) amortized per
+    # token instead of O(window * n).
     from collections import deque
+
+    n = ngram_size
+    toks = [t for _, t, _ in stream]
+    exempt_flags = [e for _, _, e in stream]
+    n_stream = len(stream)
+
+    # next_exempt[i] = smallest j >= i with an exempt token (n_stream if none)
+    next_exempt = [n_stream] * (n_stream + 1)
+    for i in range(n_stream - 1, -1, -1):
+        next_exempt[i] = i if exempt_flags[i] else next_exempt[i + 1]
+
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+    BPOW = pow(BASE, n - 1, MOD)
+    tok_h = [hash(t) & 0x7FFFFFFF for t in toks]
 
     emitted: List[str] = []  # history of emitted token strings
     dropped: set = set()  # indices into `stream` that were suppressed
-    grams: dict = {}  # gram tuple -> count of live occurrences
-    live: deque = deque()  # (start_idx, gram) in emission order
+    # live history grams: hash -> deque of start indices into `emitted`
+    starts: dict = {}
+    live: deque = deque()  # (start_idx, hash) in emission order
+    emit_roll = 0  # rolling hash of the last n emitted tokens' hashes
+    emit_hashes: deque = deque()  # their individual hashes, len <= n
 
     def _emit(tok: str) -> None:
+        nonlocal emit_roll
         emitted.append(tok)
+        h = hash(tok) & 0x7FFFFFFF
+        emit_hashes.append(h)
+        if len(emit_hashes) > n:
+            old = emit_hashes.popleft()
+            emit_roll = (emit_roll - old * BPOW) % MOD
+        emit_roll = (emit_roll * BASE + h) % MOD if len(emit_hashes) > 1 else h % MOD
         j = len(emitted)
-        if j >= ngram_size:
-            gram = tuple(emitted[j - ngram_size : j])
-            grams[gram] = grams.get(gram, 0) + 1
-            live.append((j - ngram_size, gram))
-        # evict grams whose start fell out of the window
+        if j >= n:
+            s = j - n
+            starts.setdefault(emit_roll, deque()).append(s)
+            live.append((s, emit_roll))
         floor = j - window_size
         while live and live[0][0] < floor:
-            _, old = live.popleft()
-            cnt = grams[old] - 1
-            if cnt:
-                grams[old] = cnt
-            else:
-                del grams[old]
+            s0, h0 = live.popleft()
+            dq = starts[h0]
+            dq.popleft()
+            if not dq:
+                del starts[h0]
+
+    def _input_hash(i: int) -> int:
+        acc = 0
+        for k in range(i, i + n):
+            acc = (acc * BASE + tok_h[k]) % MOD
+        return acc
 
     i = 0
-    n_stream = len(stream)
+    in_roll = -1  # rolling hash of toks[i:i+n]; -1 = needs recompute
     while i < n_stream:
-        _, tok, exempt = stream[i]
-        if not exempt and i + ngram_size <= n_stream:
-            run = stream[i : i + ngram_size]
-            if all(not e for _, _, e in run):
-                run_toks = tuple(t for _, t, _ in run)
-                if run_toks in grams:
-                    for j in range(i, i + ngram_size):
-                        dropped.add(j)
-                    i += ngram_size
-                    continue
-        _emit(tok)
+        exempt = exempt_flags[i]
+        if not exempt and i + n <= n_stream and next_exempt[i] >= i + n:
+            if in_roll < 0:
+                in_roll = _input_hash(i)
+            cand = starts.get(in_roll)
+            matched = False
+            if cand:
+                window = toks[i : i + n]
+                for s in cand:
+                    if emitted[s : s + n] == window:
+                        matched = True
+                        break
+            if matched:
+                for j in range(i, i + n):
+                    dropped.add(j)
+                i += n
+                in_roll = -1
+                continue
+        _emit(toks[i])
+        # roll the input hash forward by one token
+        if in_roll >= 0 and i + n < n_stream:
+            in_roll = ((in_roll - tok_h[i] * BPOW) * BASE + tok_h[i + n]) % MOD
+        else:
+            in_roll = -1
         i += 1
 
     if not dropped:
