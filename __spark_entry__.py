@@ -36,6 +36,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _ensure_utc(spark: SparkSession) -> None:
+    """Timestamp literals parse in the SESSION timezone; the DuckDB
+    oracle is UTC-naive.  The driver may hand us a session with a local
+    timezone, so pin UTC before building any timestamp-sensitive plan."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _augmented_docs(docs: DataFrame) -> DataFrame:
     """Documents plus planted near- and exact duplicates, so the dedup
     operators have guaranteed hits.  Mirrored verbatim in the oracle's
@@ -207,6 +214,7 @@ def _q_quarantine_oversize(spark, sf_dir):
 def _q_lineage_rollup(spark, sf_dir):
     from deepseek_ocr_customvllm_spark.operators.textstats import dsum, dtrunc
 
+    _ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events")
     total = dsum(F.col("value"), 2)
     return ev.groupBy("event_type").agg(
@@ -221,6 +229,7 @@ def _q_lineage_rollup(spark, sf_dir):
 def _q_tpch_q1(spark, sf_dir):
     from deepseek_ocr_customvllm_spark.operators.textstats import dsum, dtrunc
 
+    _ensure_utc(spark)
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -272,6 +281,7 @@ def _q_top_customers_per_region(spark, sf_dir):
 
 
 def _q_events_sessionize(spark, sf_dir):
+    _ensure_utc(spark)
     register_views(spark, sf_dir)
     return spark.sql(
         """

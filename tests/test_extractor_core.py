@@ -432,3 +432,40 @@ class TestEngine:
         assert r1.markdown == r2.markdown
         assert r1.markdown_raw == r2.markdown_raw
         assert r1.pages == r2.pages
+
+
+class TestTableRoundTrip:
+    def test_rows_to_html_round_trip(self):
+        from deepseek_ocr_customvllm_spark.extractor.blocks import rows_to_html
+
+        rows = [["a", "b"], ["1", "2"], ["total", "3"]]
+        assert parse_html_table(rows_to_html(rows)) == rows
+
+    def test_empty(self):
+        from deepseek_ocr_customvllm_spark.extractor.blocks import rows_to_html
+
+        assert parse_html_table(rows_to_html([])) == []
+
+
+class TestErrorIsolation:
+    def test_internal_failure_becomes_failed_row(self, monkeypatch):
+        """Per-row isolation (reference per-job try/except,
+        ocr_service.py:200-207): an extractor bug must yield a FAILED
+        result row, never an exception."""
+        from deepseek_ocr_customvllm_spark.extractor import engine
+
+        def boom(_text):
+            raise RuntimeError("injected parser failure")
+
+        monkeypatch.setattr(engine, "extract_html_page", boom)
+        r = engine.extract_document("u", b"<p>x</p>")
+        assert r.status == "FAILED"
+        assert "injected parser failure" in r.error
+
+    def test_invalid_utf8_no_crash(self):
+        r = extract_document("u", b"<p>\xff\xfe garbled \x80</p>")
+        assert r.status == "SUCCESS"
+
+    def test_none_payload(self):
+        r = extract_document("u", None)
+        assert r.status == "SUCCESS" and r.n_pages == 0
