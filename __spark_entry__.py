@@ -80,13 +80,20 @@ _PUNCT_RE = "[.,;:!?]"
 
 
 def _simhash_duck_sql(source_cte: str, table: str) -> str:
-    """DuckDB simhash signature query (twin of dedup.simhash_signatures)."""
-    v = dedup.hex32_sql("tok")
+    """DuckDB simhash signature query (twin of dedup.simhash_signatures).
+
+    Integer division (``//``) throughout: the 60-bit values exceed
+    double's 53-bit mantissa, so float division would corrupt low bits.
+    """
+    v = dedup.hex_to_bigint_sql("tok", 15)
+    nbits = dedup.SIMHASH_BITS
     bit_aggs = ",\n    ".join(
-        f"sum(case when cast(floor(v / {2 ** b}.0) as bigint) % 2 = 1 then 1 else -1 end) AS b{b}"
-        for b in range(32)
+        f"sum(case when (v // {2 ** b}) % 2 = 1 then 1 else -1 end) AS b{b}"
+        for b in range(nbits)
     )
-    sim = " + ".join(f"(case when b{b} > 0 then {2 ** b} else 0 end)" for b in range(32))
+    sim = " + ".join(
+        f"(case when b{b} > 0 then {2 ** b} else 0 end)" for b in range(nbits)
+    )
     return f"""
 WITH {source_cte}
 norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM {table}),
@@ -420,7 +427,10 @@ WHERE floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000 >= {dedup.JACCA
 
 
 def _oracle_simhash() -> str:
-    sim = " + ".join(f"(case when b{b} > 0 then {2 ** b} else 0 end)" for b in range(32))
+    sim = " + ".join(
+        f"(case when b{b} > 0 then {2 ** b} else 0 end)"
+        for b in range(dedup.SIMHASH_BITS)
+    )
     return (
         _simhash_duck_sql("norm_src AS (SELECT doc_id, text FROM documents),", "norm_src")
         + f"SELECT doc_id, cast({sim} as bigint) AS simhash FROM bits"
@@ -428,11 +438,15 @@ def _oracle_simhash() -> str:
 
 
 def _oracle_simhash_pairs() -> str:
-    sim = " + ".join(f"(case when b{b} > 0 then {2 ** b} else 0 end)" for b in range(32))
+    sim = " + ".join(
+        f"(case when b{b} > 0 then {2 ** b} else 0 end)"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    band_mod = 2 ** dedup.SIMHASH_BAND_BITS
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, simhash, {k} AS band, "
-        f"cast(floor(simhash / {256 ** k}.0) as bigint) % 256 AS bk FROM sig"
-        for k in range(4)
+        f"(simhash // {band_mod ** k}) % {band_mod} AS bk FROM sig"
+        for k in range(dedup.SIMHASH_BANDS)
     )
     return (
         _simhash_duck_sql(_AUG_CTE.strip().rstrip() + ",", "aug")

@@ -31,15 +31,28 @@ N_BANDS = 4  # bands of 2 hashes each
 JACCARD_MIN = 0.5
 HAMMING_MAX = 3
 SHINGLE_WORDS = 3
+# SimHash geometry: 60 bits (15 md5 nibbles, bigint-safe in both
+# engines), blocked on 4 bands of 15 bits.  4 bands guarantee recall for
+# hamming <= 3 (pigeonhole: 3 flipped bits cannot dirty all 4 bands) and
+# 2^15 buckets/band keep candidate generation selective.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def hex_to_bigint_sql(col_expr: str, nibbles: int = 8) -> str:
+    """Dialect-portable SQL: first ``nibbles`` hex chars of md5(col) ->
+    bigint (identical in Spark and DuckDB; ``nibbles <= 15`` keeps the
+    value under 2^60, bigint-safe in both engines)."""
+    terms = " + ".join(
+        f"(cast(instr('0123456789abcdef', substr(md5({col_expr}), {k}, 1)) as bigint) - 1) * {16 ** (nibbles - k)}"
+        for k in range(1, nibbles + 1)
+    )
+    return f"({terms})"
 
 
 def hex32_sql(col_expr: str) -> str:
-    """Dialect-portable SQL: first 8 hex chars of md5(col) -> bigint."""
-    terms = " + ".join(
-        f"(cast(instr('0123456789abcdef', substr(md5({col_expr}), {k}, 1)) as bigint) - 1) * {16 ** (8 - k)}"
-        for k in range(1, 9)
-    )
-    return f"({terms})"
+    return hex_to_bigint_sql(col_expr, 8)
 
 
 # ---------------------------------------------------------------------------
@@ -92,17 +105,21 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signatures (2 hashes per band) and self-join on bucket."""
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).cast("binary")).alias(
-                "bk"
-            ),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    """Band the signatures (2 hashes per band) and self-join on bucket.
+
+    Bands come from one ``posexplode`` over an array of band keys (a
+    4-way union compiles 4x the operators for the same result)."""
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")).cast("binary")
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bk")
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
@@ -164,50 +181,60 @@ def minhash_lsh_duplicates(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame) -> DataFrame:
-    """32-bit simhash per document (md5-derived, dialect-portable)."""
-    spark = df.sparkSession
-    df.createOrReplaceTempView("_simhash_in")
-    v = hex32_sql("tok")
-    bit_aggs = ",\n    ".join(
-        f"sum(case when cast(floor(v / {2 ** b}.0) as bigint) % 2 = 1 then 1 else -1 end) AS b{b}"
-        for b in range(32)
+    """60-bit simhash per document (md5-derived, dialect-portable).
+
+    Value-identical to the DuckDB oracle's aggregate formulation, but
+    shaped for fast Spark codegen: exploding the bit positions keeps
+    every expression tiny (a single giant 60-aggregate operator costs
+    >10 s of Janino compilation on first execution), and the extra
+    (doc_id, bit) shuffle is map-side-combined.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    toks = (
+        df.select("doc_id", norm.alias("t"))
+        .filter(F.col("t") != "")
+        .select("doc_id", F.explode(F.split("t", " ")).alias("tok"))
     )
-    sim = " + ".join(f"(case when b{b} > 0 then {2 ** b} else 0 end)" for b in range(32))
-    return spark.sql(
-        f"""
-WITH norm AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\\\s+', ' ') AS t
-  FROM _simhash_in
-),
-toks AS (
-  SELECT doc_id, explode(split(t, ' ')) AS tok FROM norm WHERE t <> ''
-),
-vals AS (
-  SELECT doc_id, {v} AS v FROM toks
-),
-bits AS (
-  SELECT doc_id,
-    {bit_aggs}
-  FROM vals GROUP BY doc_id
-)
-SELECT doc_id, cast({sim} as bigint) AS simhash FROM bits
-"""
+    vals = toks.select(
+        "doc_id", F.expr(hex_to_bigint_sql("tok", 15)).alias("v")
+    )
+    bits = vals.select(
+        "doc_id", "v", F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b")
+    )
+    # integer division, NOT float: v has up to 60 significant bits, beyond
+    # double's 53-bit mantissa — float division would corrupt low bits
+    sign = F.when(
+        F.expr("v div cast(pow(2.0d, b) as bigint)") % 2 == 1, F.lit(1)
+    ).otherwise(F.lit(-1))
+    per_bit = bits.groupBy("doc_id", "b").agg(F.sum(sign).alias("s"))
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    # pow(2,b) is a power of two <= 2^59: exact in double
+                    F.pow(F.lit(2.0), F.col("b")).cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+        .select("doc_id", F.col("simhash").cast("bigint").alias("simhash"))
     )
 
 
 def simhash_near_pairs(sig: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
     """Near-dup pairs: block on signature bytes, verify Hamming distance."""
-    bands = None
-    for k in range(4):
-        part = sig.select(
-            "doc_id",
-            "simhash",
-            F.lit(k).alias("band"),
-            (
-                F.floor(F.col("simhash") / F.lit(256 ** k)).cast("bigint") % 256
-            ).alias("bk"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    band_mod = 2 ** SIMHASH_BAND_BITS
+    byte_keys = F.array(
+        *[
+            # integer division (60-bit values exceed double precision)
+            (F.expr(f"simhash div {band_mod ** k}L") % band_mod)
+            for k in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "simhash", F.posexplode(byte_keys).alias("band", "bk")
+    )
     a = bands.alias("a")
     b_ = bands.alias("b")
     pairs = (
