@@ -175,6 +175,34 @@ def _q_dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(sig)
 
 
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_augmented_docs(_docs(spark, sf_dir)))
+
+
+def _augmented_embeddings(emb: DataFrame) -> DataFrame:
+    """Embeddings plus planted exact-duplicate vectors (dedup hits)."""
+    base = emb.select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 29 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), F.col("embedding")
+    )
+    return base.unionByName(dups)
+
+
+_EMB_AUG_CTE = """
+emb_aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 29 = 0
+)
+"""
+
+
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    emb = _augmented_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return similarity.embedding_cosine_duplicates(emb)
+
+
 def _q_ann_topk_dot(spark, sf_dir):
     return similarity.topk_dot_neighbors(load_table(spark, sf_dir, "embeddings"))
 
@@ -360,8 +388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "ann_topk_dot": _q_ann_topk_dot,
         "ann_lsh_bucket": _q_ann_lsh_bucket,
         "embedding_norm_stats": _q_embedding_norm_stats,
@@ -423,6 +453,77 @@ FROM inter i
 JOIN sizes na ON na.doc_id = i.id_a
 JOIN sizes nb ON nb.doc_id = i.id_b
 WHERE floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000 >= {dedup.JACCARD_MIN}
+"""
+
+
+def _oracle_ngram_jaccard() -> str:
+    """Twin of dedup.ngram_jaccard_pairs: m0-blocking + exact Jaccard."""
+    min_aggs = ", ".join(
+        f"min(md5('{i}|' || sh)) AS m{i}" for i in range(dedup.N_HASHES)
+    )
+    return f"""
+WITH {_AUG_CTE.strip().rstrip()},
+norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM aug),
+toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r
+  WHERE len(ts) >= 3
+),
+sig AS (SELECT doc_id, {min_aggs} FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_int
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.id_a
+  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+  GROUP BY c.id_a, c.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT i.id_a, i.id_b,
+       floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000 AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000 >= 0.2
+"""
+
+
+def _oracle_embedding_cosine() -> str:
+    """Twin of similarity.embedding_cosine_duplicates over emb_aug."""
+    planes = similarity.hyperplanes()
+    bucket_terms = " + ".join(
+        f"(case when cast(list_dot_product(qe, {plane}) as bigint) > 0 then {2 ** k} else 0 end)"
+        for k, plane in enumerate(planes)
+    )
+    ds = similarity.COSINE_DOWNSCALE
+    return f"""
+WITH {_EMB_AUG_CTE.strip().rstrip()},
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(x * {similarity.QUANT}) as bigint)) AS qe
+  FROM emb_aug
+),
+vec AS (
+  SELECT vec_id, qe,
+         cast(list_dot_product(qe, qe) as bigint) AS sq,
+         cast({bucket_terms} as bigint) AS bucket
+  FROM q
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         cast(list_dot_product(a.qe, b.qe) as bigint) AS dot,
+         a.sq AS sq_a, b.sq AS sq_b
+  FROM vec a JOIN vec b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, dot, sq_a, sq_b
+FROM pairs
+WHERE dot > 0
+  AND {similarity.COSINE_DEN} * ((dot // {ds}) * (dot // {ds}))
+      >= {similarity.COSINE_NUM} * (sq_a // {ds}) * (sq_b // {ds})
 """
 
 
@@ -544,8 +645,10 @@ SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_doc_id
 FROM fps GROUP BY fp HAVING count(*) > 1
 """,
         "dedup_minhash_lsh": _oracle_minhash(),
+        "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
         "dedup_simhash": _oracle_simhash(),
         "dedup_simhash_pairs": _oracle_simhash_pairs(),
+        "dedup_embedding_cosine": _oracle_embedding_cosine(),
         "ann_topk_dot": f"""
 WITH q AS (
   SELECT vec_id,

@@ -176,6 +176,31 @@ def minhash_lsh_duplicates(df: DataFrame) -> DataFrame:
     return jaccard_verify(cand, sh)
 
 
+def ngram_jaccard_pairs(df: DataFrame, jaccard_min: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard similarity with single-hash blocking.
+
+    The lighter sibling of the full MinHash pipeline: candidates are
+    pairs sharing minhash ``m0`` (1-hash LSH — high recall only for very
+    similar docs), then exact word-3-gram Jaccard is computed for each.
+    Useful as the verification tier when a cheaper blocker already
+    exists, and as a direct ``jaccard(doc_a, doc_b)`` operator.
+    """
+    sh = shingles(df)
+    sig = minhash_signatures(sh).select("doc_id", "m0")
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.m0") == F.col("b.m0"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, jaccard_min=jaccard_min)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -87,6 +87,52 @@ def lsh_buckets(emb: DataFrame) -> DataFrame:
     return q.select("vec_id", bucket.cast("bigint").alias("bucket"))
 
 
+COSINE_NUM = 81  # cosine^2 threshold as a ratio: dot^2/(na*nb) >= 81/100
+COSINE_DEN = 100
+COSINE_DOWNSCALE = 1000  # pre-divide to keep products inside bigint range
+
+
+def embedding_cosine_duplicates(emb: DataFrame) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — entirely integer math.
+
+    Candidates block on the signed-hyperplane LSH bucket (near-identical
+    vectors land in the same bucket), then verify
+    ``cos >= 0.9`` via the cross-multiplied integer comparison
+    ``100 * (dot/1000)^2 >= 81 * (na/1000) * (nb/1000)`` with ``dot > 0``
+    — no floats anywhere, so Spark and the DuckDB oracle agree
+    bit-for-bit (the /1000 downscale keeps products under 2^63; it
+    slightly coarsens the threshold identically in both engines).
+    """
+    q = quantized(emb).select("vec_id", "qe")
+    sq = _dot("qe", "qe")
+    buckets = lsh_buckets(emb)
+    vec = q.join(buckets, "vec_id").select(
+        "vec_id", "qe", sq.alias("sq"), "bucket"
+    )
+    a = vec.alias("a")
+    b = vec.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.expr(
+            "aggregate(zip_with(a.qe, b.qe, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+        ).alias("dot"),
+        F.col("a.sq").alias("sq_a"),
+        F.col("b.sq").alias("sq_b"),
+    )
+    ds = COSINE_DOWNSCALE
+    keep = (F.col("dot") > 0) & (
+        F.lit(COSINE_DEN)
+        * (F.expr(f"dot div {ds}") * F.expr(f"dot div {ds}"))
+        >= F.lit(COSINE_NUM) * F.expr(f"sq_a div {ds}") * F.expr(f"sq_b div {ds}")
+    )
+    return pairs.filter(keep).select("id_a", "id_b", "dot", "sq_a", "sq_b")
+
+
 def embedding_norm_stats(emb: DataFrame) -> DataFrame:
     """Per-label quantized-norm statistics (sanity/monitoring tier)."""
     q = quantized(emb)
