@@ -98,16 +98,17 @@ def _warmup(spark, cores: int) -> None:
     ).write.mode("overwrite").format("noop").save()
 
 
-def _time_extraction(spark, pages_path: str, cores: int, out_dir: str) -> dict:
-    """Steady-state extraction wall-clock: two reps, keep the faster
+def _time_extraction(spark, pages_path: str, cores: int, out_dir: str, reps: int = 2) -> dict:
+    """Steady-state extraction wall-clock: ``reps`` reps, keep the fastest
     (rep 1 pays one-off plan/codegen costs that a long-running 100 TB
-    job amortizes to zero)."""
+    job amortizes to zero; extra reps also damp this host's ambient
+    noisy-neighbor variance)."""
     from deepseek_ocr_customvllm_spark.operators.extract import extract_pages
 
     pages = spark.read.parquet(pages_path)
     walls = []
     out = os.path.join(out_dir, f"extracted_{cores}")
-    for _rep in range(2):
+    for _rep in range(reps):
         t0 = time.time()
         # one partition per core: the mapInPandas stage pays a fixed Arrow +
         # Python-worker round-trip per task, so more tasks than cores only
@@ -178,12 +179,12 @@ def main() -> None:
         # --- phase 2+3: N -> 4N scaling evidence on identical input --------
         spark_n = _new_spark(SCALE_N)
         _warmup(spark_n, SCALE_N)
-        ext_n = _time_extraction(spark_n, scaling_path, SCALE_N, work)
+        ext_n = _time_extraction(spark_n, scaling_path, SCALE_N, work, reps=3)
         spark_n.stop()
 
         spark_4n = _new_spark(SCALE_4N)
         _warmup(spark_4n, SCALE_4N)
-        ext_4n = _time_extraction(spark_4n, scaling_path, SCALE_4N, work)
+        ext_4n = _time_extraction(spark_4n, scaling_path, SCALE_4N, work, reps=3)
         spark_4n.stop()
 
         eff = round(
