@@ -76,3 +76,57 @@ def mean_cer(pairs: Iterable[Tuple[str, str]]) -> float:
     """Average CER over (reference, hypothesis) pairs."""
     scores: List[float] = [character_error_rate(r, h) for r, h in pairs]
     return sum(scores) / len(scores) if scores else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Table-structure similarity (TEDS analogue)
+# ---------------------------------------------------------------------------
+#
+# The reference scores table fidelity with TEDS (tree edit distance over
+# table HTML vs PubTabNet ground truth, ``Scripts/table_diff.py:7-58``).
+# Our block trees carry tables as ``rows: List[List[str]]``, so the
+# analogue is a two-level edit distance: row alignment by Levenshtein
+# where the substitution cost of two rows is their normalized cell-level
+# edit distance (cells compared by exact string equality).  This is the
+# TEDS recursion specialised to depth-2 trees — exact for the grid-shaped
+# tables the block layer produces, without the general APTED machinery.
+
+
+def _row_distance(a: List[str], b: List[str]) -> float:
+    """Normalized cell-level edit distance between two rows (0..1)."""
+    if not a and not b:
+        return 0.0
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            sub = prev[j - 1] + (0 if a[i - 1] == b[j - 1] else 1)
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, sub)
+        prev = cur
+    return prev[-1] / max(la, lb)
+
+
+def table_similarity(
+    rows_a: List[List[str]], rows_b: List[List[str]]
+) -> float:
+    """TEDS-style structural similarity between two tables (1.0 = same)."""
+    if not rows_a and not rows_b:
+        return 1.0
+    la, lb = len(rows_a), len(rows_b)
+    prev = [float(j) for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        cur = [float(i)] + [0.0] * lb
+        for j in range(1, lb + 1):
+            sub = prev[j - 1] + _row_distance(rows_a[i - 1], rows_b[j - 1])
+            cur[j] = min(prev[j] + 1.0, cur[j - 1] + 1.0, sub)
+        prev = cur
+    return 1.0 - prev[-1] / max(la, lb)
+
+
+def mean_table_similarity(
+    pairs: Iterable[Tuple[List[List[str]], List[List[str]]]]
+) -> float:
+    """Batch average (``Scripts/table_diff.py:54-74`` analogue)."""
+    scores = [table_similarity(a, b) for a, b in pairs]
+    return sum(scores) / len(scores) if scores else 0.0

@@ -93,6 +93,38 @@ def run_extraction_job(
     }
 
 
+def purge_urls(spark: SparkSession, out_dir: str, urls_df: DataFrame) -> int:
+    """K7 — delete documents from the pipeline outputs.
+
+    The reference's delete endpoint purges MinIO objects + the DB row
+    (``app/api/routes/ocr.py:136-212``).  Here: rewrite the ``extracted``
+    table without the urls (at cluster scale this is Iceberg
+    ``DELETE FROM extracted WHERE url IN ...`` — a metadata/delete-file
+    operation, no rewrite) and drop them from the checkpoint state so a
+    re-ingested url is processed fresh.  Returns rows removed.
+    """
+    import shutil
+
+    from deepseek_ocr_customvllm_spark.plans.state import open_state_store
+
+    extracted_path = os.path.join(out_dir, "extracted")
+    urls = urls_df.select("url")
+    current = spark.read.parquet(extracted_path)
+    n_before = current.count()
+    remaining = current.join(urls, "url", "left_anti")
+
+    tmp_path = extracted_path + "_rewrite"
+    remaining.write.mode("overwrite").parquet(tmp_path)
+    shutil.rmtree(extracted_path)
+    os.rename(tmp_path, extracted_path)
+
+    state = open_state_store(spark, os.path.join(out_dir, "extraction_state"))
+    if hasattr(state, "delete_urls"):
+        state.delete_urls(urls)
+    n_after = spark.read.parquet(extracted_path).count()
+    return n_before - n_after
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--pages", help="input pages parquet path")

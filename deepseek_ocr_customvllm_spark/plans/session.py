@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
         .config("spark.speculation", "false")
+        # zstd: ~30% smaller markdown/blocks columns than snappy at
+        # comparable CPU — at 100 TB the scan is I/O-bound, so codec
+        # ratio is throughput
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -147,6 +147,18 @@ class ParquetStateStore:
         done = self.read().filter(F.col("status").isin(*TERMINAL_STATES)).select("url")
         return pages_df.join(done, "url", "left_anti")
 
+    # -- delete (K7: reference delete endpoint purges the DB row,
+    #    app/api/routes/ocr.py:136-212) ------------------------------------
+    def delete_urls(self, urls_df: DataFrame) -> int:
+        """Remove the given urls from the state entirely (a re-ingested
+        url is then treated as brand new, matching the reference's
+        delete-then-reupload flow).  Returns the new version."""
+        current = self.read()
+        remaining = current.join(urls_df.select("url"), "url", "left_anti")
+        new_version = (self.current_version() or 0) + 1
+        remaining.write.mode("overwrite").parquet(self._path(new_version))
+        return new_version
+
     # -- maintenance -------------------------------------------------------
     def expire_versions(self, keep_last: int = 3) -> int:
         """Snapshot expiry (Iceberg ``expire_snapshots`` analogue, K7)."""

@@ -41,6 +41,48 @@ def extraction_stream(
     return extract_pages(pages, num_partitions=cores)
 
 
+def metrics_stream(
+    spark: SparkSession, extracted_dir: str, window: str = "5 minutes"
+) -> DataFrame:
+    """Watermarked event-time throughput metrics over the extracted
+    stream — the streaming face of the lineage table: per
+    ``window(warc_ts)`` x content_type, docs and bytes processed.
+
+    Late data beyond the 10-minute watermark is dropped (state cleanly
+    bounded — mandatory for an unbounded crawl stream).
+    """
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(EXTRACTED_SCHEMA)
+        .parquet(extracted_dir)
+    )
+    return (
+        stream.withWatermark("warc_ts", "10 minutes")
+        .groupBy(F.window("warc_ts", window), "content_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes_in").alias("n_bytes"),
+            F.sum("n_chars").alias("n_chars_out"),
+        )
+    )
+
+
+def run_metrics_once(spark: SparkSession, extracted_dir: str) -> "DataFrame":
+    """Drain the current extracted data through the watermarked
+    aggregation into an in-memory table; returns the result DataFrame."""
+    agg = metrics_stream(spark, extracted_dir)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("extraction_metrics")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM extraction_metrics")
+
+
 def run_stream_once(
     spark: SparkSession,
     landing_dir: str,

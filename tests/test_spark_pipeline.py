@@ -211,3 +211,67 @@ class TestPagesFromDocuments:
         rows = ex.select("status", "n_blocks").collect()
         assert all(r["status"] == "SUCCESS" for r in rows)
         assert all(r["n_blocks"] >= 2 for r in rows)  # h1 + paragraph survive
+
+
+class TestStreamingMetrics:
+    def test_watermarked_window_agg(self, spark, tmpdir):
+        from deepseek_ocr_customvllm_spark.streaming.extract_stream import (
+            run_metrics_once,
+        )
+
+        pages = synth_pages_df(spark, 40, num_partitions=2)
+        ex_dir = os.path.join(tmpdir, "extracted")
+        extract_pages(pages, num_partitions=2, max_bytes=64 * 1024).write.parquet(
+            ex_dir
+        )
+        result = run_metrics_once(spark, ex_dir)
+        rows = result.collect()
+        assert sum(r["n_docs"] for r in rows) == 40
+        assert all(r["window"]["start"] is not None for r in rows)
+
+
+class TestPurge:
+    def test_purge_removes_and_allows_reingest(self, spark, tmpdir):
+        from deepseek_ocr_customvllm_spark.job import purge_urls
+
+        pages = synth_pages_df(spark, 40)
+        run_extraction_job(spark, pages, tmpdir, num_partitions=2, max_bytes=MAXB)
+        victims = pages.select("url").limit(5)
+        removed = purge_urls(spark, tmpdir, victims)
+        assert removed == 5
+        left = spark.read.parquet(os.path.join(tmpdir, "extracted"))
+        assert left.count() == 35
+        # purged urls are re-processed on the next run (state row gone)
+        m = run_extraction_job(spark, pages, tmpdir, num_partitions=2, max_bytes=MAXB)
+        assert m["rows_extracted"] == 5
+
+
+class TestTableSimilarity:
+    def test_identical(self):
+        from deepseek_ocr_customvllm_spark.extractor.evaluate import table_similarity
+
+        rows = [["a", "1"], ["b", "2"]]
+        assert table_similarity(rows, rows) == 1.0
+
+    def test_one_cell_changed(self):
+        from deepseek_ocr_customvllm_spark.extractor.evaluate import table_similarity
+
+        a = [["a", "1"], ["b", "2"]]
+        b = [["a", "1"], ["b", "999"]]
+        # one of four cells wrong -> row sub-cost 0.5 over 2 rows
+        assert table_similarity(a, b) == 0.75
+
+    def test_missing_row(self):
+        from deepseek_ocr_customvllm_spark.extractor.evaluate import table_similarity
+
+        a = [["a"], ["b"], ["c"]]
+        assert table_similarity(a, a[:2]) == pytest.approx(2 / 3)
+
+    def test_empty(self):
+        from deepseek_ocr_customvllm_spark.extractor.evaluate import (
+            mean_table_similarity,
+            table_similarity,
+        )
+
+        assert table_similarity([], []) == 1.0
+        assert mean_table_similarity([]) == 0.0
