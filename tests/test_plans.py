@@ -88,3 +88,28 @@ def test_salted_repartition_is_single_shuffle(spark):
     # exactly one exchange node: the explicit salted repartition
     assert plan.count("Exchange (") == 1
     assert "xxhash64(url" in plan  # partitioned by url hash, not input order
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-bucketed url tables must join without an Exchange."""
+    from deepseek_ocr_customvllm_spark.plans.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from deepseek_ocr_customvllm_spark.sources.pages import synth_pages_df
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pages = synth_pages_df(spark, 60, num_partitions=2).select("url", "warc_ts")
+        state = pages.select("url").withColumn("status", F.lit("SUCCESS"))
+        write_bucketed(pages, "t_pages_b", buckets=4)
+        write_bucketed(state, "t_state_b", buckets=4)
+        joined = bucketed_join(spark, "t_pages_b", "t_state_b")
+        plan = _formatted(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange (" not in plan  # bucket co-location, zero shuffle
+        assert joined.count() == 60
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_pages_b")
+        spark.sql("DROP TABLE IF EXISTS t_state_b")

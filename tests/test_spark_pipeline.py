@@ -275,3 +275,41 @@ class TestTableSimilarity:
 
         assert table_similarity([], []) == 1.0
         assert mean_table_similarity([]) == 0.0
+
+
+class TestStatefulDedupStream:
+    def test_first_seen_across_batches(self, spark, tmpdir):
+        """Two landing files with overlapping urls: the stateful stream
+        must emit each url exactly once across micro-batches."""
+        from pyspark.sql import functions as F
+        from deepseek_ocr_customvllm_spark.streaming.dedup_stream import (
+            first_seen_stream,
+        )
+        from deepseek_ocr_customvllm_spark.sources.pages import PAGES_SPARK_SCHEMA
+
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        batch1 = synth_pages_df(spark, 30, num_partitions=1)
+        batch2 = synth_pages_df(spark, 50, num_partitions=1)  # 0..29 repeat
+        batch1.write.parquet(os.path.join(landing, "b1"))
+        batch2.write.parquet(os.path.join(landing, "b2"))
+
+        stream = (
+            spark.readStream.schema(PAGES_SPARK_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing + "/*")
+        )
+        out_dir = os.path.join(tmpdir, "out")
+        q = (
+            first_seen_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = spark.read.parquet(out_dir)
+        assert res.count() == 50  # no url twice despite the overlap
+        assert res.select("url").distinct().count() == 50
