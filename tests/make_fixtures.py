@@ -28,7 +28,16 @@ from deepseek_ocr_customvllm_spark.sources.pagegen import (  # noqa: E402
 )
 
 N_FIXTURE_DOCS = 40
+# Family-targeted extras beyond the contiguous prefix (found by corpus
+# scan; each pins a code path the prefix happens not to cover):
+#   50  - truncated tag-soup edge case
+#   102 - oversize document (> SYNTH_MAX_BYTES -> REJECTED)
+EXTRA_FIXTURE_DOCS = (50, 102)
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def fixture_indices():
+    return list(range(N_FIXTURE_DOCS)) + list(EXTRA_FIXTURE_DOCS)
 
 
 def fixture_slug(i: int) -> str:
@@ -58,7 +67,7 @@ def build_fixture(i: int) -> dict:
 def main() -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     index = []
-    for i in range(N_FIXTURE_DOCS):
+    for i in fixture_indices():
         fx = build_fixture(i)
         slug = fx["slug"]
         with open(os.path.join(FIXTURE_DIR, f"{slug}.md"), "w", encoding="utf-8") as f:

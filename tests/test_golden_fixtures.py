@@ -55,8 +55,11 @@ def test_byte_identical(entry):
 
 def test_fixture_corpus_covers_families():
     """The committed fixture set must keep exercising every family."""
+    from tests.make_fixtures import fixture_indices
+
     statuses = {e["status"] for e in _INDEX}
     ctypes = {e["content_type"] for e in _INDEX}
     assert "SUCCESS" in statuses
-    assert "pdf" in ctypes and "html" in ctypes
-    assert len(_INDEX) == N_FIXTURE_DOCS
+    assert "REJECTED" in statuses  # oversize quarantine path pinned
+    assert "pdf" in ctypes and "html" in ctypes and "empty" in ctypes
+    assert len(_INDEX) == len(fixture_indices())

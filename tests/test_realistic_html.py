@@ -1,0 +1,137 @@
+"""Hand-written realistic page shapes (beyond the synthetic grammar):
+encyclopedia-style, news-article-with-comments, forum thread.  Asserts
+the boilerplate stripper keeps main content and drops chrome, and that
+the whole pipeline stays linear-time on large documents.
+"""
+
+import time
+
+from deepseek_ocr_customvllm_spark.extractor.engine import extract_document
+from deepseek_ocr_customvllm_spark.extractor.html_extract import extract_html_page
+
+WIKI_LIKE = b"""
+<html><head><title>Gradient descent - encyclopedia</title></head><body>
+<nav><ul><li><a href="/">Main page</a></li><li><a href="/contents">Contents</a></li>
+<li><a href="/random">Random article</a></li><li><a href="/donate">Donate</a></li></ul></nav>
+<div><a href="/login">Log in</a> <a href="/create">Create account</a> <a href="/talk">Talk</a>
+<a href="/contribs">Contributions</a> <a href="/prefs">Preferences</a></div>
+<article>
+<h1>Gradient descent</h1>
+<p>Gradient descent is a first-order iterative optimization algorithm for finding
+a local minimum of a differentiable function. The idea is to take repeated steps
+in the opposite direction of the gradient of the function at the current point.</p>
+<h2>Description</h2>
+<p>If the multi-variable function is defined and differentiable in a neighborhood
+of a point, then it decreases fastest in the direction of the negative gradient.
+It follows that taking a small enough step preserves descent.</p>
+<table><tr><td>step size</td><td>0.01</td></tr><tr><td>iterations</td><td>1000</td></tr></table>
+<h2>See also</h2>
+<p>Related methods include stochastic approximation and conjugate directions,
+which trade exactness for iteration cost in large problems.</p>
+</article>
+<div><a href="/privacy">Privacy policy</a> <a href="/about">About</a>
+<a href="/disclaimer">Disclaimers</a> <a href="/mobile">Mobile view</a></div>
+<footer><p>Text is available under the Creative Commons License; additional terms
+may apply.</p></footer>
+</body></html>
+"""
+
+NEWS_LIKE = b"""
+<html><body>
+<header><h1><a href="/">The Daily Synthetic</a></h1>
+<nav><a href="/world">World</a><a href="/tech">Tech</a><a href="/sport">Sport</a>
+<a href="/opinion">Opinion</a><a href="/subscribe">Subscribe</a></nav></header>
+<main><article>
+<h1>Local parser achieves byte-identical output</h1>
+<p>In a development welcomed by reviewers everywhere, a deterministic extraction
+pipeline reproduced its reference outputs byte for byte on Tuesday.</p>
+<p>The maintainers said the result followed months of careful fixture design and
+one memorable incident involving a trailing space after an equals sign.</p>
+</article></main>
+<aside><h3>Most read</h3><ul>
+<li><a href="/1">Ten shuffles you will not believe</a></li>
+<li><a href="/2">This join went broadcast</a></li>
+<li><a href="/3">Partition skew: an apology</a></li></ul></aside>
+<section><div><a href="/user/a">userA</a> <a href="/reply">reply</a> <a href="/flag">flag</a></div>
+<div><a href="/user/b">userB</a> <a href="/reply">reply</a> <a href="/flag">flag</a></div></section>
+<footer><a href="/terms">Terms</a><a href="/privacy">Privacy</a><a href="/cookies">Cookies</a></footer>
+</body></html>
+"""
+
+FORUM_LIKE = b"""
+<html><body>
+<nav><a href="/forum">Forum</a><a href="/members">Members</a><a href="/search">Search</a>
+<a href="/faq">FAQ</a><a href="/rules">Rules</a></nav>
+<h1>How do I tune shuffle partitions?</h1>
+<p>I keep getting tiny tasks on a 600 thousand row table and the job spends more
+time scheduling than working. What should the partition count be relative to cores?</p>
+<p>Answer: set it to roughly the core count for small data and scale it with input
+bytes for large data; adaptive execution coalesces the rest.</p>
+<pre>|setting|value|
+|---|---|
+|spark.sql.shuffle.partitions|32|</pre>
+<div><a href="/quote">quote</a> <a href="/report">report</a> <a href="/share">share</a></div>
+</body></html>
+"""
+
+
+class TestRealisticPages:
+    def test_wiki_like(self):
+        out = extract_html_page(WIKI_LIKE.decode())
+        assert "# Gradient descent" in out
+        assert "## Description" in out
+        assert "first-order iterative optimization" in out
+        assert "<table><tr><td>step size</td>" in out
+        # chrome gone
+        assert "Random article" not in out
+        assert "Privacy policy" not in out
+        assert "Log in" not in out
+        # low-link-density real content in footer text survives?
+        # (footer is a boilerplate container: it must NOT survive)
+        assert "Creative Commons" not in out
+
+    def test_news_like(self):
+        out = extract_html_page(NEWS_LIKE.decode())
+        assert "# Local parser achieves byte-identical output" in out
+        assert "byte for byte" in out
+        assert "Most read" not in out  # aside dropped
+        assert "userA" not in out  # link-farm comment chrome dropped
+        assert "Subscribe" not in out
+
+    def test_forum_like_pipeline(self):
+        res = extract_document("https://forum.test/q/1", FORUM_LIKE)
+        assert res.status == "SUCCESS"
+        md = res.markdown
+        assert "# How do I tune shuffle partitions?" in md
+        assert "|spark.sql.shuffle.partitions|32|" in md
+        assert "quote" not in md
+        # the pipe table parsed into a table block with an id
+        tables = [
+            b
+            for p in res.pages
+            for b in p["blocks"]
+            if b["type"] == "table"
+        ]
+        assert len(tables) == 1
+        assert tables[0]["rows"][0] == ["setting", "value"]
+
+
+class TestLargeDocument:
+    def test_linear_time_on_5mb_doc(self):
+        para = "<p>" + ("spark extract partition shuffle token " * 30) + "</p>"
+        html = ("<html><body><article>" + para * 4600 + "</article></body></html>").encode()
+        assert len(html) > 5_000_000
+        t0 = time.time()
+        res = extract_document("https://big.test/1", html)
+        dt = time.time() - t0
+        assert res.status == "SUCCESS"
+        assert res.n_blocks > 0
+        # linear-ish: a 5 MB doc must stay well under 30s even on a
+        # noisy host (quadratic behaviour would take minutes)
+        assert dt < 30, f"5MB doc took {dt:.1f}s"
+
+    def test_deeply_nested_no_recursion_error(self):
+        html = ("<div>" * 5000 + "deep content" + "</div>" * 5000).encode()
+        res = extract_document("u", html)
+        assert res.status == "SUCCESS"
+        assert "deep content" in res.markdown
