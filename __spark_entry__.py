@@ -211,6 +211,14 @@ def _q_ann_lsh_bucket(spark, sf_dir):
     return similarity.lsh_buckets(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_lsh_topk(spark, sf_dir):
+    return similarity.lsh_topk_neighbors(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_source_quality_report(spark, sf_dir):
+    return textstats.source_quality_report(_docs(spark, sf_dir))
+
+
 def _q_embedding_norm_stats(spark, sf_dir):
     return similarity.embedding_norm_stats(load_table(spark, sf_dir, "embeddings"))
 
@@ -394,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "ann_topk_dot": _q_ann_topk_dot,
         "ann_lsh_bucket": _q_ann_lsh_bucket,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "source_quality_report": _q_source_quality_report,
         "embedding_norm_stats": _q_embedding_norm_stats,
         "resume_anti_join": _q_resume_anti_join,
         "status_counts": _q_status_counts,
@@ -524,6 +534,37 @@ FROM pairs
 WHERE dot > 0
   AND {similarity.COSINE_DEN} * ((dot // {ds}) * (dot // {ds}))
       >= {similarity.COSINE_NUM} * (sq_a // {ds}) * (sq_b // {ds})
+"""
+
+
+def _oracle_ann_lsh_topk() -> str:
+    planes = similarity.hyperplanes()
+    bucket_terms = " + ".join(
+        f"(case when cast(list_dot_product(qe, {plane}) as bigint) > 0 then {2 ** k} else 0 end)"
+        for k, plane in enumerate(planes)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(x * {similarity.QUANT}) as bigint)) AS qe
+  FROM embeddings
+),
+vec AS (SELECT vec_id, qe, cast({bucket_terms} as bigint) AS bucket FROM q),
+qs AS (
+  SELECT vec_id AS query_id, qe AS qv, bucket AS qb
+  FROM vec WHERE vec_id % {similarity.QUERY_MOD} = 0
+),
+pairs AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         cast(list_dot_product(qv, qe) as bigint) AS dot
+  FROM qs JOIN vec ON vec.bucket = qs.qb AND vec.vec_id <> qs.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {similarity.TOP_K}
 """
 
 
@@ -669,6 +710,13 @@ ranked AS (
 SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {similarity.TOP_K}
 """,
         "ann_lsh_bucket": _oracle_ann_lsh_bucket(),
+        "ann_lsh_topk": _oracle_ann_lsh_topk(),
+        "source_quality_report": """
+SELECT source, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS median_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars
+FROM documents GROUP BY source
+""",
         "embedding_norm_stats": f"""
 WITH q AS (
   SELECT label,

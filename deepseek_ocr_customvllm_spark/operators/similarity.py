@@ -133,6 +133,39 @@ def embedding_cosine_duplicates(emb: DataFrame) -> DataFrame:
     return pairs.filter(keep).select("id_a", "id_b", "dot", "sq_a", "sq_b")
 
 
+def lsh_topk_neighbors(
+    emb: DataFrame, top_k: int = TOP_K, query_mod: int = QUERY_MOD
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The scale path for ANN — candidate generation is a bucket equi-join
+    (shuffle on bucket id) instead of a cross join, trading recall for a
+    candidate set ~2^K_PLANES times smaller.  Exact integer scoring and
+    deterministic ranking within the bucket.
+    """
+    q = quantized(emb).select("vec_id", "qe")
+    buckets = lsh_buckets(emb)
+    vec = q.join(buckets, "vec_id")
+    queries = vec.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qe").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    pairs = queries.join(
+        vec, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id"))
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), _dot("qv", "qe").alias("dot")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
 def embedding_norm_stats(emb: DataFrame) -> DataFrame:
     """Per-label quantized-norm statistics (sanity/monitoring tier)."""
     q = quantized(emb)

@@ -124,6 +124,39 @@ def quality_scores(df: DataFrame) -> DataFrame:
     )
 
 
+SOURCE_REPORT_SCHEMA = (
+    "source string, n_docs long, median_chars double, p90_chars double"
+)
+
+
+def source_quality_report(df: DataFrame) -> DataFrame:
+    """Per-source length distribution via grouped-map ``applyInPandas``.
+
+    Demonstrates the grouped-map UDF tier (per-group pandas frame in/out)
+    for statistics the built-in aggregates don't express exactly the way
+    a numpy pipeline would.  ``np.percentile(..., 'linear')`` matches SQL
+    ``quantile_cont`` bit-for-bit on integer inputs, so this stays
+    oracle-checkable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def per_source(pdf: pd.DataFrame) -> pd.DataFrame:
+        chars = pdf["n_chars"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "median_chars": [float(np.percentile(chars, 50))],
+                "p90_chars": [float(np.percentile(chars, 90))],
+            }
+        )
+
+    return df.select("source", "n_chars").groupBy("source").applyInPandas(
+        per_source, schema=SOURCE_REPORT_SCHEMA
+    )
+
+
 def fingerprints(df: DataFrame) -> DataFrame:
     """md5 fingerprints of the normalized text (whole doc + 64-char head)."""
     d = with_norm(df)
