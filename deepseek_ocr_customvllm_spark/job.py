@@ -93,6 +93,27 @@ def run_extraction_job(
     }
 
 
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the extracted table with exactly-one-row-per-url semantics.
+
+    A job that crashes between the parquet append and the state MERGE
+    leaves its urls pending; the rerun re-extracts them into a second
+    job partition.  The extractor is deterministic, so duplicates are
+    byte-identical — this reader still collapses to the latest job run
+    per url so downstream counts are exact.  (The Iceberg path gets this
+    from the transactional commit instead.)
+    """
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    w = Window.partitionBy("url").orderBy(F.col("job_id").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def purge_urls(spark: SparkSession, out_dir: str, urls_df: DataFrame) -> int:
     """K7 — delete documents from the pipeline outputs.
 
@@ -134,9 +155,23 @@ def main(argv=None) -> None:
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument("--max-bytes", type=int, default=None)
     parser.add_argument("--master", default=None)
+    parser.add_argument(
+        "--purge-urls",
+        help="file with one url per line: delete them from outputs + state, then exit",
+    )
     args = parser.parse_args(argv)
 
     spark = get_spark(master=args.master)
+    if args.purge_urls:
+        import json as _json
+
+        with open(args.purge_urls, encoding="utf-8") as f:
+            urls = [(line.strip(),) for line in f if line.strip()]
+        removed = purge_urls(
+            spark, args.out, spark.createDataFrame(urls, ["url"])
+        )
+        print(_json.dumps({"purged": removed}))
+        return
     if args.synth:
         from deepseek_ocr_customvllm_spark.sources.pages import synth_pages_df
 

@@ -313,3 +313,23 @@ class TestStatefulDedupStream:
         res = spark.read.parquet(out_dir)
         assert res.count() == 50  # no url twice despite the overlap
         assert res.select("url").distinct().count() == 50
+
+
+class TestExactlyOnceReader:
+    def test_read_extracted_collapses_duplicate_runs(self, spark, tmpdir):
+        """Crash-between-write-and-merge simulation: same urls appended
+        under two job ids; read_extracted returns one row per url."""
+        from deepseek_ocr_customvllm_spark.job import read_extracted
+
+        pages = synth_pages_df(spark, 25)
+        # resume=False forces re-extraction of the same urls (run 2
+        # models a rerun after a crash that lost the state merge)
+        run_extraction_job(spark, pages, tmpdir, num_partitions=2, max_bytes=MAXB)
+        run_extraction_job(
+            spark, pages, tmpdir, num_partitions=2, max_bytes=MAXB, resume=False
+        )
+        raw = spark.read.parquet(os.path.join(tmpdir, "extracted"))
+        assert raw.count() == 50  # duplicates on disk
+        deduped = read_extracted(spark, tmpdir)
+        assert deduped.count() == 25
+        assert deduped.select("url").distinct().count() == 25
