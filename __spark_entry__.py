@@ -350,6 +350,82 @@ def _q_multimodal_inspect(spark, sf_dir):
     return inspect_payloads(_docs(spark, sf_dir))
 
 
+def _q_lineitem_rollup(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows."""
+    from deepseek_ocr_customvllm_spark.operators.textstats import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_events_pivot(spark, sf_dir):
+    """Per-user event-type pivot (fixed value list -> stable schema)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+def _q_events_asof_join(spark, sf_dir):
+    """As-of join: for each purchase, the user's most recent prior view.
+
+    Spark has no native as-of join; the standard composition is a
+    union-tag + window over event time (the applyInPandas/merge_asof
+    alternative shuffles the same way but leaves the JVM)."""
+    _ensure_utc(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'view' THEN ts END AS view_ts
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+filled AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(view_ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_view_ts
+  FROM tagged
+)
+SELECT user_id, event_id,
+       cast(unix_timestamp(ts) as bigint) AS purchase_ts,
+       cast(unix_timestamp(last_view_ts) as bigint) AS last_view_ts
+FROM filled WHERE event_type = 'purchase'
+"""
+    )
+
+
+def _q_customer_running_revenue(spark, sf_dir):
+    """Running per-customer revenue over order time (window frame agg)."""
+    _ensure_utc(spark)
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum(F.col("o_totalprice").cast("decimal(28,2)")).over(w).cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("order_ts"),
+        running.alias("running_revenue"),
+    )
+
+
 # -- extraction pipeline (rows-only: the extractor IS the engine under test)
 
 def _q_extract_documents_pipeline(spark, sf_dir):
@@ -413,6 +489,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_per_region": _q_top_customers_per_region,
         "events_sessionize": _q_events_sessionize,
         "multimodal_inspect": _q_multimodal_inspect,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "events_pivot": _q_events_pivot,
+        "events_asof_join": _q_events_asof_join,
+        "customer_running_revenue": _q_customer_running_revenue,
         "extract_documents_pipeline": _q_extract_documents_pipeline,
         "extract_block_histogram": _q_extract_block_histogram,
         "extract_synth_summary": _q_extract_synth_summary,
@@ -793,6 +873,49 @@ FROM s GROUP BY user_id
 SELECT doc_id, cast(strlen(text) as bigint) AS n_bytes,
        md5(substr(text, 1, 64)) AS head_hash
 FROM documents
+""",
+        "lineitem_rollup": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       cast(sum(cast(l_quantity as decimal(28,2))) as double) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "events_pivot": """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id
+""",
+        "events_asof_join": """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'view' THEN ts END AS view_ts
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+filled AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(view_ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_view_ts
+  FROM tagged
+)
+SELECT user_id, event_id,
+       cast(floor(epoch(ts)) as bigint) AS purchase_ts,
+       cast(floor(epoch(last_view_ts)) as bigint) AS last_view_ts
+FROM filled WHERE event_type = 'purchase'
+""",
+        "customer_running_revenue": """
+SELECT o_custkey, o_orderkey,
+       cast(floor(epoch(o_orderdate)) as bigint) AS order_ts,
+       cast(sum(cast(o_totalprice as decimal(28,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) as double) AS running_revenue
+FROM orders
 """,
         # extract_documents_pipeline / extract_block_histogram /
         # extract_synth_summary: intentionally no oracle — the extractor is
