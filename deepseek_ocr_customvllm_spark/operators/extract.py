@@ -167,17 +167,25 @@ def extract_pages(
     num_partitions: Optional[int] = None,
     salt: int = DEFAULT_SALT,
     max_bytes: int = MAX_BYTES,
+    repartition: bool = True,
 ) -> DataFrame:
     """``pages(url, warc_ts, html, ...)`` -> ``extracted`` DataFrame.
 
     Column-prunes to the three columns the extractor needs (keeps the
     parquet scan narrow even when the input table is wide), applies the
     salted repartition, then runs the fused extraction operator.
+
+    ``repartition=False`` skips the shuffle entirely — correct when the
+    input already has a url-uniform layout (an Iceberg table written
+    ``PARTITIONED BY (bucket(N, url))``, or this engine's own bucketed
+    output).  The extraction job then moves ZERO bytes over the network:
+    scan -> extract -> write, all partition-local.
     """
     narrow = pages_df.select("url", "warc_ts", "html")
-    if num_partitions is None:
-        num_partitions = pages_df.sparkSession.sparkContext.defaultParallelism
-    narrow = salted_repartition(narrow, num_partitions, salt)
+    if repartition:
+        if num_partitions is None:
+            num_partitions = pages_df.sparkSession.sparkContext.defaultParallelism
+        narrow = salted_repartition(narrow, num_partitions, salt)
     return narrow.mapInPandas(
         lambda it: _extract_batch(it, max_bytes), schema=EXTRACTED_SCHEMA
     )

@@ -113,3 +113,17 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_pages_b")
         spark.sql("DROP TABLE IF EXISTS t_state_b")
+
+
+def test_prebucketed_input_extracts_with_zero_shuffle(spark, tmp_path):
+    """repartition=False on a bucket-laid-out input: no Exchange at all."""
+    from deepseek_ocr_customvllm_spark.operators.extract import extract_pages
+    from deepseek_ocr_customvllm_spark.sources.pages import synth_pages_df
+
+    path = str(tmp_path / "pages_b")
+    synth_pages_df(spark, 40, num_partitions=4).write.parquet(path)
+    pages = spark.read.parquet(path)
+    df = extract_pages(pages, repartition=False)
+    plan = _formatted(df)
+    assert "Exchange (" not in plan
+    assert df.count() == 40
