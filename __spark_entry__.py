@@ -436,13 +436,18 @@ def _q_extract_documents_pipeline(spark, sf_dir):
 
 
 def _q_extract_block_histogram(spark, sf_dir):
-    pages = pages_from_documents(_docs(spark, sf_dir))
-    extracted = extract_pages(pages, num_partitions=8)
+    # synthetic corpus: exercises every block type (headings, paragraphs,
+    # tables incl. validation states, images from grounding tags)
+    from deepseek_ocr_customvllm_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 300)
+    extracted = extract_pages(pages, num_partitions=8, max_bytes=64 * 1024)
     blocks = extracted.select(
         F.explode("blocks").alias("page")
     ).select(F.explode("page.blocks").alias("b"))
     return blocks.groupBy(F.col("b.type").alias("block_type")).agg(
-        F.count("*").alias("n_blocks")
+        F.count("*").alias("n_blocks"),
+        F.countDistinct("b.validation").alias("n_validation_states"),
     )
 
 
