@@ -158,6 +158,47 @@ def _q_doc_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir))
 
 
+_ROLL_MOD = 2147483647  # 2^31-1: keeps acc*31+byte inside bigint
+_ROLL_BASE = 31
+
+
+def _q_doc_rolling_fingerprint(spark, sf_dir):
+    """Rabin-style rolling-hash fingerprints, computed as a JVM-side
+    higher-order fold (``aggregate`` over the character array): the whole
+    -document hash plus the minimum shingle hash (winnowing-style
+    selection over word-3-gram hashes)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\\\s+', ' ') AS t
+  FROM documents
+),
+doc_hash AS (
+  SELECT doc_id,
+         aggregate(transform(split(t, ''), c -> cast(ascii(c) as bigint)),
+                   0L, (acc, x) -> (acc * {_ROLL_BASE} + x) % {_ROLL_MOD}) AS rolling_fp
+  FROM norm
+),
+toks AS (SELECT doc_id, split(t, ' ') AS ts FROM norm WHERE t <> ''),
+sh AS (
+  SELECT doc_id,
+         explode(transform(sequence(0, size(ts) - 3),
+                 i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))) AS sh
+  FROM toks WHERE size(ts) >= 3
+),
+sh_hash AS (
+  SELECT doc_id,
+         min(aggregate(transform(split(sh, ''), c -> cast(ascii(c) as bigint)),
+                       0L, (acc, x) -> (acc * {_ROLL_BASE} + x) % {_ROLL_MOD})) AS min_shingle_fp
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id, d.rolling_fp, s.min_shingle_fp
+FROM doc_hash d JOIN sh_hash s ON s.doc_id = d.doc_id
+"""
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_augmented_docs(_docs(spark, sf_dir)))
 
@@ -475,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -763,6 +805,31 @@ WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents)
 SELECT doc_id, md5(t) AS fp, md5(substr(t, 1, 64)) AS fp_head,
        length(t) AS n_chars_norm
 FROM norm
+""",
+        "doc_rolling_fingerprint": f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+doc_hash AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT,
+                     list_transform(string_split(t, ''), c -> ascii(c)::BIGINT)),
+                     (acc, x) -> (acc * {_ROLL_BASE} + x) % {_ROLL_MOD}) AS rolling_fp
+  FROM norm
+),
+toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
+sh AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r
+  WHERE len(ts) >= 3
+),
+sh_hash AS (
+  SELECT doc_id,
+         min(list_reduce(list_prepend(0::BIGINT,
+             list_transform(string_split(sh, ''), c -> ascii(c)::BIGINT)),
+             (acc, x) -> (acc * {_ROLL_BASE} + x) % {_ROLL_MOD})) AS min_shingle_fp
+  FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id, d.rolling_fp, s.min_shingle_fp
+FROM doc_hash d JOIN sh_hash s ON s.doc_id = d.doc_id
 """,
         "dedup_exact": f"""
 WITH {aug},
