@@ -70,3 +70,55 @@ def inspect_payloads(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "text").mapInPandas(
         _inspect_batch, schema=INSPECT_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# frame sampling / feature extraction over binary media columns
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+N_FRAMES = 4
+FRAME_SIZE = 64
+
+
+def _frame_sample_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per Arrow batch: emit ``N_FRAMES`` evenly spaced byte windows per
+    payload — the exact batch shape a real video frame sampler has
+    (1 input row -> N output rows, binary out, struct metadata), with the
+    codec replaced by deterministic byte slicing."""
+    for pdf in it:
+        out = {k: [] for k in ("media_id", "frame_index", "frame_offset", "frame_bytes", "meta")}
+        for mid, payload in zip(pdf["media_id"].tolist(), pdf["payload"].tolist()):
+            data = payload or b""
+            n = len(data)
+            for k in range(N_FRAMES):
+                offset = 0 if n == 0 else (k * max(n - FRAME_SIZE, 0)) // max(N_FRAMES - 1, 1)
+                out["media_id"].append(mid)
+                out["frame_index"].append(k)
+                out["frame_offset"].append(offset)
+                out["frame_bytes"].append(data[offset : offset + FRAME_SIZE])
+                out["meta"].append(
+                    {"media_type": "binary/fake", "width": None, "height": None, "duration_ms": n}
+                )
+        yield pd.DataFrame(out)
+
+
+def frame_samples(media_df: DataFrame) -> DataFrame:
+    """``(media_id long, payload binary)`` -> sampled frame rows.
+
+    The real decoder would replace the slicing inside
+    ``_frame_sample_batch`` (see :func:`decode_stub`); partitioning,
+    schema, and the 1->N row fan-out are production-shaped.
+    """
+    return media_df.select("media_id", "payload").mapInPandas(
+        _frame_sample_batch, schema=FRAME_SCHEMA
+    )

@@ -333,3 +333,37 @@ class TestExactlyOnceReader:
         deduped = read_extracted(spark, tmpdir)
         assert deduped.count() == 25
         assert deduped.select("url").distinct().count() == 25
+
+
+class TestMultimodalPlumbing:
+    def test_frame_sampling_shape(self, spark):
+        """Binary payload -> N frames per row with typed metadata."""
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            FRAME_SIZE,
+            N_FRAMES,
+            frame_samples,
+        )
+
+        pages = synth_pages_df(spark, 20).selectExpr(
+            "xxhash64(url) as media_id", "html as payload"
+        )
+        frames = frame_samples(pages)
+        rows = frames.collect()
+        assert len(rows) == 20 * N_FRAMES
+        by_media = {}
+        for r in rows:
+            by_media.setdefault(r["media_id"], []).append(r)
+        for media_rows in by_media.values():
+            assert sorted(r["frame_index"] for r in media_rows) == list(range(N_FRAMES))
+            for r in media_rows:
+                assert len(r["frame_bytes"]) <= FRAME_SIZE
+                assert r["meta"]["media_type"] == "binary/fake"
+                assert r["meta"]["duration_ms"] >= 0
+
+    def test_decode_stub_raises(self):
+        import pytest as _pytest
+
+        from deepseek_ocr_customvllm_spark.operators.multimodal import decode_stub
+
+        with _pytest.raises(NotImplementedError):
+            decode_stub(b"\x89PNG", "image/png")
