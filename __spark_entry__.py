@@ -14,7 +14,15 @@ engine under test) — those entries are rows-only checks.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# The driver may load this module by file path; make the package
+# importable regardless of cwd.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
