@@ -765,7 +765,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship_doc_stats": """
 SELECT source, count(*) AS n_docs,
        floor(avg(n_chars) * 100) / 100 AS avg_chars,
-       sum(n_chars) AS total_chars, count(DISTINCT lang) AS n_langs
+       cast(sum(n_chars) AS bigint) AS total_chars, count(DISTINCT lang) AS n_langs
 FROM documents GROUP BY source
 """,
         "token_count": f"""
@@ -946,7 +946,7 @@ s AS (
               THEN 1 ELSE 0 END AS new_session
   FROM e
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, cast(sum(new_session) AS bigint) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id
 """,
         "multimodal_inspect": """

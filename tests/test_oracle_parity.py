@@ -56,7 +56,39 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _value_kind(v):
+    """Coarse type kind, Decimal distinct from int: the driver hashes typed
+    values, so a DuckDB decimal128 next to a Spark int64 hash-mismatches even
+    when numerically equal (round-1 `flagship_doc_stats` regression)."""
+    import decimal
+
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return None
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, (int,)):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return type(v).__name__
+
+
+def _assert_kinds_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    for col in spark_pdf.columns:
+        if col not in duck_pdf.columns:
+            continue
+        ka = next((k for k in map(_value_kind, spark_pdf[col]) if k), None)
+        kb = next((k for k in map(_value_kind, duck_pdf[col]) if k), None)
+        assert ka == kb, (
+            f"{name}: col {col}: value-type kind differs (spark={ka}, duck={kb})"
+            " — driver value-hash would mismatch; cast the oracle (NOTES.md #7)"
+        )
+
+
 def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
+    _assert_kinds_match(spark_pdf, duck_pdf, name)
     a, b = _canon(spark_pdf), _canon(duck_pdf)
     assert list(a.columns) == list(b.columns), f"{name}: column names differ"
     assert len(a) == len(b), f"{name}: row counts differ ({len(a)} vs {len(b)})"
