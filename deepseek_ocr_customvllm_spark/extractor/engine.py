@@ -140,9 +140,15 @@ def extract_document(
             n_blocks=n_blocks,
         )
     except Exception as exc:  # noqa: BLE001 — per-row isolation, never raise
+        # Re-detect rather than assume HTML: a PDF that raises mid-parse must
+        # be quarantined under its true type or content_type/status rollups skew.
+        try:
+            failed_ctype = detect_content_type(payload[:16])
+        except Exception:  # noqa: BLE001
+            failed_ctype = CONTENT_TYPE_HTML
         return ExtractResult(
             url=url,
-            content_type=CONTENT_TYPE_HTML,
+            content_type=failed_ctype,
             status=STATUS_FAILED,
             error=str(exc),
         )

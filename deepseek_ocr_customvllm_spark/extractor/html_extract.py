@@ -98,9 +98,6 @@ _HEADING_LEVELS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 # box in the 0-999 space (no pixel data exists in the input table).
 IMG_GROUNDING_TAG = "<|ref|>image<|/ref|><|det|>[[0, 0, 999, 999]]<|/det|>"
 
-_VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input", "area", "base", "col", "embed", "source", "track", "wbr"})
-
-
 class _Block:
     __slots__ = ("kind", "text", "chars", "link_chars", "heading_level")
 
@@ -112,7 +109,9 @@ class _Block:
         self.heading_level = heading_level
 
 
-_ASCII_WS = " \t\n\r\x0b\f"
+# Every ASCII char for which str.isspace() is true (incl. \x1c-\x1f file/
+# group/record/unit separators) so the fast path agrees with the fallback.
+_ASCII_WS = " \t\n\r\x0b\f\x1c\x1d\x1e\x1f"
 
 
 def _nonspace_len(s: str) -> int:

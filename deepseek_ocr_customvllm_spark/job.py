@@ -44,7 +44,11 @@ def run_extraction_job(
     """Execute the pipeline; returns a metrics dict (A6 analogue:
     ``pages_per_second`` at ``Scripts/benchmark.py:159-169`` becomes
     docs/sec over job wall-clock)."""
-    job_id = job_id or uuid.uuid4().hex[:12]
+    # Time-sortable id: fixed-width ms-epoch hex prefix + random suffix, so
+    # lexicographic order == temporal order and `read_extracted`'s
+    # latest-run-per-url window picks the newest run (a bare uuid would make
+    # "latest" arbitrary when reruns use different configs).
+    job_id = job_id or f"{int(time.time() * 1000):012x}{uuid.uuid4().hex[:6]}"
     t0 = time.time()
 
     state = open_state_store(spark, os.path.join(out_dir, "extraction_state"))
@@ -134,10 +138,15 @@ def purge_urls(spark: SparkSession, out_dir: str, urls_df: DataFrame) -> int:
     n_before = current.count()
     remaining = current.join(urls, "url", "left_anti")
 
+    # Preserve the append layout (job_id as a partition directory, not a
+    # physical column) and swap via rename-aside so a crash mid-swap leaves
+    # a recoverable `_old` copy instead of no table at all.
     tmp_path = extracted_path + "_rewrite"
-    remaining.write.mode("overwrite").parquet(tmp_path)
-    shutil.rmtree(extracted_path)
+    remaining.write.mode("overwrite").partitionBy("job_id").parquet(tmp_path)
+    old_path = extracted_path + "_old"
+    os.rename(extracted_path, old_path)
     os.rename(tmp_path, extracted_path)
+    shutil.rmtree(old_path)
 
     state = open_state_store(spark, os.path.join(out_dir, "extraction_state"))
     if hasattr(state, "delete_urls"):

@@ -13,6 +13,15 @@ forever, with shardable state" for a batch-composable output — built-in
 ``dropDuplicates`` on a stream needs a watermark to bound state, while
 the crawl use-case wants explicit shard-local seen-sets that can be
 snapshotted/restored with the checkpoint.
+
+State-size honesty: ``applyInPandasWithState`` rewrites each group's
+state value wholesale every micro-batch, so per-batch cost is
+O(urls seen so far) per shard and grows without bound.  The state entry
+is a fixed-width md5 digest (16 bytes/url, collision odds ~n²/2¹²⁹) to
+keep the array compact, but a truly unbounded crawl needs the batch
+pattern instead: periodically snapshot the seen-set to the parquet/
+Iceberg state store (``plans.state``) and keep only a recent window
+(e.g. the current crawl segment) in stream state.
 """
 
 from __future__ import annotations
@@ -35,8 +44,9 @@ DEDUP_OUT_SCHEMA = T.StructType(
     ]
 )
 
+# Fixed-width md5 digests, not raw urls: bounds per-entry state size.
 STATE_SCHEMA = T.StructType(
-    [T.StructField("seen", T.ArrayType(T.StringType()))]
+    [T.StructField("seen", T.ArrayType(T.BinaryType()))]
 )
 
 
@@ -45,16 +55,21 @@ def _dedup_group(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    seen = set(state.get[0]) if state.exists else set()
+    import hashlib
+
+    # bytes(), not raw elements: Spark may hand binary back as bytearray,
+    # which is unhashable.
+    seen = set(bytes(h) for h in state.get[0]) if state.exists else set()
     out_urls = []
     out_ts = []
     for pdf in pdfs:
         for url, ts in zip(pdf["url"].tolist(), pdf["warc_ts"].tolist()):
-            if url not in seen:
-                seen.add(url)
+            h = hashlib.md5(url.encode("utf-8")).digest()
+            if h not in seen:
+                seen.add(h)
                 out_urls.append(url)
                 out_ts.append(ts)
-    state.update((sorted(seen),))
+    state.update((list(seen),))
     yield pd.DataFrame(
         {"shard": [key[0]] * len(out_urls), "url": out_urls, "warc_ts": out_ts}
     )
