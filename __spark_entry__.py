@@ -350,7 +350,8 @@ WITH rev AS (
   FROM orders GROUP BY o_custkey
 ),
 j AS (
-  SELECT r.r_name AS region, c.c_custkey, c.c_name, rev.revenue, rev.n_orders
+  SELECT /*+ BROADCAST(n, r) */
+         r.r_name AS region, c.c_custkey, c.c_name, rev.revenue, rev.n_orders
   FROM rev
   JOIN customer c ON c.c_custkey = rev.o_custkey
   JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -366,8 +367,11 @@ SELECT region, c_custkey, c_name, revenue, n_orders, rnk FROM rk WHERE rnk <= 3
 
 
 def _q_top_customers_per_region(spark, sf_dir):
-    # Broadcast the dimension tables explicitly (customer/nation/region are
-    # tiny next to orders at scale); the SQL text itself is dialect-portable.
+    # nation/region are pinned broadcast via the /*+ BROADCAST(n, r) */ hint
+    # (a comment to DuckDB, so the SQL text stays dialect-portable).
+    # customer is deliberately NOT hinted: customer ⋈ rev is large-large at
+    # scale and must stay a shuffle join (AQE may still broadcast it at
+    # small SF, which is the right call there).
     register_views(spark, sf_dir)
     return spark.sql(_TOP_CUSTOMERS_SQL)
 

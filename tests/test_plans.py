@@ -69,6 +69,26 @@ def test_topk_similarity_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_top_customers_broadcasts_are_pinned(spark):
+    """The /*+ BROADCAST(n, r) */ hint must survive to the physical plan
+    regardless of size estimates: with auto-broadcast disabled, nation and
+    region still broadcast while customer ⋈ rev stays a shuffle join (the
+    large-large pair at scale)."""
+    import __spark_entry__ as entrymod
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = entrymod.queries()["top_customers_per_region"](
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = _formatted(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
 def test_textstats_whole_stage_codegen(spark):
     from deepseek_ocr_customvllm_spark.operators.textstats import token_counts
 
