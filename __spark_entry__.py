@@ -82,6 +82,141 @@ aug AS (
 
 # DuckDB-dialect normalized text (Spark twin: textstats.norm_text).
 _NORM_DUCK = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+# The driver compares oracles at sf0.01; VALUES-literal oracles (computed
+# driver-side in pure Python, no Spark) must read the same tables.  The
+# local parity test overrides this to its own SF via the env var.
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _sql_lit(v) -> str:
+    """A DuckDB literal for a Python value.  Floats get an ``e0`` suffix so
+    DuckDB parses them as DOUBLE directly (a bare ``0.3658`` parses as
+    DECIMAL first; the decimal->double conversion can be off by 1 ulp from
+    the correctly-rounded strtod of the repr)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        r = repr(v)
+        return r if "e" in r or "E" in r else r + "e0"
+    if isinstance(v, int):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values_oracle(rows, cols, casts=None) -> str:
+    """``SELECT ... FROM (VALUES ...)`` oracle from precomputed rows.
+
+    Used for operators whose semantics are pure Python (zlib, the
+    extractor) — the expected rows are computed driver-side with NO Spark
+    involved, so the check still exercises the entire distributed path:
+    scan, repartition, Arrow batching, UDF plumbing, and determinism
+    across partitionings.
+    """
+    casts = casts or {}
+    body = ",\n".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    sel = ", ".join(
+        f"cast({c} as {casts[c]}) AS {c}" if c in casts else c for c in cols
+    )
+    return f"SELECT {sel} FROM (VALUES\n{body}\n) AS t({', '.join(cols)})"
+
+
+def _oracle_docs_rows(columns):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(_ORACLE_SF_DIR, "documents.parquet"), columns=list(columns)
+    )
+    return zip(*(t[c].to_pylist() for c in columns))
+
+
+def _oracle_compression_quality() -> str:
+    import math
+    import zlib
+
+    rows = []
+    for did, text in _oracle_docs_rows(("doc_id", "text")):
+        enc = (text or "").encode("utf-8")
+        b = len(enc)
+        z = len(zlib.compress(enc, textstats.ZLIB_LEVEL))
+        ratio = math.floor((z * 1.0 / max(b, 1)) * 10000) / 10000
+        rows.append((did, b, z, ratio))
+    return _values_oracle(
+        rows,
+        ["doc_id", "n_bytes", "n_bytes_z", "compress_ratio"],
+        {"doc_id": "bigint", "n_bytes_z": "bigint", "compress_ratio": "double"},
+    )
+
+
+def _oracle_extract_documents_pipeline() -> str:
+    from deepseek_ocr_customvllm_spark.extractor.engine import extract_document
+    from deepseek_ocr_customvllm_spark.sources.pages import _FOOTER_HTML, _NAV_HTML
+
+    rows = []
+    for did, src, text in _oracle_docs_rows(("doc_id", "source", "text")):
+        url = f"https://docs.test/{src}/{did}"
+        html = (
+            f"<html><head><title>doc</title></head><body>{_NAV_HTML}"
+            f"<article><h1>Document {did}</h1><p>{text}</p></article>"
+            f"{_FOOTER_HTML}</body></html>"
+        ).encode("utf-8")
+        r = extract_document(url, html)
+        rows.append((url, r.content_type, r.status, r.n_pages, r.n_blocks, r.n_chars))
+    return _values_oracle(
+        rows, ["url", "content_type", "status", "n_pages", "n_blocks", "n_chars"]
+    )
+
+
+def _extract_synth_results(n_docs: int = 300, max_bytes: int = 64 * 1024):
+    from deepseek_ocr_customvllm_spark.extractor.engine import extract_document
+    from deepseek_ocr_customvllm_spark.sources.pagegen import synth_page
+
+    for i in range(n_docs):
+        p = synth_page(i, 1)
+        yield extract_document(p["url"], p["html"], max_bytes=max_bytes)
+
+
+def _oracle_extract_block_histogram() -> str:
+    counts: dict[str, int] = {}
+    vals: dict[str, set] = {}
+    for r in _extract_synth_results():
+        for page in r.pages:
+            for b in page["blocks"]:
+                bt = b["type"]
+                counts[bt] = counts.get(bt, 0) + 1
+                v = b.get("validation")
+                if v is not None:
+                    vals.setdefault(bt, set()).add(v)
+    rows = [(bt, counts[bt], len(vals.get(bt, ()))) for bt in sorted(counts)]
+    return _values_oracle(
+        rows,
+        ["block_type", "n_blocks", "n_validation_states"],
+        {"n_blocks": "bigint", "n_validation_states": "bigint"},
+    )
+
+
+def _oracle_extract_synth_summary() -> str:
+    agg: dict[tuple, list] = {}
+    for r in _extract_synth_results():
+        key = (r.content_type, r.status)
+        a = agg.setdefault(key, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r.n_pages
+        a[2] += r.n_blocks
+        a[3] += len(r.spans)
+    rows = [(ct, st, *agg[(ct, st)]) for ct, st in sorted(agg)]
+    return _values_oracle(
+        rows,
+        ["content_type", "status", "n_docs", "n_pages", "n_blocks", "n_spans"],
+        {
+            "n_docs": "bigint",
+            "n_pages": "bigint",
+            "n_blocks": "bigint",
+            "n_spans": "bigint",
+        },
+    )
 _BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
 _STOP_RE = "\\b(the|and|of|a|to|in)\\b"
 _PUNCT_RE = "[.,;:!?]"
@@ -262,6 +397,14 @@ def _q_ann_lsh_bucket(spark, sf_dir):
 
 def _q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk_neighbors(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_compression_quality(spark, sf_dir):
+    return textstats.compression_quality(_docs(spark, sf_dir))
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk_neighbors(load_table(spark, sf_dir, "embeddings"))
 
 
 def _q_source_quality_report(spark, sf_dir):
@@ -538,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_dot": _q_ann_topk_dot,
         "ann_lsh_bucket": _q_ann_lsh_bucket,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "compression_quality": _q_compression_quality,
         "source_quality_report": _q_source_quality_report,
         "embedding_norm_stats": _q_embedding_norm_stats,
         "resume_anti_join": _q_resume_anti_join,
@@ -875,6 +1020,38 @@ SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {similarity.TO
 """,
         "ann_lsh_bucket": _oracle_ann_lsh_bucket(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
+        "ann_ivf_topk": f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(x * {similarity.QUANT}) as bigint)) AS qe
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id % {similarity.CENTROID_MOD} = 1),
+scored AS (
+  SELECT q.vec_id, q.qe, cent.cid,
+         cast(list_dot_product(q.qe, cent.ce) as bigint) AS cdot
+  FROM q CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, qe, cid FROM (
+    SELECT vec_id, qe, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+qs AS (SELECT vec_id AS query_id, qe AS qv, cid FROM assigned WHERE vec_id % {similarity.QUERY_MOD} = 0),
+pairs AS (
+  SELECT qs.query_id, a.vec_id AS neighbor_id,
+         cast(list_dot_product(qs.qv, a.qe) as bigint) AS dot
+  FROM qs JOIN assigned a ON a.cid = qs.cid AND a.vec_id <> qs.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {similarity.TOP_K}
+""",
         "source_quality_report": """
 SELECT source, count(*) AS n_docs,
        quantile_cont(n_chars, 0.5) AS median_chars,
@@ -1001,7 +1178,12 @@ SELECT o_custkey, o_orderkey,
        ) as double) AS running_revenue
 FROM orders
 """,
-        # extract_documents_pipeline / extract_block_histogram /
-        # extract_synth_summary: intentionally no oracle — the extractor is
-        # the engine under test (rows-only checks).
+        # The extractor and zlib are pure Python, not SQL — their oracles
+        # are VALUES literals computed driver-side without Spark, which
+        # still checks the whole distributed path (scan, repartition,
+        # Arrow batching, per-row isolation, determinism).
+        "compression_quality": _oracle_compression_quality(),
+        "extract_documents_pipeline": _oracle_extract_documents_pipeline(),
+        "extract_block_histogram": _oracle_extract_block_histogram(),
+        "extract_synth_summary": _oracle_extract_synth_summary(),
     }

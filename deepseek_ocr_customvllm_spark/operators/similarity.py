@@ -166,6 +166,79 @@ def lsh_topk_neighbors(
     )
 
 
+CENTROID_MOD = 29  # vec_id % CENTROID_MOD == 1 -> centroid (disjoint from queries)
+
+
+def ivf_assign(emb: DataFrame, centroid_mod: int = CENTROID_MOD) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its max-dot centroid.
+
+    Centroids are the (deterministic) subset ``vec_id % centroid_mod == 1``
+    — a stand-in for k-means centroids, chosen so the DuckDB oracle can
+    reproduce the assignment exactly.  The centroid set is tiny, so the
+    scoring join is an explicit broadcast; ties break to the lowest
+    centroid id.  All math is the exact quantized integer dot product.
+    """
+    q = quantized(emb).select("vec_id", "qe")
+    cents = q.filter(F.col("vec_id") % centroid_mod == 1).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("ce")
+    )
+    scored = q.join(F.broadcast(cents)).select(
+        "vec_id", "qe", "cid", _dot("qe", "ce").alias("cdot")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "qe", "cid")
+    )
+
+
+IVF_TOPK_SCHEMA = "query_id long, neighbor_id long, dot long, rank int"
+
+
+def ivf_topk_neighbors(
+    emb: DataFrame,
+    top_k: int = TOP_K,
+    query_mod: int = QUERY_MOD,
+    centroid_mod: int = CENTROID_MOD,
+) -> DataFrame:
+    """Approximate top-k via IVF: search only the query's own cluster.
+
+    The grouped-map UDF tier (``applyInPandas``), used where it is
+    scale-safe by construction: each group is ONE IVF cluster (~N/K
+    vectors — bounded by the centroid count knob, unlike grouping by a
+    skewed natural key), and the in-group numpy matrix product is the
+    natural dense implementation.  Exact int64 arithmetic inside numpy
+    matches the JVM/DuckDB quantized dot bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["qe"].tolist(), dtype="int64")  # (n, dim)
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        q_mask = ids % query_mod == 0
+        if not q_mask.any() or len(ids) < 2:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "dot": [], "rank": []}
+            )
+        out = {"query_id": [], "neighbor_id": [], "dot": [], "rank": []}
+        dots = mat[q_mask] @ mat.T  # (nq, n) exact int64
+        for qi, qid in enumerate(ids[q_mask]):
+            mask = ids != qid
+            nb_ids, nb_dots = ids[mask], dots[qi][mask]
+            order = np.lexsort((nb_ids, -nb_dots))[:top_k]
+            for rank, j in enumerate(order, start=1):
+                out["query_id"].append(qid)
+                out["neighbor_id"].append(nb_ids[j])
+                out["dot"].append(nb_dots[j])
+                out["rank"].append(rank)
+        return pd.DataFrame(out)
+
+    assigned = ivf_assign(emb, centroid_mod)
+    return assigned.groupBy("cid").applyInPandas(per_cluster, schema=IVF_TOPK_SCHEMA)
+
+
 def embedding_norm_stats(emb: DataFrame) -> DataFrame:
     """Per-label quantized-norm statistics (sanity/monitoring tier)."""
     q = quantized(emb)

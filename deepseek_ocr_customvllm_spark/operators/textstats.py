@@ -12,6 +12,7 @@ deterministic and dialect-portable so the DuckDB oracle in
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -124,36 +125,66 @@ def quality_scores(df: DataFrame) -> DataFrame:
     )
 
 
-SOURCE_REPORT_SCHEMA = (
-    "source string, n_docs long, median_chars double, p90_chars double"
-)
-
-
 def source_quality_report(df: DataFrame) -> DataFrame:
-    """Per-source length distribution via grouped-map ``applyInPandas``.
+    """Per-source length distribution — exact percentiles, JVM-side.
 
-    Demonstrates the grouped-map UDF tier (per-group pandas frame in/out)
-    for statistics the built-in aggregates don't express exactly the way
-    a numpy pipeline would.  ``np.percentile(..., 'linear')`` matches SQL
-    ``quantile_cont`` bit-for-bit on integer inputs, so this stays
-    oracle-checkable.
+    Spark's ``percentile`` aggregate is exact with linear interpolation
+    (bit-identical to DuckDB ``quantile_cont`` and numpy ``'linear'`` on
+    integer inputs) and its aggregation state is a counts-map keyed by
+    DISTINCT value, so per-group memory is O(distinct lengths) — bounded —
+    rather than O(group rows).  The previous grouped-map ``applyInPandas``
+    version materialized an entire source group in one Python worker: with
+    a skewed source ("common-crawl" = 40% of 10^12 docs) that is a
+    guaranteed executor OOM, so it was replaced.
     """
-    import numpy as np
-    import pandas as pd
+    pct = F.expr("percentile(n_chars, array(0.5D, 0.9D))")
+    return (
+        df.select("source", "n_chars")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), pct.alias("_pct"))
+        .select(
+            "source",
+            "n_docs",
+            F.col("_pct")[0].alias("median_chars"),
+            F.col("_pct")[1].alias("p90_chars"),
+        )
+    )
 
-    def per_source(pdf: pd.DataFrame) -> pd.DataFrame:
-        chars = pdf["n_chars"].to_numpy(dtype="int64")
-        return pd.DataFrame(
-            {
-                "source": [pdf["source"].iloc[0]],
-                "n_docs": [len(pdf)],
-                "median_chars": [float(np.percentile(chars, 50))],
-                "p90_chars": [float(np.percentile(chars, 90))],
-            }
+
+ZLIB_LEVEL = 6  # frozen: the ratio is part of the operator contract
+
+
+def compression_quality(df: DataFrame) -> DataFrame:
+    """Compression-ratio quality signal (scalar ``pandas_udf`` tier).
+
+    ``len(zlib(text)) / len(text)`` is the classic cheap proxy for
+    repetitive/boilerplate content in corpus filtering (highly repetitive
+    pages compress far below ~0.4).  zlib is genuinely inexpressible in
+    built-in functions, so this is the honest use of the scalar
+    Arrow-batched ``pandas_udf`` tier: Python does ONLY the zlib call on
+    raw utf-8 bytes (no normalization twins to keep in sync); byte
+    lengths and the truncated ratio stay JVM-side.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def zlib_len(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), ZLIB_LEVEL))
+            if t is not None
+            else 0
         )
 
-    return df.select("source", "n_chars").groupBy("source").applyInPandas(
-        per_source, schema=SOURCE_REPORT_SCHEMA
+    n_bytes = F.octet_length("text")
+    return df.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        zlib_len(F.col("text")).alias("n_bytes_z"),
+    ).withColumn(
+        "compress_ratio",
+        dtrunc(F.col("n_bytes_z") * F.lit(1.0) / F.greatest(F.col("n_bytes"), F.lit(1)), 4),
     )
 
 

@@ -14,9 +14,12 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import __spark_entry__ as entrymod  # noqa: E402
-
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+# VALUES-literal oracles are computed from the oracle SF dir at module
+# import; keep it in lockstep with the SF this test compares at.
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_DIR
+
+import __spark_entry__ as entrymod  # noqa: E402
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
