@@ -223,23 +223,31 @@ def simhash_signatures(df: DataFrame) -> DataFrame:
     vals = toks.select(
         "doc_id", F.expr(hex_to_bigint_sql("tok", 15)).alias("v")
     )
-    bits = vals.select(
-        "doc_id", "v", F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b")
+    # Collapse repeated tokens BEFORE the 60-way bit explode: natural text
+    # repeats words heavily, so (doc_id, v, count) rows are several times
+    # fewer than occurrences — the majority vote weighs by count, which is
+    # exactly the per-occurrence sum.  Both groupBys partial-aggregate
+    # map-side, so shuffle volume stays tiny; the explode volume (the CPU
+    # cost) is what shrinks.
+    cnts = vals.groupBy("doc_id", "v").agg(F.count("*").alias("cnt"))
+    bits = cnts.select(
+        "doc_id",
+        "v",
+        "cnt",
+        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
     )
-    # integer division, NOT float: v has up to 60 significant bits, beyond
-    # double's 53-bit mantissa — float division would corrupt low bits
-    sign = F.when(
-        F.expr("v div cast(pow(2.0d, b) as bigint)") % 2 == 1, F.lit(1)
-    ).otherwise(F.lit(-1))
-    per_bit = bits.groupBy("doc_id", "b").agg(F.sum(sign).alias("s"))
+    # shiftright, NOT float division: v has up to 60 significant bits,
+    # beyond double's 53-bit mantissa.
+    sign_cnt = F.when(
+        F.expr("shiftright(v, b) % 2") == 1, F.col("cnt")
+    ).otherwise(-F.col("cnt"))
+    per_bit = bits.groupBy("doc_id", "b").agg(F.sum(sign_cnt).alias("s"))
     return (
         per_bit.groupBy("doc_id")
         .agg(
             F.sum(
                 F.when(
-                    F.col("s") > 0,
-                    # pow(2,b) is a power of two <= 2^59: exact in double
-                    F.pow(F.lit(2.0), F.col("b")).cast("bigint"),
+                    F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
                 ).otherwise(F.lit(0))
             ).alias("simhash")
         )
@@ -247,19 +255,55 @@ def simhash_signatures(df: DataFrame) -> DataFrame:
     )
 
 
-def simhash_near_pairs(sig: DataFrame, hamming_max: int = HAMMING_MAX) -> DataFrame:
-    """Near-dup pairs: block on signature bytes, verify Hamming distance."""
-    band_mod = 2 ** SIMHASH_BAND_BITS
+def simhash_near_pairs(
+    sig: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    n_bands: int = SIMHASH_BANDS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs: block on signature bands, verify Hamming distance.
+
+    Banding is the corpus-size knob (pigeonhole: ``n_bands`` bands of
+    ``60 / n_bands`` bits give GUARANTEED recall for
+    ``hamming <= n_bands - 1``; wider bands = fewer bands = fewer false
+    candidates but a lower guarantee):
+
+    - 4 x 15 bits (default): recall guaranteed to hamming 3, 2^15
+      buckets/band — right up to ~10^6 docs per partition-group.
+    - 5 x 12 / 6 x 10: higher recall (hamming 4 / 5), MORE candidates —
+      use when the verify tier is cheap relative to misses.
+    - 3 x 20 / 2 x 30: at 10^8+ docs, 15-bit buckets saturate
+      (n^2/2^15 collisions); drop the guarantee to hamming 2 / 1 and
+      widen, or re-run banding within each oversized bucket.
+
+    ``max_bucket`` (optional) skips buckets with more than that many
+    members before pairing — the standard hot-bucket cap against
+    adversarial/degenerate keys (e.g. boilerplate-only documents).  It
+    trades recall ONLY inside degenerate buckets, where near-identical
+    members are overwhelmingly exact duplicates better handled by the
+    exact-dedup tier; the default (None) keeps recall exact.
+    """
+    if SIMHASH_BITS % n_bands:
+        raise ValueError(f"n_bands must divide {SIMHASH_BITS}, got {n_bands}")
+    band_bits = SIMHASH_BITS // n_bands
+    band_mod = 2 ** band_bits
     byte_keys = F.array(
         *[
             # integer division (60-bit values exceed double precision)
             (F.expr(f"simhash div {band_mod ** k}L") % band_mod)
-            for k in range(SIMHASH_BANDS)
+            for k in range(n_bands)
         ]
     )
     bands = sig.select(
         "doc_id", "simhash", F.posexplode(byte_keys).alias("band", "bk")
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bk")
+        bands = (
+            bands.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a = bands.alias("a")
     b_ = bands.alias("b")
     pairs = (

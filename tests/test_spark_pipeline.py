@@ -367,3 +367,58 @@ class TestMultimodalPlumbing:
 
         with _pytest.raises(NotImplementedError):
             decode_stub(b"\x89PNG", "image/png")
+
+
+class TestSimhashBanding:
+    """The banding knob (dedup.simhash_near_pairs): pigeonhole recall,
+    candidate budget, and validation."""
+
+    def test_band_counts_agree_within_guarantee(self, spark):
+        """Any n_bands >= hamming_max+1 guarantees full recall for that
+        hamming radius, so 4x15 and 6x10 banding must find the IDENTICAL
+        hamming<=3 pair set."""
+        import __spark_entry__ as em
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        aug = em._augmented_docs(
+            spark.read.parquet(os.path.join(SF0001, "documents.parquet"))
+        )
+        sig = dedup.simhash_signatures(aug).cache()
+        p4 = {tuple(r) for r in dedup.simhash_near_pairs(sig, n_bands=4).collect()}
+        p6 = {tuple(r) for r in dedup.simhash_near_pairs(sig, n_bands=6).collect()}
+        assert p4 == p6 and p4
+
+    def test_candidate_budget_at_default_bands(self, spark):
+        """Default 4x15 banding must keep the candidate set (pre-verify
+        pairs = hamming_max lifted to 60) within a linear budget of the
+        corpus size at sf0.01 — the guard the banding knob exists for."""
+        import __spark_entry__ as em
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        aug = em._augmented_docs(
+            spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        )
+        n_docs = aug.count()
+        sig = dedup.simhash_signatures(aug).cache()
+        candidates = dedup.simhash_near_pairs(sig, hamming_max=60).count()
+        assert candidates <= 100 * n_docs, (
+            f"{candidates} candidates for {n_docs} docs — widen bands"
+        )
+        # wider bands (lower guarantee) must strictly tighten the budget
+        candidates3 = dedup.simhash_near_pairs(sig, hamming_max=60, n_bands=3).count()
+        assert candidates3 <= candidates
+
+    def test_hot_bucket_cap_and_validation(self, spark):
+        import __spark_entry__ as em
+        import pytest as _pytest
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        aug = em._augmented_docs(
+            spark.read.parquet(os.path.join(SF0001, "documents.parquet"))
+        )
+        sig = dedup.simhash_signatures(aug).cache()
+        full = dedup.simhash_near_pairs(sig, hamming_max=60).count()
+        capped = dedup.simhash_near_pairs(sig, hamming_max=60, max_bucket=2).count()
+        assert capped <= full
+        with _pytest.raises(ValueError):
+            dedup.simhash_near_pairs(sig, n_bands=7)
