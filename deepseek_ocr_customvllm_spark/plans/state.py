@@ -15,19 +15,29 @@ Two backends:
   exactly-once, snapshot-isolated.  Used when the session has an
   Iceberg catalog; the local test image has no Iceberg jars, so this
   path is exercised only for SQL generation.
-- **Versioned parquet** (the sandbox fallback): each merge writes a new
-  complete snapshot directory ``v_{k:08d}`` and readers take the highest
-  complete version (a ``_SUCCESS``-marked directory), which reproduces
-  Iceberg's snapshot-commit semantics (commit = atomic appearance of a
-  new version; readers never see partial writes).  Old versions are
-  retained for time travel and can be expired.
+- **Versioned parquet** (the sandbox fallback): MERGE is INCREMENTAL.
+  State rows are hash-bucketed on url (``pmod(xxhash64(url), n_buckets)``,
+  the same expression the extraction repartition and the Iceberg
+  ``bucket(N, url)`` partition transform use); each merge writes ONLY the
+  buckets the batch touches into a new version directory ``v_{k:08d}``
+  plus a manifest mapping every bucket to the version that last wrote it.
+  The manifest file is the atomic commit marker (written last, via
+  tmp-file + rename): a crash anywhere before it leaves a dangling data
+  directory that readers never consult.  Reads assemble the current state
+  by partition-pruned scans of each bucket's owning version.  Cost per
+  merge is O(batch + changed-bucket data), not O(total state) — at 10^12
+  urls a checkpoint no longer rewrites the world.  Old versions are
+  retained for time travel and expired only when no live manifest
+  references them.  (Concurrent writers are out of scope — that is what
+  the Iceberg catalog's optimistic commit provides in production.)
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
-from typing import Optional
+from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,6 +61,13 @@ TERMINAL_STATES = ("SUCCESS", "REJECTED")
 
 _VERSION_RE = re.compile(r"^v_(\d{8})$")
 
+# Explicit read schema (state columns + the bucket partition column):
+# schema inference fails on a version directory whose write produced zero
+# rows (e.g. a delete that emptied every changed bucket).
+_READ_SCHEMA = T.StructType(
+    list(STATE_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType())]
+)
+
 
 def merge_sql(target_table: str, source_view: str) -> str:
     """The Iceberg MERGE statement for the production path (K4)."""
@@ -68,19 +85,37 @@ VALUES (s.url, s.status, 1, s.updated_at)
 
 
 class ParquetStateStore:
-    """Versioned-snapshot MERGE emulation over parquet (sandbox backend)."""
+    """Incremental versioned-bucket MERGE emulation over parquet.
 
-    def __init__(self, spark: SparkSession, root: str):
+    Layout::
+
+        root/
+          v_00000001/bucket=<b>/...parquet   # only buckets merge #1 touched
+          v_00000001.manifest.json           # {bucket: owning_version}, commit marker
+          v_00000002/bucket=<b>/...
+          v_00000002.manifest.json
+
+    A version is live iff its manifest exists; the manifest is written via
+    tmp-file + atomic rename AFTER the data, so a crash mid-write leaves
+    only a dangling ``v_k`` directory that no reader consults and the next
+    merge safely overwrites.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 64):
         self.spark = spark
         self.root = root
+        self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
 
-    # -- versions ----------------------------------------------------------
+    # -- versions / manifests ------------------------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, f"v_{version:08d}.manifest.json")
+
     def _versions(self) -> list:
         out = []
         for name in os.listdir(self.root):
             m = _VERSION_RE.match(name)
-            if m and os.path.exists(os.path.join(self.root, name, "_SUCCESS")):
+            if m and os.path.exists(self._manifest_path(int(m.group(1)))):
                 out.append(int(m.group(1)))
         return sorted(out)
 
@@ -91,23 +126,90 @@ class ParquetStateStore:
     def _path(self, version: int) -> str:
         return os.path.join(self.root, f"v_{version:08d}")
 
-    # -- read --------------------------------------------------------------
-    def read(self, version: Optional[int] = None) -> DataFrame:
-        """Current (or time-travelled) state; empty DataFrame if none."""
+    def _manifest(self, version: int) -> Dict[int, int]:
+        with open(self._manifest_path(version), encoding="utf-8") as f:
+            return {int(k): int(v) for k, v in json.load(f).items()}
+
+    def _commit(self, version: int, manifest: Dict[int, int]) -> None:
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({str(k): v for k, v in manifest.items()}, f)
+        os.rename(tmp, self._manifest_path(version))  # atomic commit point
+
+    def _bucket(self, col: F.Column) -> F.Column:
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
+    # -- read ----------------------------------------------------------------
+    def read(
+        self, version: Optional[int] = None, buckets: Optional[list] = None
+    ) -> DataFrame:
+        """Current (or time-travelled) state; empty DataFrame if none.
+
+        Assembled per bucket from the version that last wrote it —
+        partition-pruned scans, one per referenced version.  ``buckets``
+        restricts the read to those url-hash buckets (merge/delete use
+        this so their cost is O(changed buckets), not O(state)).
+        """
         v = version if version is not None else self.current_version()
         if v is None:
             return self.spark.createDataFrame([], STATE_SCHEMA)
-        return self.spark.read.parquet(self._path(v))
+        by_version: Dict[int, list] = {}
+        for bucket, owner in self._manifest(v).items():
+            if buckets is not None and bucket not in buckets:
+                continue
+            by_version.setdefault(owner, []).append(bucket)
+        parts = []
+        for owner, owned in sorted(by_version.items()):
+            parts.append(
+                self.spark.read.schema(_READ_SCHEMA)
+                .parquet(self._path(owner))
+                .filter(F.col("bucket").isin(owned))
+                .select("url", "status", "attempt", "updated_at")
+            )
+        if not parts:
+            return self.spark.createDataFrame([], STATE_SCHEMA)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
-    # -- merge -------------------------------------------------------------
+    # -- merge ----------------------------------------------------------------
+    def _write_buckets(self, rows: DataFrame, changed: list) -> int:
+        """Write rows (already restricted to the changed buckets) as the
+        next version; commit by copying the previous manifest forward and
+        repointing the changed buckets.  Returns the new version."""
+        prev = self.current_version()
+        manifest = self._manifest(prev) if prev is not None else {}
+        new_version = (prev or 0) + 1
+        (
+            rows.withColumn("bucket", self._bucket(F.col("url")))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(self._path(new_version))
+        )
+        for b in changed:
+            manifest[b] = new_version
+        self._commit(new_version, manifest)
+        return new_version
+
     def merge(self, batch: DataFrame) -> int:
         """MERGE the batch ``(url, status, updated_at)`` into the state.
 
         Matched urls: status/updated_at replaced, attempt incremented.
-        New urls: inserted with attempt=1.  Returns the new version.
+        New urls: inserted with attempt=1.  Touches ONLY the url-hash
+        buckets present in the batch; untouched buckets keep their old
+        version (no rewrite).  Returns the new version.
         """
-        current = self.read()
         batch = batch.select("url", "status", "updated_at")
+        changed = [
+            r["b"]
+            for r in batch.select(self._bucket(F.col("url")).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if not changed:
+            return self.current_version() or 0
+        current = self.read(buckets=changed)
 
         joined = batch.alias("s").join(
             current.select("url", F.col("attempt").alias("prev_attempt")).alias("t"),
@@ -135,10 +237,7 @@ class ParquetStateStore:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-
-        new_version = (self.current_version() or 0) + 1
-        merged.write.mode("overwrite").parquet(self._path(new_version))
-        return new_version
+        return self._write_buckets(merged, changed)
 
     # -- resume ------------------------------------------------------------
     def pending(self, pages_df: DataFrame) -> DataFrame:
@@ -152,22 +251,41 @@ class ParquetStateStore:
     def delete_urls(self, urls_df: DataFrame) -> int:
         """Remove the given urls from the state entirely (a re-ingested
         url is then treated as brand new, matching the reference's
-        delete-then-reupload flow).  Returns the new version."""
-        current = self.read()
+        delete-then-reupload flow).  Rewrites only the affected buckets;
+        returns the new version."""
+        changed = [
+            r["b"]
+            for r in urls_df.select(self._bucket(F.col("url")).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if not changed:
+            return self.current_version() or 0
+        current = self.read(buckets=changed)
         remaining = current.join(urls_df.select("url"), "url", "left_anti")
-        new_version = (self.current_version() or 0) + 1
-        remaining.write.mode("overwrite").parquet(self._path(new_version))
-        return new_version
+        return self._write_buckets(remaining, changed)
 
     # -- maintenance -------------------------------------------------------
     def expire_versions(self, keep_last: int = 3) -> int:
-        """Snapshot expiry (Iceberg ``expire_snapshots`` analogue, K7)."""
+        """Snapshot expiry (Iceberg ``expire_snapshots`` analogue, K7).
+
+        Keeps the last ``keep_last`` manifests for time travel and any
+        older version directory still referenced by a kept manifest —
+        expiring a version never orphans a live bucket.
+        """
         import shutil
 
         vs = self._versions()
+        kept = vs[-keep_last:] if keep_last > 0 else []
+        referenced = set(kept)
+        for v in kept:
+            referenced.update(self._manifest(v).values())
         removed = 0
-        for v in vs[:-keep_last] if keep_last > 0 else vs:
+        for v in vs:
+            if v in referenced:
+                continue
             shutil.rmtree(self._path(v), ignore_errors=True)
+            os.remove(self._manifest_path(v))
             removed += 1
         return removed
 

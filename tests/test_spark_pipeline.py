@@ -151,9 +151,75 @@ class TestStateStore:
             store.merge(b)
         assert store.read(version=1).count() == 1
         assert store.read().count() == 4
+        # merges are incremental: old versions still own live buckets, so
+        # expiry must NOT remove them
         removed = store.expire_versions(keep_last=2)
-        assert removed == 2
         assert store.read().count() == 4
+        # a merge touching every url repoints all buckets at the new
+        # version; the old ones become expirable
+        allb = spark.createDataFrame(
+            [(f"u{k}", "SUCCESS") for k in range(4)], ["url", "status"]
+        ).withColumn("updated_at", F.current_timestamp())
+        store.merge(allb)
+        removed = store.expire_versions(keep_last=1)
+        assert removed >= 3
+        assert store.read().count() == 4
+
+    def test_incremental_merge_rewrites_only_changed_buckets(self, spark, tmpdir):
+        store = ParquetStateStore(spark, tmpdir, n_buckets=8)
+        b1 = spark.createDataFrame(
+            [(f"u{k}", "SUCCESS") for k in range(100)], ["url", "status"]
+        ).withColumn("updated_at", F.current_timestamp())
+        v1 = store.merge(b1)
+        v1_files = {
+            os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(store._path(v1))
+            for f in fs
+        }
+        b2 = spark.createDataFrame([("u0", "FAILED")], ["url", "status"]).withColumn(
+            "updated_at", F.current_timestamp()
+        )
+        v2 = store.merge(b2)
+        # the new version holds only the single touched bucket
+        v2_buckets = [
+            d for d in os.listdir(store._path(v2)) if d.startswith("bucket=")
+        ]
+        assert len(v2_buckets) == 1
+        # v1's data files were not rewritten
+        for path, mtime in v1_files.items():
+            assert os.path.getmtime(path) == mtime
+        # and the assembled state is the correct union
+        state = {r["url"]: r["status"] for r in store.read().collect()}
+        assert len(state) == 100 and state["u0"] == "FAILED"
+        assert state["u1"] == "SUCCESS"
+
+    def test_crash_before_manifest_commit_is_invisible(self, spark, tmpdir):
+        store = ParquetStateStore(spark, tmpdir)
+        b1 = spark.createDataFrame([("u1", "SUCCESS")], ["url", "status"]).withColumn(
+            "updated_at", F.current_timestamp()
+        )
+        v1 = store.merge(b1)
+        # simulate a writer that crashed after the data write, before the
+        # manifest rename: a dangling v_2 directory with no manifest
+        dangling = spark.createDataFrame(
+            [("uX", "SUCCESS")], ["url", "status"]
+        ).withColumn("updated_at", F.current_timestamp()).withColumn(
+            "attempt", F.lit(1)
+        ).select("url", "status", "attempt", "updated_at").withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(store.n_buckets)).cast("int")
+        )
+        dangling.write.mode("overwrite").partitionBy("bucket").parquet(
+            store._path(v1 + 1)
+        )
+        assert store.current_version() == v1  # dangling dir invisible
+        assert {r["url"] for r in store.read().collect()} == {"u1"}
+        # the next real merge takes over the dangling version number cleanly
+        b2 = spark.createDataFrame([("u2", "SUCCESS")], ["url", "status"]).withColumn(
+            "updated_at", F.current_timestamp()
+        )
+        v2 = store.merge(b2)
+        assert v2 == v1 + 1
+        assert {r["url"] for r in store.read().collect()} == {"u1", "u2"}
 
     def test_iceberg_merge_sql_shape(self):
         sql = merge_sql("cat.db.extraction_state", "batch")
