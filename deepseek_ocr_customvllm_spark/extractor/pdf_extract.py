@@ -15,14 +15,25 @@ user-space resolution — boxes whose origin falls within 30 pt of the
 page edge are page furniture (running headers, page numbers) and are
 dropped.
 
+Page traversal (round 2): the document structure is parsed for real —
+``N G obj … endobj`` definitions build an object map (last definition
+wins, which absorbs incremental updates without trusting the xref
+table), the trailer's ``/Root`` leads to the catalog, and pages are
+visited in **page-tree order** (``/Pages`` → ``/Kids`` recursion), so a
+writer that scatters objects through the file in any byte order still
+extracts in logical page order.  ``/MediaBox`` and ``/Resources``
+inherit down the tree per spec §7.7.3.4.  Simple-font ``/Encoding``
+dictionaries with ``/Differences`` remap byte codes through a glyph-name
+table before decoding.  Files without a parseable catalog fall back to
+the original byte-order stream scan.
+
 Scope (documented limitations, deterministic by construction):
-- content streams are taken in byte order; each stream containing text
-  operators is one page (matches any writer that emits one content
-  stream per page, including our synthetic corpus)
 - ``/FlateDecode`` streams are inflated with zlib; other filters are
   skipped
-- string bytes are decoded as UTF-8 with latin-1 fallback (no font
-  ToUnicode CMaps)
+- no ToUnicode CMaps and no composite (Type0/CID) fonts: strings decode
+  as UTF-8 with latin-1 fallback unless a ``/Differences`` map applies
+- object streams (``/Type /ObjStm``, PDF 1.5 compressed objects) are not
+  unpacked
 - glyph widths are not modelled: boxes on the same baseline are joined
   with single spaces in x-order
 """
@@ -58,8 +69,17 @@ class TextBox:
         self.text = text
 
 
-def _decode_pdf_string(raw: bytes) -> str:
-    """Literal-string unescape per PDF spec §7.3.4.2."""
+def _default_decode(raw: bytes) -> str:
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+def _unescape_literal(raw: bytes) -> bytes:
+    """Literal-string unescape per PDF spec §7.3.4.2 (bytes -> bytes; the
+    character decode happens later so font ``/Differences`` maps can act
+    on the raw codes)."""
     out = bytearray()
     i = 0
     n = len(raw)
@@ -100,14 +120,12 @@ def _decode_pdf_string(raw: bytes) -> str:
             continue
         out.append(c)
         i += 1
-    try:
-        return out.decode("utf-8")
-    except UnicodeDecodeError:
-        return out.decode("latin-1")
+    return bytes(out)
 
 
 def _tokenize(data: bytes):
-    """Yield ('str', text) | ('num', float) | ('op', name) | ('arr', list)."""
+    """Yield ('str', raw_bytes) | ('num', float) | ('name', str) |
+    ('op', name) | ('arr', list)."""
     i = 0
     n = len(data)
     while i < n:
@@ -134,7 +152,7 @@ def _tokenize(data: bytes):
                         break
                 buf.append(ch)
                 j += 1
-            yield ("str", _decode_pdf_string(bytes(buf)))
+            yield ("str", _unescape_literal(bytes(buf)))
             i = j
             continue
         if c == b"<" and data[i : i + 2] != b"<<":
@@ -145,8 +163,7 @@ def _tokenize(data: bytes):
             if len(hexs) % 2:
                 hexs += b"0"
             try:
-                raw = bytes.fromhex(hexs.decode("ascii"))
-                yield ("str", raw.decode("utf-8", errors="replace"))
+                yield ("str", bytes.fromhex(hexs.decode("ascii")))
             except ValueError:
                 pass
             i = j + 1
@@ -185,7 +202,7 @@ def _tokenize(data: bytes):
                                 break
                         buf.append(ch)
                         k += 1
-                    elems.append(("str", _decode_pdf_string(bytes(buf))))
+                    elems.append(("str", _unescape_literal(bytes(buf))))
                     j = k
                     continue
                 m = _NUM_RE.match(data, j)
@@ -199,7 +216,11 @@ def _tokenize(data: bytes):
             continue
         if c == b"/":
             m = re.match(rb"/[^\s\[\]<>()/]*", data[i:])
-            i += m.end() if m else 1
+            if m:
+                yield ("name", m.group()[1:].decode("latin-1"))
+                i += m.end()
+            else:
+                i += 1
             continue
         m = _NUM_RE.match(data, i)
         if m:
@@ -214,8 +235,14 @@ def _tokenize(data: bytes):
         i += 1
 
 
-def _interpret_stream(data: bytes) -> List[TextBox]:
-    """Run the text operators of one content stream, collecting boxes."""
+def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[TextBox]:
+    """Run the text operators of one content stream, collecting boxes.
+
+    ``font_maps`` maps resource font names (e.g. ``"F1"``) to a
+    ``{code: char}`` dict built from that font's ``/Differences`` array;
+    strings shown while such a font is selected (via ``Tf``) decode
+    through the map, all others through utf-8/latin-1.
+    """
     boxes: List[TextBox] = []
     stack: List[object] = []  # operand stack (numbers / strings / arrays)
     lx = ly = 0.0  # line start
@@ -223,6 +250,14 @@ def _interpret_stream(data: bytes) -> List[TextBox]:
     leading = 0.0
     seq = 0
     in_text = False
+    cur_map: Optional[dict] = None
+
+    def decode(raw: bytes) -> str:
+        if cur_map is None:
+            return _default_decode(raw)
+        # unmapped codes keep their base-encoding (latin-1 ~ Standard
+        # for the printable range) interpretation
+        return "".join(cur_map.get(b, chr(b)) for b in raw)
 
     def emit(text: str) -> None:
         nonlocal seq
@@ -231,7 +266,7 @@ def _interpret_stream(data: bytes) -> List[TextBox]:
             seq += 1
 
     for kind, val in _tokenize(data):
-        if kind in ("num", "str", "arr"):
+        if kind in ("num", "str", "arr", "name"):
             stack.append((kind, val))
             continue
         op = val
@@ -241,6 +276,10 @@ def _interpret_stream(data: bytes) -> List[TextBox]:
                 lx = ly = cx = cy = 0.0
             elif op == "ET":
                 in_text = False
+            elif op == "Tf" and len(stack) >= 2 and font_maps is not None:
+                k, name = stack[-2]
+                if k == "name":
+                    cur_map = font_maps.get(name)
             elif op == "Td" and len(stack) >= 2:
                 ty = stack[-1][1]
                 tx = stack[-2][1]
@@ -267,23 +306,23 @@ def _interpret_stream(data: bytes) -> List[TextBox]:
             elif op == "Tj" and stack and in_text:
                 k, s = stack[-1]
                 if k == "str":
-                    emit(s)  # type: ignore[arg-type]
+                    emit(decode(s))  # type: ignore[arg-type]
             elif op == "TJ" and stack and in_text:
                 k, arr = stack[-1]
                 if k == "arr":
-                    emit("".join(v for ek, v in arr if ek == "str"))  # type: ignore[union-attr]
+                    emit("".join(decode(v) for ek, v in arr if ek == "str"))  # type: ignore[union-attr]
             elif op == "'" and stack and in_text:
                 ly -= leading
                 cx, cy = lx, ly
                 k, s = stack[-1]
                 if k == "str":
-                    emit(s)  # type: ignore[arg-type]
+                    emit(decode(s))  # type: ignore[arg-type]
             elif op == '"' and stack and in_text:
                 ly -= leading
                 cx, cy = lx, ly
                 k, s = stack[-1]
                 if k == "str":
-                    emit(s)  # type: ignore[arg-type]
+                    emit(decode(s))  # type: ignore[arg-type]
         finally:
             stack.clear()
     return boxes
@@ -324,12 +363,200 @@ def _assemble_page(
     return "\n".join(parts)
 
 
-def extract_pdf_pages(pdf_bytes: bytes) -> List[str]:
-    """PDF bytes -> list of per-page tagged-markdown text.
+# ---------------------------------------------------------------------------
+# document structure: object map, page tree, font encodings
+# ---------------------------------------------------------------------------
 
-    Pure function; malformed inputs produce as many pages as have
-    parseable text streams (possibly zero) rather than raising.
-    """
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
+_REF_IN_ARR_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_DIFFERENCES_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.DOTALL)
+_DIFF_ITEM_RE = re.compile(rb"(\d+)|/([^\s\[\]<>()/]+)")
+_FONT_ENTRY_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+
+# Glyph-name -> character subset of the Adobe Glyph List: ASCII names plus
+# the accented latin names a Differences array typically carries.
+_GLYPH_CHARS = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "aacute": "á", "agrave": "à", "acircumflex": "â",
+    "adieresis": "ä", "eacute": "é", "egrave": "è",
+    "ecircumflex": "ê", "edieresis": "ë", "iacute": "í",
+    "oacute": "ó", "ocircumflex": "ô", "odieresis": "ö",
+    "uacute": "ú", "udieresis": "ü", "ntilde": "ñ",
+    "ccedilla": "ç", "germandbls": "ß", "oslash": "ø",
+    "ae": "æ", "Euro": "€", "bullet": "•",
+    "endash": "–", "emdash": "—", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”",
+}
+
+
+def _glyph_to_char(name: str) -> Optional[str]:
+    if len(name) == 1:  # /A, /a, /0 — the name IS the character
+        return name
+    if name in _GLYPH_CHARS:
+        return _GLYPH_CHARS[name]
+    if name.startswith("uni") and len(name) == 7:  # /uniXXXX
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            return None
+    return None
+
+
+def _parse_objects(pdf_bytes: bytes) -> dict:
+    """Object number -> body bytes.  Scanned in byte order with
+    last-definition-wins, which absorbs incremental updates without
+    trusting (or needing) the xref table."""
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(pdf_bytes)}
+
+
+def _obj_dict(body: bytes) -> bytes:
+    """The dictionary part of an object body (before any stream data)."""
+    k = body.find(b"stream")
+    return body[:k] if k != -1 else body
+
+
+def _ref(dict_bytes: bytes, name: bytes) -> Optional[int]:
+    m = re.search(rb"/" + name + rb"\s+(\d+)\s+\d+\s+R", dict_bytes)
+    return int(m.group(1)) if m else None
+
+
+def _content_refs(dict_bytes: bytes) -> List[int]:
+    """``/Contents`` as a list of object numbers (single ref or array)."""
+    m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", dict_bytes)
+    if m:
+        return [int(m.group(1))]
+    m = re.search(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]", dict_bytes)
+    if m:
+        return [int(r.group(1)) for r in _REF_IN_ARR_RE.finditer(m.group(1))]
+    return []
+
+
+def _stream_payload(body: bytes) -> Optional[bytes]:
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    payload = m.group(1)
+    if _FLATE_RE.search(_obj_dict(body)):
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            return None
+    return payload
+
+
+def _differences_map(font_dict: bytes, objs: dict) -> Optional[dict]:
+    """``{code: char}`` from the font's /Encoding /Differences, if any."""
+    enc_ref = _ref(font_dict, b"Encoding")
+    enc_dict = _obj_dict(objs[enc_ref]) if enc_ref in objs else font_dict
+    m = _DIFFERENCES_RE.search(enc_dict)
+    if not m:
+        return None
+    code_map: dict = {}
+    code = 0
+    for item in _DIFF_ITEM_RE.finditer(m.group(1)):
+        if item.group(1) is not None:
+            code = int(item.group(1))
+        else:
+            ch = _glyph_to_char(item.group(2).decode("latin-1"))
+            if ch is not None:
+                code_map[code] = ch
+            code += 1
+    return code_map or None
+
+
+def _font_maps(resources: bytes, objs: dict) -> dict:
+    """Resource font name -> /Differences code map (only fonts that have
+    one appear; everything else uses the default decode)."""
+    m = re.search(rb"/Font\s*<<(.*?)>>", resources, re.DOTALL)
+    if not m:
+        return {}
+    maps = {}
+    for entry in _FONT_ENTRY_RE.finditer(m.group(1)):
+        name, ref = entry.group(1).decode("latin-1"), int(entry.group(2))
+        if ref in objs:
+            cm = _differences_map(_obj_dict(objs[ref]), objs)
+            if cm:
+                maps[name] = cm
+    return maps
+
+
+def _walk_page_tree(node_num: int, objs: dict, inherited: dict, out: List[dict],
+                    visited: Optional[set] = None) -> None:
+    if visited is None:
+        visited = set()
+    if node_num in visited or node_num not in objs:  # cycle guard
+        return
+    visited.add(node_num)
+    d = _obj_dict(objs[node_num])
+    ctx = dict(inherited)
+    mb = _MEDIABOX_RE.search(d)
+    if mb:
+        ctx["mediabox"] = tuple(float(v) for v in mb.groups())
+    res = re.search(rb"/Resources\s*<<", d)
+    if res:
+        ctx["resources"] = d[res.start():]
+    kids = _KIDS_RE.search(d)
+    if kids and re.search(rb"/Type\s*/Pages\b", d):
+        for r in _REF_IN_ARR_RE.finditer(kids.group(1)):
+            _walk_page_tree(int(r.group(1)), objs, ctx, out, visited)
+    elif re.search(rb"/Type\s*/Page\b", d):
+        out.append({"dict": d, **ctx})
+
+
+def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
+    """Page texts in page-tree order; None when structure is unusable."""
+    roots = _ROOT_RE.findall(pdf_bytes)
+    if not roots:
+        return None
+    objs = _parse_objects(pdf_bytes)
+    catalog_num = int(roots[-1])  # last trailer wins (incremental updates)
+    if catalog_num not in objs:
+        return None
+    pages_num = _ref(_obj_dict(objs[catalog_num]), b"Pages")
+    if pages_num is None:
+        return None
+    page_nodes: List[dict] = []
+    _walk_page_tree(pages_num, objs, {}, page_nodes)
+    if not page_nodes:
+        return None
+
+    pages: List[str] = []
+    for node in page_nodes:
+        payloads = []
+        for ref in _content_refs(node["dict"]):
+            if ref in objs:
+                p = _stream_payload(objs[ref])
+                if p is not None:
+                    payloads.append(p)
+        # multiple content streams form ONE logical stream (spec §7.8.2)
+        data = b"\n".join(payloads)
+        if b"BT" not in data:
+            continue
+        fonts = _font_maps(node.get("resources", b""), objs)
+        boxes = _interpret_stream(data, font_maps=fonts or None)
+        if not boxes:
+            continue
+        pages.append(
+            _assemble_page(boxes, node.get("mediabox", DEFAULT_MEDIABOX))
+        )
+    return pages or None
+
+
+def _pages_via_byte_order(pdf_bytes: bytes) -> List[str]:
+    """Legacy fallback: every text-bearing stream in byte order is a page."""
     m = _MEDIABOX_RE.search(pdf_bytes)
     if m:
         mediabox = tuple(float(v) for v in m.groups())  # type: ignore[assignment]
@@ -354,3 +581,17 @@ def extract_pdf_pages(pdf_bytes: bytes) -> List[str]:
             continue
         pages.append(_assemble_page(boxes, mediabox))  # type: ignore[arg-type]
     return pages
+
+
+def extract_pdf_pages(pdf_bytes: bytes) -> List[str]:
+    """PDF bytes -> list of per-page tagged-markdown text.
+
+    Pure function; malformed inputs produce as many pages as have
+    parseable text streams (possibly zero) rather than raising.  Pages
+    come in page-tree order when the document structure parses, byte
+    order otherwise.
+    """
+    structured = _pages_via_structure(pdf_bytes)
+    if structured is not None:
+        return structured
+    return _pages_via_byte_order(pdf_bytes)

@@ -1,0 +1,183 @@
+"""PDF structure robustness: page-tree-ordered traversal over scrambled
+object layouts, inherited attributes, /Differences encodings, multiple
+content streams, and incremental updates.
+
+Mirrors the fidelity of the reference's S2 page iteration
+(``app/utils/utils.py:70-102`` walks pages in document order via PyMuPDF;
+this engine walks the page tree itself).
+"""
+
+import zlib
+
+from deepseek_ocr_customvllm_spark.extractor.pdf_extract import extract_pdf_pages
+
+
+def _obj(num: int, body: bytes) -> bytes:
+    return b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+
+def _content(text: str, y: int = 700) -> bytes:
+    return (
+        b"BT /F1 12 Tf 1 0 0 1 100 %d Tm (%s) Tj ET" % (y, text.encode("latin-1"))
+    )
+
+
+def _stream_obj(num: int, payload: bytes, compress: bool = False) -> bytes:
+    extra = b""
+    if compress:
+        payload = zlib.compress(payload)
+        extra = b" /Filter /FlateDecode"
+    head = b"<< /Length %d%s >>\nstream\n" % (len(payload), extra)
+    return _obj(num, head + payload + b"\nendstream")
+
+
+def _assemble(objects: list, root: int = 1) -> bytes:
+    """objects: list of (num, body) IN THE GIVEN BYTE ORDER."""
+    out = b"%PDF-1.4\n"
+    for num, body in objects:
+        out += _obj(num, body) if not body.startswith(b"<< /Length") else (
+            b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        )
+    out += b"trailer\n<< /Size %d /Root %d 0 R >>\n%%%%EOF\n" % (len(objects) + 1, root)
+    return out
+
+
+def _page(contents_ref, parent: int = 2, extra: bytes = b"") -> bytes:
+    if isinstance(contents_ref, list):
+        refs = b"[" + b" ".join(b"%d 0 R" % r for r in contents_ref) + b"]"
+    else:
+        refs = b"%d 0 R" % contents_ref
+    return (
+        b"<< /Type /Page /Parent %d 0 R /Contents " % parent
+        + refs
+        + b" /Resources << /Font << /F1 9 0 R >> >>"
+        + extra
+        + b" >>"
+    )
+
+
+_FONT = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+_PAGES2 = b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 /MediaBox [0 0 612 792] >>"
+_CATALOG = b"<< /Type /Catalog /Pages 2 0 R >>"
+
+
+def test_reordered_objects_extract_in_page_order():
+    """Streams written in REVERSE byte order must still come out as
+    page 1 then page 2 (the byte-order scan would swap them)."""
+    objects = [
+        (6, _stream_obj(6, _content("second page"))[10:-8]),
+    ]
+    # build manually: put stream objects FIRST and reversed, pages after
+    pdf = b"%PDF-1.4\n"
+    pdf += _stream_obj(6, _content("second page"))
+    pdf += _stream_obj(5, _content("first page"))
+    pdf += _obj(4, _page(6))
+    pdf += _obj(3, _page(5))
+    pdf += _obj(9, _FONT)
+    pdf += _obj(2, _PAGES2)
+    pdf += _obj(1, _CATALOG)
+    pdf += b"trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    pages = extract_pdf_pages(pdf)
+    assert pages == ["first page", "second page"]
+
+
+def test_nested_page_tree_and_inherited_mediabox():
+    """Two-level /Pages tree; MediaBox inherited from the ROOT node so the
+    margin filter still applies (content at y=5 is furniture)."""
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(
+        2, b"<< /Type /Pages /Kids [10 0 R 4 0 R] /Count 3 /MediaBox [0 0 612 792] >>"
+    )
+    pdf += _obj(10, b"<< /Type /Pages /Parent 2 0 R /Kids [3 0 R 11 0 R] /Count 2 >>")
+    pdf += _obj(3, _page(5))
+    pdf += _obj(11, _page(12))
+    pdf += _obj(4, _page(6))
+    pdf += _stream_obj(5, _content("page one"))
+    pdf += _stream_obj(
+        12, _content("page two") + b" BT 1 0 0 1 300 5 Tm (furniture) Tj ET"
+    )
+    pdf += _stream_obj(6, _content("page three"), compress=True)
+    pdf += _obj(9, _FONT)
+    pdf += b"trailer\n<< /Size 13 /Root 1 0 R >>\n%%EOF\n"
+    pages = extract_pdf_pages(pdf)
+    assert pages == ["page one", "page two", "page three"]
+
+
+def test_multiple_content_streams_form_one_page():
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(
+        2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+    )
+    pdf += _obj(3, _page([5, 6]))
+    pdf += _stream_obj(5, _content("top half", y=700))
+    pdf += _stream_obj(6, _content("bottom half", y=600))
+    pdf += _obj(9, _FONT)
+    pdf += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    pages = extract_pdf_pages(pdf)
+    assert len(pages) == 1
+    assert "top half" in pages[0] and "bottom half" in pages[0]
+    assert pages[0].index("top half") < pages[0].index("bottom half")
+
+
+def test_differences_encoding_remaps_codes():
+    """A /Differences array remapping codes 65('A') and 66('B') must apply
+    to strings shown in that font, while the base encoding covers the rest."""
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(
+        2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+    )
+    pdf += _obj(3, _page(5))
+    pdf += _stream_obj(5, b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (AB cd) Tj ET")
+    pdf += _obj(
+        9,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom /Encoding 8 0 R >>",
+    )
+    pdf += _obj(
+        8,
+        b"<< /Type /Encoding /Differences [65 /eacute 66 /uni0042 67 /Z] >>",
+    )
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    pages = extract_pdf_pages(pdf)
+    assert pages == ["éB cd"]  # A->é (AGL), B->uni0042->B, others latin-1
+
+
+def test_incremental_update_last_definition_wins():
+    """An appended redefinition of the content stream (incremental update)
+    must supersede the original."""
+    base = b"%PDF-1.4\n"
+    base += _obj(1, _CATALOG)
+    base += _obj(
+        2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+    )
+    base += _obj(3, _page(5))
+    base += _stream_obj(5, _content("old text"))
+    base += _obj(9, _FONT)
+    base += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    updated = base + _stream_obj(5, _content("new text")) + (
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_pages(base) == ["old text"]
+    assert extract_pdf_pages(updated) == ["new text"]
+
+
+def test_structureless_pdf_falls_back_to_byte_order():
+    """No catalog at all: the legacy stream scan still extracts."""
+    pdf = b"%PDF-1.4\n"
+    pdf += _stream_obj(5, _content("orphan stream"))
+    pdf += b"%%EOF\n"
+    assert extract_pdf_pages(pdf) == ["orphan stream"]
+
+
+def test_cyclic_page_tree_terminates():
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(2, b"<< /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 >>")  # self-cycle
+    pdf += _obj(3, _page(5))
+    pdf += _stream_obj(5, _content("survivor"))
+    pdf += _obj(9, _FONT)
+    pdf += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    # must terminate and still find the real page (guard only prunes depth)
+    assert extract_pdf_pages(pdf) == ["survivor"]
