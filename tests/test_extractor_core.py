@@ -469,3 +469,53 @@ class TestErrorIsolation:
     def test_none_payload(self):
         r = extract_document("u", None)
         assert r.status == "SUCCESS" and r.n_pages == 0
+
+
+class TestTrueTeds:
+    """True tree-edit-distance TEDS (Scripts/table_diff.py metric) over
+    HTML table trees — structure the depth-2 grid metric cannot see."""
+
+    A = "<table><tr><th>H</th><td>1</td></tr><tr><td>total</td><td>3</td></tr></table>"
+
+    def test_identity_and_bounds(self):
+        from deepseek_ocr_customvllm_spark.extractor.evaluate import teds
+
+        assert teds(self.A, self.A) == 1.0
+        assert teds("", "") == 1.0
+        assert 0.0 <= teds(self.A, "") < 0.2
+
+    def test_sees_structure_the_grid_metric_cannot(self):
+        """th vs td and thead/tbody wrappers change the tree, and the true
+        metric penalizes them; the lossy <td>-only grid view would not."""
+        from deepseek_ocr_customvllm_spark.extractor.evaluate import teds
+
+        th_as_td = self.A.replace("<th>H</th>", "<td>H</td>")
+        assert teds(self.A, th_as_td) < 1.0
+        wrapped = (
+            "<table><thead><tr><th>H</th></tr></thead>"
+            "<tbody><tr><td>1</td></tr></tbody></table>"
+        )
+        flat = "<table><tr><th>H</th></tr><tr><td>1</td></tr></table>"
+        assert teds(wrapped, flat) < 1.0
+
+    def test_damage_ordering(self):
+        from deepseek_ocr_customvllm_spark.extractor.evaluate import teds
+
+        typo = self.A.replace(">total<", ">totals<")
+        dropped = "<table><tr><th>H</th><td>1</td></tr></table>"
+        assert teds(self.A, typo) > teds(self.A, dropped) > 0.0
+
+    def test_round_trip_with_block_layer(self):
+        from deepseek_ocr_customvllm_spark.extractor.blocks import rows_to_html
+        from deepseek_ocr_customvllm_spark.extractor.evaluate import (
+            mean_teds,
+            teds,
+        )
+
+        rows = [["a", "1"], ["b", "2"], ["total", "3"]]
+        html = rows_to_html(rows)
+        assert teds(html, html) == 1.0
+        perturbed = rows_to_html([["a", "1"], ["b", "9"], ["total", "3"]])
+        s = teds(html, perturbed)
+        assert 0.5 < s < 1.0
+        assert mean_teds([(html, html), (html, perturbed)]) == (1.0 + s) / 2
