@@ -98,7 +98,7 @@ def _warmup(spark, cores: int) -> None:
     ).write.mode("overwrite").format("noop").save()
 
 
-def _time_extraction(spark, pages_path: str, cores: int, out_dir: str, reps: int = 2) -> dict:
+def _time_extraction(spark, pages_path: str, cores: int, out_dir: str, reps: int = 3) -> dict:
     """Steady-state extraction wall-clock: ``reps`` reps, keep the fastest
     (rep 1 pays one-off plan/codegen costs that a long-running 100 TB
     job amortizes to zero; extra reps also damp this host's ambient
