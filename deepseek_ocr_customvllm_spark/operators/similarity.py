@@ -185,11 +185,17 @@ def ivf_assign(emb: DataFrame, centroid_mod: int = CENTROID_MOD) -> DataFrame:
     scored = q.join(F.broadcast(cents)).select(
         "vec_id", "qe", "cid", _dot("qe", "ce").alias("cdot")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cid"))
+    # argmax via max_by over (cdot, -cid), not a row_number window: max_by
+    # partial-aggregates map-side, so the shuffle moves one row per vector
+    # instead of the N x K scored rows a window sort would move.
+    best = F.max_by(
+        F.struct(F.col("cid"), F.col("qe")),
+        F.struct(F.col("cdot"), (-F.col("cid")).alias("tie")),
+    )
     return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "qe", "cid")
+        scored.groupBy("vec_id")
+        .agg(best.alias("_best"))
+        .select("vec_id", F.col("_best.qe").alias("qe"), F.col("_best.cid").alias("cid"))
     )
 
 

@@ -89,6 +89,33 @@ def test_top_customers_broadcasts_are_pinned(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
+def test_ivf_assign_broadcasts_and_partially_aggregates(spark):
+    """Centroid scoring must broadcast the tiny centroid side, and the
+    argmax must be a partial-aggregable max_by (one row per vector crosses
+    the shuffle), not a window sort over the N x K scored rows."""
+    from deepseek_ocr_customvllm_spark.operators.similarity import ivf_topk_neighbors
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _formatted(ivf_topk_neighbors(emb))
+    assert "BroadcastExchange" in plan
+    assert "partial_max_by" in plan or "partial_maxby" in plan.lower(), plan
+    assert "Window" not in plan
+    # column pruning: nothing but vec_id + embedding read
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in plan
+
+
+def test_compression_quality_is_single_scan_arrow_udf(spark):
+    """The scalar pandas_udf tier: one pruned scan -> one ArrowEvalPython,
+    zero shuffles (the zlib call is the only Python in the plan)."""
+    from deepseek_ocr_customvllm_spark.operators.textstats import compression_quality
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(compression_quality(docs))
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
 def test_textstats_whole_stage_codegen(spark):
     from deepseek_ocr_customvllm_spark.operators.textstats import token_counts
 
