@@ -168,15 +168,31 @@ def jaccard_verify(
     return joined.filter(F.col("jaccard") >= jaccard_min)
 
 
-def minhash_lsh_duplicates(df: DataFrame) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline over ``documents``."""
+def minhash_lsh_duplicates(df: DataFrame, persist: bool = False) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline over ``documents``.
+
+    The distinct-shingle table is consumed THREE times (signatures, and
+    both sides of the verification join) and Catalyst does not
+    common-subexpression DataFrame lineage, so the scan + shingle explode
+    recomputes 3x.  ``persist`` trades that recompute for a
+    MEMORY_AND_DISK cache — measured NOT worth it at sandbox scale (cache
+    write ≈ recompute cost for the exploded rows); at cluster scale the
+    honest equivalent is writing the shingle table to a bucketed
+    checkpoint once and joining against that, not executor memory.
+    """
     sh = shingles(df)
+    if persist:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sig)
     return jaccard_verify(cand, sh)
 
 
-def ngram_jaccard_pairs(df: DataFrame, jaccard_min: float = 0.2) -> DataFrame:
+def ngram_jaccard_pairs(
+    df: DataFrame, jaccard_min: float = 0.2, persist: bool = False
+) -> DataFrame:
     """Exact n-gram Jaccard similarity with single-hash blocking.
 
     The lighter sibling of the full MinHash pipeline: candidates are
@@ -186,6 +202,10 @@ def ngram_jaccard_pairs(df: DataFrame, jaccard_min: float = 0.2) -> DataFrame:
     exists, and as a direct ``jaccard(doc_a, doc_b)`` operator.
     """
     sh = shingles(df)
+    if persist:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh).select("doc_id", "m0")
     a = sig.alias("a")
     b = sig.alias("b")
