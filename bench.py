@@ -179,12 +179,12 @@ def main() -> None:
         # --- phase 2+3: N -> 4N scaling evidence on identical input --------
         spark_n = _new_spark(SCALE_N)
         _warmup(spark_n, SCALE_N)
-        ext_n = _time_extraction(spark_n, scaling_path, SCALE_N, work, reps=4)
+        ext_n = _time_extraction(spark_n, scaling_path, SCALE_N, work, reps=5)
         spark_n.stop()
 
         spark_4n = _new_spark(SCALE_4N)
         _warmup(spark_4n, SCALE_4N)
-        ext_4n = _time_extraction(spark_4n, scaling_path, SCALE_4N, work, reps=4)
+        ext_4n = _time_extraction(spark_4n, scaling_path, SCALE_4N, work, reps=5)
         spark_4n.stop()
 
         eff = round(
