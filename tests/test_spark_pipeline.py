@@ -488,3 +488,57 @@ class TestSimhashBanding:
         assert capped <= full
         with _pytest.raises(ValueError):
             dedup.simhash_near_pairs(sig, n_bands=7)
+
+
+class TestStateStoreModel:
+    """Model-based check of the incremental bucket-manifest store: a random
+    interleaving of merges, deletes, and expiries must always agree with a
+    plain dict model — the property that matters for exactly-once resume."""
+
+    def test_random_operation_sequences_match_dict_model(self, spark, tmpdir):
+        import random
+
+        rng = random.Random(20260816)
+        store = ParquetStateStore(spark, tmpdir, n_buckets=8)
+        model = {}  # url -> (status, attempt)
+        urls = [f"u{k}" for k in range(40)]
+
+        def ts(k):
+            return F.to_timestamp(F.lit(f"2025-01-01 00:00:{k:02d}"))
+
+        for step in range(12):
+            op = rng.choice(["merge", "merge", "merge", "delete", "expire"])
+            if op == "merge":
+                batch_urls = rng.sample(urls, rng.randint(1, 12))
+                status = rng.choice(["SUCCESS", "FAILED", "REJECTED"])
+                b = spark.createDataFrame(
+                    [(u, status) for u in batch_urls], ["url", "status"]
+                ).withColumn("updated_at", ts(step))
+                store.merge(b)
+                for u in batch_urls:
+                    prev = model.get(u)
+                    model[u] = (status, (prev[1] if prev else 0) + 1)
+            elif op == "delete":
+                doomed = rng.sample(urls, rng.randint(1, 6))
+                store.delete_urls(
+                    spark.createDataFrame([(u,) for u in doomed], ["url"])
+                )
+                for u in doomed:
+                    model.pop(u, None)
+            else:
+                store.expire_versions(keep_last=2)
+
+            got = {
+                r["url"]: (r["status"], r["attempt"])
+                for r in store.read().collect()
+            }
+            assert got == model, f"diverged at step {step} after {op}"
+
+        # resume semantics against the final state
+        pages = spark.createDataFrame([(u,) for u in urls], ["url"])
+        pending = {r["url"] for r in store.pending(pages).collect()}
+        expected = {
+            u for u in urls
+            if model.get(u, ("", 0))[0] not in ("SUCCESS", "REJECTED")
+        }
+        assert pending == expected
