@@ -13,7 +13,7 @@ deterministic and dialect-portable so the DuckDB oracle in
 from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints must resolve
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Markers for the language-ID heuristic (frozen).
@@ -23,34 +23,10 @@ BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 PUNCT_PATTERN = r"[.,;:!?]"
 
 
-def norm_text(col: str = "text") -> Column:
-    """Whitespace-collapsed lowercase text (the shared normalization)."""
-    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
-
-
-def dtrunc(col: Column, n: int = 4) -> Column:
-    """Floor-truncate a double to ``n`` decimals.
-
-    Used instead of ``round()`` for every float the DuckDB oracle must
-    reproduce: Spark's ``round`` on doubles goes through the shortest
-    decimal representation (BigDecimal HALF_UP) while DuckDB rounds the
-    raw binary double, so values ending in ...5 at the cut position
-    disagree.  ``floor(x * 10^n) / 10^n`` is bit-identical in both
-    engines for identical inputs.
-    """
-    p = 10 ** n
-    return F.floor(col * p) / p
-
-
-def dsum(col: Column, scale: int = 2) -> Column:
-    """Order-independent exact sum of a double column.
-
-    Casting to decimal before summing makes the aggregation exact
-    integer arithmetic — immune to the float-summation-order differences
-    between Spark partial aggregation and the DuckDB oracle.  ``scale``
-    must cover the data's true decimal precision.
-    """
-    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+# The portable expression helpers live in ``functions.columns``; re-exported
+# here because every operator module and ``__spark_entry__`` import them from
+# this namespace.
+from ..functions.columns import dsum, dtrunc, norm_text  # noqa: E402,F401
 
 
 def with_norm(df: DataFrame, col: str = "text") -> DataFrame:
