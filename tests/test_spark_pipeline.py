@@ -380,6 +380,50 @@ class TestStatefulDedupStream:
         assert res.count() == 50  # no url twice despite the overlap
         assert res.select("url").distinct().count() == 50
 
+    def test_state_survives_query_restart(self, spark, tmpdir):
+        """The (binary md5 digest) seen-set must round-trip through Spark's
+        state store across a full query restart: urls deduped in run 1 are
+        NOT re-emitted by run 2 started from the same checkpoint."""
+        from deepseek_ocr_customvllm_spark.sources.pages import PAGES_SPARK_SCHEMA
+        from deepseek_ocr_customvllm_spark.streaming.dedup_stream import (
+            first_seen_stream,
+        )
+
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        out_dir = os.path.join(tmpdir, "out")
+        ckpt = os.path.join(tmpdir, "ckpt")
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(PAGES_SPARK_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing + "/*")
+            )
+            q = (
+                first_seen_stream(stream)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        synth_pages_df(spark, 30, num_partitions=1).write.parquet(
+            os.path.join(landing, "b1")
+        )
+        run_once()  # run 1 sees urls 0..29, then the query STOPS
+        synth_pages_df(spark, 50, num_partitions=1).write.parquet(
+            os.path.join(landing, "b2")
+        )  # 0..29 repeat, 30..49 new
+        run_once()  # fresh query, same checkpoint
+
+        res = spark.read.parquet(out_dir)
+        assert res.count() == 50
+        assert res.select("url").distinct().count() == 50
+
 
 class TestExactlyOnceReader:
     def test_read_extracted_collapses_duplicate_runs(self, spark, tmpdir):
