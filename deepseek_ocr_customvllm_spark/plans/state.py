@@ -69,6 +69,29 @@ _READ_SCHEMA = T.StructType(
 )
 
 
+def extracted_table_ddl(table: str, n_buckets: int = 1024) -> str:
+    """Iceberg DDL for the production ``extracted`` table (K3).
+
+    Partition layout per the scale design: ``days(warc_ts)`` for time
+    pruning of crawl segments, ``bucket(N, url)`` so the extraction
+    job's salted url-hash placement maps 1:1 onto the physical layout
+    (a bucket-local scan extracts with ZERO shuffle — see
+    ``operators.extract.extract_pages(repartition=False)`` and the
+    no-Exchange plan test).  Columns are generated from the one
+    authoritative schema, ``operators.extract.EXTRACTED_SCHEMA``.
+    """
+    from ..operators.extract import EXTRACTED_SCHEMA
+
+    cols = ",\n  ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in EXTRACTED_SCHEMA.fields
+    )
+    return (
+        f"CREATE TABLE IF NOT EXISTS {table} (\n  {cols}\n)\n"
+        f"USING iceberg\n"
+        f"PARTITIONED BY (days(warc_ts), bucket({n_buckets}, url))"
+    )
+
+
 def merge_sql(target_table: str, source_view: str) -> str:
     """The Iceberg MERGE statement for the production path (K4)."""
     return f"""

@@ -226,6 +226,16 @@ class TestStateStore:
         assert "MERGE INTO cat.db.extraction_state" in sql
         assert "WHEN MATCHED" in sql and "WHEN NOT MATCHED" in sql
 
+    def test_iceberg_extracted_ddl_tracks_schema(self):
+        from deepseek_ocr_customvllm_spark.operators.extract import EXTRACTED_SCHEMA
+        from deepseek_ocr_customvllm_spark.plans.state import extracted_table_ddl
+
+        ddl = extracted_table_ddl("cat.db.extracted", n_buckets=512)
+        assert "USING iceberg" in ddl
+        assert "PARTITIONED BY (days(warc_ts), bucket(512, url))" in ddl
+        for f in EXTRACTED_SCHEMA.fields:  # stays in sync with the one schema
+            assert f"{f.name} {f.dataType.simpleString()}" in ddl
+
     def test_open_state_store_dispatch(self, spark, tmpdir):
         assert isinstance(open_state_store(spark, tmpdir), ParquetStateStore)
 
