@@ -87,6 +87,32 @@ def suppress_repeated_ngrams(
     BPOW = pow(BASE, n - 1, MOD)
     tok_h = [hash(t) & 0x7FFFFFFF for t in toks]
 
+    # Fast path — most documents contain no repeated n-gram at all, and the
+    # suppression loop's per-token bookkeeping is the single hottest spot in
+    # the whole extractor.  Soundness: the first drop the full algorithm
+    # could ever make requires emitted == raw prefix at that point, i.e. two
+    # IDENTICAL CONTIGUOUS n-grams in the raw token stream (by induction:
+    # before the first drop nothing has been removed).  So if no duplicate
+    # n-gram hash exists anywhere in the raw stream, the output is the input
+    # verbatim.  Hash collisions only ever send us down the exact slow path.
+    if n_stream >= n:
+        seen = set()
+        acc = 0
+        for k in range(n):
+            acc = (acc * BASE + tok_h[k]) % MOD
+        seen.add(acc)
+        dup = False
+        for s in range(1, n_stream - n + 1):
+            acc = ((acc - tok_h[s - 1] * BPOW) * BASE + tok_h[s + n - 1]) % MOD
+            if acc in seen:
+                dup = True
+                break
+            seen.add(acc)
+        if not dup:
+            return text
+    else:
+        return text
+
     emitted: List[str] = []  # history of emitted token strings
     dropped: set = set()  # indices into `stream` that were suppressed
     # live history grams: hash -> deque of start indices into `emitted`
