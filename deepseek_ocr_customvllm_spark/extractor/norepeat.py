@@ -57,30 +57,13 @@ def suppress_repeated_ngrams(
     the reference's token-level ban gives a greedy decoder).
     """
     lines = text.split("\n")
-    # Flatten to (line_idx, token, exempt).
-    stream: List[Tuple[int, str, bool]] = []
-    for li, line in enumerate(lines):
-        exempt = _is_exempt_line(line)
-        for tok in line.split():
-            stream.append((li, tok, exempt))
-
-    # History n-grams are tracked incrementally with a rolling polynomial
-    # hash; on a hash hit the candidate is confirmed by exact token
-    # comparison, so collisions (and Python's per-process string-hash
-    # randomization) can never change the output — the golden fixtures pin
-    # the equivalence with the direct windowed scan.  O(1) amortized per
-    # token instead of O(window * n).
-    from collections import deque
-
     n = ngram_size
-    toks = [t for _, t, _ in stream]
-    exempt_flags = [e for _, _, e in stream]
-    n_stream = len(stream)
-
-    # next_exempt[i] = smallest j >= i with an exempt token (n_stream if none)
-    next_exempt = [n_stream] * (n_stream + 1)
-    for i in range(n_stream - 1, -1, -1):
-        next_exempt[i] = i if exempt_flags[i] else next_exempt[i + 1]
+    toks: List[str] = []
+    for line in lines:
+        toks.extend(line.split())
+    n_stream = len(toks)
+    if n_stream < n:
+        return text
 
     MOD = (1 << 61) - 1
     BASE = 1_000_003
@@ -95,23 +78,41 @@ def suppress_repeated_ngrams(
     # before the first drop nothing has been removed).  So if no duplicate
     # n-gram hash exists anywhere in the raw stream, the output is the input
     # verbatim.  Hash collisions only ever send us down the exact slow path.
-    if n_stream >= n:
-        seen = set()
-        acc = 0
-        for k in range(n):
-            acc = (acc * BASE + tok_h[k]) % MOD
+    seen = set()
+    acc = 0
+    for k in range(n):
+        acc = (acc * BASE + tok_h[k]) % MOD
+    seen.add(acc)
+    dup = False
+    for s in range(1, n_stream - n + 1):
+        acc = ((acc - tok_h[s - 1] * BPOW) * BASE + tok_h[s + n - 1]) % MOD
+        if acc in seen:
+            dup = True
+            break
         seen.add(acc)
-        dup = False
-        for s in range(1, n_stream - n + 1):
-            acc = ((acc - tok_h[s - 1] * BPOW) * BASE + tok_h[s + n - 1]) % MOD
-            if acc in seen:
-                dup = True
-                break
-            seen.add(acc)
-        if not dup:
-            return text
-    else:
+    if not dup:
         return text
+
+    # Slow path — flatten to (line_idx, token, exempt) and run the exact
+    # windowed suppression.  History n-grams are tracked incrementally with
+    # a rolling polynomial hash; on a hash hit the candidate is confirmed by
+    # exact token comparison, so collisions (and Python's per-process
+    # string-hash randomization) can never change the output — the golden
+    # fixtures pin the equivalence with the direct windowed scan.  O(1)
+    # amortized per token instead of O(window * n).
+    from collections import deque
+
+    stream: List[Tuple[int, str, bool]] = []
+    for li, line in enumerate(lines):
+        exempt = _is_exempt_line(line)
+        for tok in line.split():
+            stream.append((li, tok, exempt))
+    exempt_flags = [e for _, _, e in stream]
+
+    # next_exempt[i] = smallest j >= i with an exempt token (n_stream if none)
+    next_exempt = [n_stream] * (n_stream + 1)
+    for i in range(n_stream - 1, -1, -1):
+        next_exempt[i] = i if exempt_flags[i] else next_exempt[i + 1]
 
     emitted: List[str] = []  # history of emitted token strings
     dropped: set = set()  # indices into `stream` that were suppressed
