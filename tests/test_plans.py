@@ -116,6 +116,50 @@ def test_compression_quality_is_single_scan_arrow_udf(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
+def test_aqe_splits_skewed_join(spark):
+    """Zipf-hot keys are the norm in web corpora (one domain = 40% of
+    docs).  With AQE skew handling on, a sort-merge join against a hot key
+    must be re-planned at runtime into skew-split partitions — this test
+    pins the knob we rely on at scale (thresholds lowered so the 50k-row
+    local corpus triggers it)."""
+    import pyspark.sql.functions as SF
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "20KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "20KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 90% of the fact rows share one key; dim side is uniform
+        fact = spark.range(0, 50_000).select(
+            SF.when(SF.col("id") % 10 != 0, SF.lit(7)).otherwise(
+                SF.col("id") % 100
+            ).alias("k"),
+            SF.concat(SF.lit("payload-"), SF.col("id")).alias("v"),
+        )
+        dim = spark.range(0, 100).select(
+            SF.col("id").alias("k"), SF.lit("d").alias("d")
+        )
+        joined = fact.join(dim, "k")
+        # execute THIS DataFrame's own query execution so its adaptive
+        # plan finalizes (count() would execute a different wrapped plan)
+        assert len(joined.collect()) == 50_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
 def test_textstats_whole_stage_codegen(spark):
     from deepseek_ocr_customvllm_spark.operators.textstats import token_counts
 
