@@ -150,6 +150,31 @@ def _oracle_compression_quality() -> str:
     )
 
 
+def _oracle_image_features() -> str:
+    from deepseek_ocr_customvllm_spark.operators.multimodal import image_feature_row
+
+    rows = []
+    for (did,) in _oracle_docs_rows(("doc_id",)):
+        r = image_feature_row(did, _media_payload(did))
+        rows.append(
+            (
+                r["media_id"], r["media_type"], r["width"], r["height"],
+                r["sum_r"], r["sum_g"], r["sum_b"], r["thumb_hash"],
+            )
+        )
+    return _values_oracle(
+        rows,
+        [
+            "media_id", "media_type", "width", "height",
+            "sum_r", "sum_g", "sum_b", "thumb_hash",
+        ],
+        {
+            "media_id": "bigint", "width": "int", "height": "int",
+            "sum_r": "bigint", "sum_g": "bigint", "sum_b": "bigint",
+        },
+    )
+
+
 def _oracle_extract_documents_pipeline() -> str:
     from deepseek_ocr_customvllm_spark.extractor.engine import extract_document
     from deepseek_ocr_customvllm_spark.sources.pages import _FOOTER_HTML, _NAV_HTML
@@ -546,6 +571,39 @@ def _q_multimodal_inspect(spark, sf_dir):
     return inspect_payloads(_docs(spark, sf_dir))
 
 
+def _media_payload(doc_id: int) -> bytes:
+    """Deterministic media corpus: BMPs, PPMs, and some compressed-codec
+    payloads (which must become 'unsupported' rows, not failures)."""
+    from deepseek_ocr_customvllm_spark.operators import multimodal
+
+    if doc_id % 29 == 0:
+        return b"\x89PNG\r\n\x1a\n" + b"compressed-not-decodable"
+    if doc_id % 7 == 3:
+        return multimodal.synth_ppm(doc_id)
+    return multimodal.synth_bmp(doc_id)
+
+
+def _q_image_features(spark, sf_dir):
+    """Real image decode as a pipeline stage: synthesize the deterministic
+    media corpus executor-side from doc ids, decode (BMP/PPM stdlib
+    decoders), emit exact integer channel sums + thumbnail hash."""
+    from deepseek_ocr_customvllm_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [_media_payload(i) for i in ids]}
+            )
+
+    media = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return multimodal.image_features(media)
+
+
 def _q_lineitem_rollup(spark, sf_dir):
     """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows."""
     from deepseek_ocr_customvllm_spark.operators.textstats import dsum
@@ -693,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_per_region": _q_top_customers_per_region,
         "events_sessionize": _q_events_sessionize,
         "multimodal_inspect": _q_multimodal_inspect,
+        "image_features": _q_image_features,
         "lineitem_rollup": _q_lineitem_rollup,
         "events_pivot": _q_events_pivot,
         "events_asof_join": _q_events_asof_join,
@@ -1183,6 +1242,7 @@ FROM orders
         # still checks the whole distributed path (scan, repartition,
         # Arrow batching, per-row isolation, determinism).
         "compression_quality": _oracle_compression_quality(),
+        "image_features": _oracle_image_features(),
         "extract_documents_pipeline": _oracle_extract_documents_pipeline(),
         "extract_block_histogram": _oracle_extract_block_histogram(),
         "extract_synth_summary": _oracle_extract_synth_summary(),

@@ -596,3 +596,93 @@ class TestStateStoreModel:
             if model.get(u, ("", 0))[0] not in ("SUCCESS", "REJECTED")
         }
         assert pending == expected
+
+
+class TestImageDecode:
+    """Real stdlib decoders for uncompressed raster formats."""
+
+    def test_bmp_round_trip(self):
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _decode_bmp,
+            synth_bmp,
+        )
+
+        img = _decode_bmp(synth_bmp(42, width=10, height=6))
+        assert (img["width"], img["height"]) == (10, 6)
+        # bottom-up storage comes back top-down: decoded row 0 is the LAST
+        # stored row, i.e. the synth pattern at y = height-1
+        v = (42 * 2654435761 + 5 * 97 + 0 * 31) & 0xFFFFFFFF
+        assert img["rows"][0][0] == (v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF)
+
+    def test_ppm_binary_and_ascii_agree(self):
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _decode_ppm,
+            synth_ppm,
+        )
+
+        p6 = synth_ppm(7, width=5, height=4)
+        img6 = _decode_ppm(p6)
+        # build the P3 twin from the decoded pixels
+        body = "\n".join(
+            " ".join(f"{r} {g} {b}" for r, g, b in row) for row in img6["rows"]
+        )
+        p3 = f"P3\n5 4\n255\n{body}\n".encode()
+        img3 = _decode_ppm(p3)
+        assert img3["rows"] == img6["rows"]
+
+    def test_top_down_bmp(self):
+        import struct as _s
+
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _decode_bmp,
+            synth_bmp,
+        )
+
+        bottom_up = synth_bmp(3, width=4, height=3)
+        # flip the height sign -> top-down; rows must come back reversed
+        top_down = bytearray(bottom_up)
+        top_down[22:26] = _s.pack("<i", -3)
+        a = _decode_bmp(bottom_up)["rows"]
+        b = _decode_bmp(bytes(top_down))["rows"]
+        assert a == b[::-1]
+
+    def test_unsupported_and_truncated_isolate(self):
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            image_feature_row,
+            synth_bmp,
+        )
+
+        assert image_feature_row(1, b"\x89PNG\r\n\x1a\nxxx")["media_type"] == "unsupported"
+        assert image_feature_row(2, b"\xff\xd8\xffxxx")["media_type"] == "unsupported"
+        assert image_feature_row(3, b"")["media_type"] == "unsupported"
+        assert image_feature_row(4, synth_bmp(4)[:40])["media_type"] == "unsupported"
+        assert image_feature_row(5, None)["media_type"] == "unsupported"
+
+    def test_thumbnail_deterministic_and_sized(self):
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            decode_image,
+            grayscale_thumb,
+            synth_bmp,
+        )
+
+        img = decode_image(synth_bmp(11))
+        t1, t2 = grayscale_thumb(img), grayscale_thumb(img)
+        assert t1 == t2 and len(t1) == 64
+
+    def test_spark_operator_matches_pure_python(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            image_feature_row,
+            image_features,
+            synth_bmp,
+            synth_ppm,
+        )
+
+        payloads = [
+            (0, synth_bmp(0)),
+            (1, synth_ppm(1)),
+            (2, b"\x89PNG\r\n\x1a\nzz"),
+        ]
+        media = spark.createDataFrame(payloads, ["media_id", "payload"])
+        got = {r["media_id"]: r.asDict() for r in image_features(media).collect()}
+        for mid, payload in payloads:
+            assert got[mid] == image_feature_row(mid, payload)
