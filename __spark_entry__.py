@@ -175,6 +175,27 @@ def _oracle_image_features() -> str:
     )
 
 
+def _oracle_audio_features() -> str:
+    from deepseek_ocr_customvllm_spark.operators.multimodal import audio_feature_row
+
+    cols = [
+        "media_id", "media_type", "sample_rate", "channels",
+        "duration_ms", "energy", "n_samples",
+    ]
+    rows = []
+    for (did,) in _oracle_docs_rows(("doc_id",)):
+        r = audio_feature_row(did, _audio_payload(did))
+        rows.append(tuple(r[c] for c in cols))
+    return _values_oracle(
+        rows,
+        cols,
+        {
+            "media_id": "bigint", "sample_rate": "int", "channels": "int",
+            "duration_ms": "int", "energy": "bigint", "n_samples": "bigint",
+        },
+    )
+
+
 def _oracle_extract_documents_pipeline() -> str:
     from deepseek_ocr_customvllm_spark.extractor.engine import extract_document
     from deepseek_ocr_customvllm_spark.sources.pages import _FOOTER_HTML, _NAV_HTML
@@ -583,6 +604,33 @@ def _media_payload(doc_id: int) -> bytes:
     return multimodal.synth_bmp(doc_id)
 
 
+def _audio_payload(doc_id: int) -> bytes:
+    from deepseek_ocr_customvllm_spark.operators import multimodal
+
+    if doc_id % 23 == 0:
+        return b"ID3\x04\x00compressed-mp3-not-decodable"
+    return multimodal.synth_wav(doc_id, n_samples=400 + (doc_id % 5) * 100)
+
+
+def _q_audio_features(spark, sf_dir):
+    """Real PCM audio decode as a pipeline stage (stdlib RIFF parser)."""
+    from deepseek_ocr_customvllm_spark.operators import multimodal
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [_audio_payload(i) for i in ids]}
+            )
+
+    media = docs.mapInPandas(gen, schema="media_id long, payload binary")
+    return multimodal.audio_features(media)
+
+
 def _q_image_features(spark, sf_dir):
     """Real image decode as a pipeline stage: synthesize the deterministic
     media corpus executor-side from doc ids, decode (BMP/PPM stdlib
@@ -752,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "multimodal_inspect": _q_multimodal_inspect,
         "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
         "lineitem_rollup": _q_lineitem_rollup,
         "events_pivot": _q_events_pivot,
         "events_asof_join": _q_events_asof_join,
@@ -1243,6 +1292,7 @@ FROM orders
         # Arrow batching, per-row isolation, determinism).
         "compression_quality": _oracle_compression_quality(),
         "image_features": _oracle_image_features(),
+        "audio_features": _oracle_audio_features(),
         "extract_documents_pipeline": _oracle_extract_documents_pipeline(),
         "extract_block_histogram": _oracle_extract_block_histogram(),
         "extract_synth_summary": _oracle_extract_synth_summary(),

@@ -163,6 +163,59 @@ def _decode_ppm(payload: bytes) -> dict:
     return {"media_type": "image/ppm", "width": width, "height": height, "rows": rows}
 
 
+def synth_wav(seed: int, n_samples: int = 800, rate: int = 8000) -> bytes:
+    """Deterministic 16-bit mono PCM WAV — pure function of ``seed``."""
+    samples = bytearray()
+    v = seed & 0x7FFFFFFF
+    for _ in range(n_samples):
+        v = (v * 1103515245 + 12345) & 0x7FFFFFFF
+        samples += struct.pack("<h", (v % 65536) - 32768)
+    data = bytes(samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> dict:
+    """RIFF PCM WAV (8/16-bit) -> rate/channels/duration + exact integer
+    energy (sum of abs sample values) — stdlib struct only."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits not in (8, 16):
+                raise ValueError(f"unsupported WAV (fmt={fmt}, bits={bits})")
+        elif chunk_id == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None or not channels:
+        raise ValueError("truncated WAV")
+    if bits == 16:
+        n = len(data) // 2
+        vals = struct.unpack(f"<{n}h", data[: n * 2])
+    else:
+        vals = [b - 128 for b in data]
+        n = len(vals)
+    n_frames = n // channels
+    return {
+        "media_type": "audio/wav",
+        "sample_rate": rate,
+        "channels": channels,
+        "duration_ms": (n_frames * 1000) // rate if rate else 0,
+        "energy": sum(abs(v) for v in vals),
+        "n_samples": n,
+    }
+
+
 def decode_image(payload: bytes) -> dict:
     """Dispatch on magic bytes; real decode for uncompressed formats,
     honest ``NotImplementedError`` for compressed codecs."""
@@ -321,6 +374,55 @@ def image_features(media_df: DataFrame) -> DataFrame:
     """
     return media_df.select("media_id", "payload").mapInPandas(
         _image_features_batch, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def audio_feature_row(media_id: int, payload: Optional[bytes]) -> dict:
+    try:
+        a = decode_wav(payload or b"")
+    except (ValueError, struct.error, IndexError):
+        return {
+            "media_id": media_id,
+            "media_type": "unsupported",
+            "sample_rate": None,
+            "channels": None,
+            "duration_ms": None,
+            "energy": None,
+            "n_samples": None,
+        }
+    return {"media_id": media_id, **{k: a[k] for k in (
+        "media_type", "sample_rate", "channels", "duration_ms", "energy", "n_samples"
+    )}}
+
+
+def _audio_features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = [
+            audio_feature_row(mid, payload)
+            for mid, payload in zip(pdf["media_id"].tolist(), pdf["payload"].tolist())
+        ]
+        yield pd.DataFrame(rows, columns=AUDIO_FEATURES_SCHEMA.fieldNames())
+
+
+def audio_features(media_df: DataFrame) -> DataFrame:
+    """``(media_id long, payload binary)`` -> decoded PCM audio features
+    (real stdlib RIFF/WAV parse; compressed codecs isolate as
+    'unsupported' rows)."""
+    return media_df.select("media_id", "payload").mapInPandas(
+        _audio_features_batch, schema=AUDIO_FEATURES_SCHEMA
     )
 
 

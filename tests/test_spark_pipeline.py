@@ -686,3 +686,41 @@ class TestImageDecode:
         got = {r["media_id"]: r.asDict() for r in image_features(media).collect()}
         for mid, payload in payloads:
             assert got[mid] == image_feature_row(mid, payload)
+
+
+class TestAudioDecode:
+    def test_wav_round_trip(self):
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            decode_wav,
+            synth_wav,
+        )
+
+        a = decode_wav(synth_wav(9, n_samples=800, rate=8000))
+        assert a["media_type"] == "audio/wav"
+        assert a["sample_rate"] == 8000 and a["channels"] == 1
+        assert a["n_samples"] == 800
+        assert a["duration_ms"] == 100  # 800 frames at 8 kHz
+        assert a["energy"] > 0
+
+    def test_wav_isolation(self):
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            audio_feature_row,
+            synth_wav,
+        )
+
+        assert audio_feature_row(1, b"ID3\x04mp3")["media_type"] == "unsupported"
+        assert audio_feature_row(2, b"")["media_type"] == "unsupported"
+        assert audio_feature_row(3, synth_wav(3)[:30])["media_type"] == "unsupported"
+
+    def test_spark_audio_operator_matches_pure_python(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            audio_feature_row,
+            audio_features,
+            synth_wav,
+        )
+
+        payloads = [(0, synth_wav(0)), (1, b"ID3\x04x")]
+        media = spark.createDataFrame(payloads, ["media_id", "payload"])
+        got = {r["media_id"]: r.asDict() for r in audio_features(media).collect()}
+        for mid, payload in payloads:
+            assert got[mid] == audio_feature_row(mid, payload)
