@@ -409,6 +409,14 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_augmented_docs(_docs(spark, sf_dir)))
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster canonicalization: connected components (min-label
+    propagation, iterative distributed rounds) over the MinHash-LSH
+    verified pair set."""
+    pairs = dedup.minhash_lsh_duplicates(_augmented_docs(_docs(spark, sf_dir)))
+    return dedup.duplicate_components(pairs.select("id_a", "id_b"))
+
+
 def _augmented_embeddings(emb: DataFrame) -> DataFrame:
     """Embeddings plus planted exact-duplicate vectors (dedup hits)."""
     base = emb.select("vec_id", "embedding")
@@ -781,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
@@ -1103,6 +1112,23 @@ SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_doc_id
 FROM fps GROUP BY fp HAVING count(*) > 1
 """,
         "dedup_minhash_lsh": _oracle_minhash(),
+        "dedup_components": f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_oracle_minhash().strip()}) mh
+),
+sym AS (
+  SELECT id_a, id_b FROM pairs
+  UNION
+  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+),
+walk(doc_id, comp) AS (
+  SELECT DISTINCT id_a AS doc_id, id_a AS comp FROM sym
+  UNION
+  SELECT s.id_a AS doc_id, w.comp
+  FROM sym s JOIN walk w ON w.doc_id = s.id_b
+)
+SELECT doc_id, min(comp) AS component_id FROM walk GROUP BY doc_id
+""",
         "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
         "dedup_simhash": _oracle_simhash(),
         "dedup_simhash_pairs": _oracle_simhash_pairs(),

@@ -222,6 +222,74 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def duplicate_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-dup pairs ``(id_a, id_b)`` -> ``(doc_id, component_id)``.
+
+    A dedup pipeline must pick ONE canonical doc per duplicate CLUSTER,
+    not per pair — pairs (a,b),(b,c) are one cluster of three.  This is
+    min-label propagation (the standard large-scale connected-components
+    algorithm, cf. GraphX/GraphFrames): every node starts labeled with
+    itself; each round takes the min of its own and its neighbors'
+    labels; converges in O(component diameter) rounds.  Duplicate
+    clusters are shallow (diameter << 25) so the driver-side loop runs a
+    handful of DISTRIBUTED rounds — each round is one shuffle-join; the
+    loop only checks the converged flag.  Labels are cached per round and
+    the previous round unpersisted, so lineage/recompute cannot blow up.
+
+    ``component_id`` = the minimum doc_id in the component (making the
+    canonical-doc choice deterministic and oracle-reproducible).
+
+    Each round is ``localCheckpoint``-ed: iterative plans MUST truncate
+    lineage, not just cache — a cached plan still nests the previous
+    round's plan, so plan size (and Catalyst/explain cost) doubles per
+    round and OOMs the driver around round 10.  On a cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    executor-loss-tolerant truncation; localCheckpoint is the local-mode
+    equivalent.
+    """
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["id_b"] == labels["doc_id"])
+            .groupBy("id_a")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["id_a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("comp").alias("component_id"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

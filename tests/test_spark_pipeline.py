@@ -724,3 +724,42 @@ class TestAudioDecode:
         got = {r["media_id"]: r.asDict() for r in audio_features(media).collect()}
         for mid, payload in payloads:
             assert got[mid] == audio_feature_row(mid, payload)
+
+
+class TestDuplicateComponents:
+    def test_chain_triangle_and_pair(self, spark):
+        """A 5-node chain (needs several propagation rounds), a triangle,
+        and an isolated pair must each collapse to min-id components."""
+        from deepseek_ocr_customvllm_spark.operators.dedup import (
+            duplicate_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5),      # chain
+             (10, 11), (11, 12), (10, 12),        # triangle
+             (20, 21)],                           # pair
+            ["id_a", "id_b"],
+        )
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in duplicate_components(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                       10: 10, 11: 10, 12: 10,
+                       20: 20, 21: 20}
+
+    def test_long_path_converges(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.dedup import (
+            duplicate_components,
+        )
+
+        # path of 12 nodes ordered so the min label must travel the whole
+        # diameter (worst case for propagation-round count)
+        pairs = spark.createDataFrame(
+            [(k + 1, k) for k in range(1, 12)], ["id_a", "id_b"]
+        )
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in duplicate_components(pairs).collect()
+        }
+        assert set(got.values()) == {1} and len(got) == 12
