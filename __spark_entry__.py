@@ -175,6 +175,32 @@ def _oracle_image_features() -> str:
     )
 
 
+def _oracle_lang_id_multi() -> str:
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{lang}"
+        for lang, pat in textstats.LANG_MARKERS
+    )
+    langs = [lang for lang, _ in textstats.LANG_MARKERS]
+    best = f"greatest({', '.join('n_' + lg for lg in langs)})"
+    argmax = " ".join(f"WHEN n_{lg} = best THEN '{lg}'" for lg in langs)
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         {counts},
+         CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_ws_tokens
+  FROM norm
+),
+b AS (SELECT *, {best} AS best FROM c)
+SELECT doc_id, {', '.join('n_' + lg for lg in langs)}, n_ws_tokens,
+       CASE WHEN n_ws_tokens = 0 THEN 'und'
+            WHEN best * 20 < n_ws_tokens THEN 'und'
+            ELSE CASE {argmax} ELSE 'und' END
+       END AS pred_lang
+FROM b
+"""
+
+
 def _oracle_audio_features() -> str:
     from deepseek_ocr_customvllm_spark.operators.multimodal import audio_feature_row
 
@@ -337,6 +363,10 @@ def _q_token_count(spark, sf_dir):
 
 def _q_lang_id(spark, sf_dir):
     return textstats.language_id(_docs(spark, sf_dir))
+
+
+def _q_lang_id_multi(spark, sf_dir):
+    return textstats.language_id_multi(_docs(spark, sf_dir))
 
 
 def _q_quality_score(spark, sf_dir):
@@ -783,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_doc_stats": _q_flagship_doc_stats,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
+        "lang_id_multi": _q_lang_id_multi,
         "quality_score": _q_quality_score,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
@@ -1053,6 +1084,7 @@ SELECT doc_id, n_stopwords, n_ws_tokens,
        CASE WHEN n_stopwords * 10 >= n_ws_tokens THEN 'en' ELSE 'und' END AS pred_lang
 FROM c
 """,
+        "lang_id_multi": _oracle_lang_id_multi(),
         "quality_score": f"""
 WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
 c AS (

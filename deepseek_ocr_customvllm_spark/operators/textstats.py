@@ -71,6 +71,45 @@ def language_id(df: DataFrame) -> DataFrame:
     )
 
 
+# Per-language stopword markers (frozen; order = tie-break priority).
+LANG_MARKERS = (
+    ("en", r"\b(the|and|of|to|in|was)\b"),
+    ("de", r"\b(der|die|das|und|nicht|ist)\b"),
+    ("fr", r"\b(le|les|des|est|dans|une)\b"),
+    ("es", r"\b(el|los|las|es|por|una)\b"),
+)
+
+
+def language_id_multi(df: DataFrame) -> DataFrame:
+    """Multi-language stopword-marker identification (en/de/fr/es/und).
+
+    One marker-count column per language (pure ``regexp_extract_all``,
+    JVM-side); prediction = first language in priority order whose count
+    ties the maximum (deterministic argmax), gated to ``und`` when the
+    winning count is under 5% of the whitespace tokens.  The standard
+    cheap tier before a real classifier; the DuckDB oracle reproduces the
+    CASE chain verbatim.
+    """
+    d = with_norm(df)
+    n_ws = F.when(F.col("t") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("t"), " "))
+    )
+    counts = {
+        lang: F.size(F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0)))
+        for lang, pat in LANG_MARKERS
+    }
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    for lang, _ in reversed(LANG_MARKERS):
+        pred = F.when(counts[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best * 20 >= n_ws, pred).otherwise(F.lit("und"))
+    pred = F.when(n_ws == 0, F.lit("und")).otherwise(pred)
+    cols = [F.col("doc_id")]
+    cols += [counts[lang].alias(f"n_{lang}") for lang, _ in LANG_MARKERS]
+    cols += [n_ws.alias("n_ws_tokens"), pred.alias("pred_lang")]
+    return d.select(*cols)
+
+
 def quality_scores(df: DataFrame) -> DataFrame:
     """Deterministic quality features + composite score per document."""
     d = with_norm(df)
