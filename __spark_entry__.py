@@ -175,6 +175,74 @@ def _oracle_image_features() -> str:
     )
 
 
+def _oracle_corpus_filter() -> str:
+    """Hybrid oracle: the SQL-expressible signals (tokens, multi-language
+    argmax, quality score) recompute in DuckDB; only the zlib ratio joins
+    in as a Python-computed VALUES table."""
+    import math
+    import zlib
+
+    zrows = []
+    for did, text in _oracle_docs_rows(("doc_id", "text")):
+        enc = (text or "").encode("utf-8")
+        z = len(zlib.compress(enc, textstats.ZLIB_LEVEL))
+        zrows.append((did, math.floor((z * 1.0 / max(len(enc), 1)) * 10000) / 10000))
+    zvals = _values_oracle(
+        zrows, ["doc_id", "compress_ratio"], {"doc_id": "bigint", "compress_ratio": "double"}
+    )
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{lang}"
+        for lang, pat in textstats.LANG_MARKERS
+    )
+    langs = [lang for lang, _ in textstats.LANG_MARKERS]
+    best = f"greatest({', '.join('n_' + lg for lg in langs)})"
+    argmax = " ".join(f"WHEN n_{lg} = best THEN '{lg}'" for lg in langs)
+    return f"""
+WITH z AS ({zvals}),
+norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         {counts},
+         CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_words,
+         len(regexp_extract_all(t, '{_STOP_RE}')) AS n_stop,
+         length(t) AS n_chars
+  FROM norm
+),
+b AS (SELECT *, {best} AS best,
+             floor(n_chars * 1.0 / greatest(n_words, 1) * 10000) / 10000 AS awl,
+             floor(n_stop * 1.0 / greatest(n_words, 1) * 10000) / 10000 AS sr
+      FROM c),
+s AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words = 0 THEN 'und'
+              WHEN best * 20 < n_words THEN 'und'
+              ELSE CASE {argmax} ELSE 'und' END
+         END AS pred_lang,
+         floor((least(1.0, n_words / 100.0) * 0.5 + sr * 0.3 +
+                CASE WHEN awl >= 3 AND awl <= 8 THEN 0.2 ELSE 0.0 END) * 10000)
+           / 10000 AS quality_score
+  FROM b
+),
+j AS (SELECT s.*, z.compress_ratio FROM s JOIN z ON z.doc_id = s.doc_id)
+SELECT doc_id, n_words, pred_lang, quality_score, compress_ratio,
+       CASE WHEN n_words < {textstats.FILTER_MIN_WORDS} THEN 'too_short'
+            WHEN pred_lang = 'und' THEN 'lang_unknown'
+            WHEN quality_score < {textstats.FILTER_MIN_QUALITY} THEN 'low_quality'
+            WHEN compress_ratio < {textstats.FILTER_RATIO_LO}
+              OR compress_ratio > {textstats.FILTER_RATIO_HI} THEN 'compress_anomaly'
+            ELSE 'kept'
+       END AS reason,
+       (CASE WHEN n_words < {textstats.FILTER_MIN_WORDS} THEN 'too_short'
+            WHEN pred_lang = 'und' THEN 'lang_unknown'
+            WHEN quality_score < {textstats.FILTER_MIN_QUALITY} THEN 'low_quality'
+            WHEN compress_ratio < {textstats.FILTER_RATIO_LO}
+              OR compress_ratio > {textstats.FILTER_RATIO_HI} THEN 'compress_anomaly'
+            ELSE 'kept'
+       END) = 'kept' AS keep
+FROM j
+"""
+
+
 def _oracle_lang_id_multi() -> str:
     counts = ",\n         ".join(
         f"len(regexp_extract_all(t, '{pat}')) AS n_{lang}"
@@ -371,6 +439,10 @@ def _q_lang_id_multi(spark, sf_dir):
 
 def _q_quality_score(spark, sf_dir):
     return textstats.quality_scores(_docs(spark, sf_dir))
+
+
+def _q_corpus_filter(spark, sf_dir):
+    return textstats.corpus_filter(_docs(spark, sf_dir))
 
 
 def _q_doc_fingerprint(spark, sf_dir):
@@ -815,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "lang_id_multi": _q_lang_id_multi,
         "quality_score": _q_quality_score,
+        "corpus_filter": _q_corpus_filter,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -1085,6 +1158,7 @@ SELECT doc_id, n_stopwords, n_ws_tokens,
 FROM c
 """,
         "lang_id_multi": _oracle_lang_id_multi(),
+        "corpus_filter": _oracle_corpus_filter(),
         "quality_score": f"""
 WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
 c AS (

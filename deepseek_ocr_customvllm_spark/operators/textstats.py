@@ -203,6 +203,96 @@ def compression_quality(df: DataFrame) -> DataFrame:
     )
 
 
+# corpus-filter thresholds (frozen contract)
+FILTER_MIN_WORDS = 10
+FILTER_MIN_QUALITY = 0.5
+FILTER_RATIO_LO = 0.25
+FILTER_RATIO_HI = 0.95
+
+
+def corpus_filter(df: DataFrame) -> DataFrame:
+    """The keep/drop decision a training-data pipeline materializes.
+
+    One pass over ``documents``: every signal is computed inline in a
+    single select (one scan, zero joins — at 10^12 docs a join-per-signal
+    plan would shuffle the corpus once per signal), reusing the exact
+    expressions of the individual operators plus the zlib pandas_udf.
+    Rules, checked in order (first failure is the drop reason):
+
+    1. ``too_short``        n_words < 10
+    2. ``lang_unknown``     multi-language argmax says 'und'
+    3. ``low_quality``      composite quality score < 0.5
+    4. ``compress_anomaly`` zlib ratio outside [0.25, 0.95]
+                            (too low = degenerate repetition, too high =
+                            high-entropy non-text)
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def zlib_len(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), ZLIB_LEVEL))
+            if t is not None
+            else 0
+        )
+
+    d = with_norm(df)
+    words = F.when(F.col("t") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("t"), " "))
+    )
+    n_stop = F.size(F.regexp_extract_all(F.col("t"), F.lit(STOPWORD_PATTERN), F.lit(0)))
+    chars = F.length("t")
+    avg_word_len = dtrunc(chars * F.lit(1.0) / F.greatest(words, F.lit(1)), 4)
+    stop_ratio = dtrunc(n_stop * F.lit(1.0) / F.greatest(words, F.lit(1)), 4)
+    score = dtrunc(
+        F.least(F.lit(1.0), words / F.lit(100.0)) * 0.5
+        + stop_ratio * 0.3
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 8), F.lit(0.2)).otherwise(
+            F.lit(0.0)
+        ),
+        4,
+    )
+    counts = {
+        lang: F.size(F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0)))
+        for lang, pat in LANG_MARKERS
+    }
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    for lang, _ in reversed(LANG_MARKERS):
+        pred = F.when(counts[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best * 20 >= words, pred).otherwise(F.lit("und"))
+    pred = F.when(words == 0, F.lit("und")).otherwise(pred)
+
+    n_bytes = F.octet_length("text")
+    ratio = dtrunc(
+        zlib_len(F.col("text")) * F.lit(1.0) / F.greatest(n_bytes, F.lit(1)), 4
+    )
+
+    sig = d.select(
+        "doc_id",
+        words.alias("n_words"),
+        pred.alias("pred_lang"),
+        score.alias("quality_score"),
+        ratio.alias("compress_ratio"),
+    )
+    reason = (
+        F.when(F.col("n_words") < FILTER_MIN_WORDS, F.lit("too_short"))
+        .when(F.col("pred_lang") == "und", F.lit("lang_unknown"))
+        .when(F.col("quality_score") < FILTER_MIN_QUALITY, F.lit("low_quality"))
+        .when(
+            (F.col("compress_ratio") < FILTER_RATIO_LO)
+            | (F.col("compress_ratio") > FILTER_RATIO_HI),
+            F.lit("compress_anomaly"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return sig.withColumn("reason", reason).withColumn(
+        "keep", F.col("reason") == "kept"
+    )
+
+
 def fingerprints(df: DataFrame) -> DataFrame:
     """md5 fingerprints of the normalized text (whole doc + 64-char head)."""
     d = with_norm(df)
