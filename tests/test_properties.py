@@ -131,3 +131,53 @@ class TestStructuralInvariants:
         # lossy regex parse after whitespace strip
         stripped = [[c.strip() for c in row] for row in rows]
         assert parse_html_table(rows_to_html(stripped)) == stripped
+
+
+class TestDecoderProperties:
+    @given(
+        st.integers(0, 2**31 - 1),
+        st.integers(1, 40),
+        st.integers(1, 30),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_bmp_synth_decode_round_trip(self, seed, width, height):
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _decode_bmp,
+            synth_bmp,
+        )
+
+        img = _decode_bmp(synth_bmp(seed, width=width, height=height))
+        assert (img["width"], img["height"]) == (width, height)
+        # every pixel matches the generator formula (decoded top-down)
+        for y in (0, height - 1):
+            src_y = height - 1 - y
+            for x in (0, width - 1):
+                v = (seed * 2654435761 + src_y * 97 + x * 31) & 0xFFFFFFFF
+                assert img["rows"][y][x] == (
+                    v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF
+                )
+
+    @given(st.integers(0, 2**31 - 1), st.integers(1, 500), st.sampled_from([8000, 16000, 44100]))
+    @settings(max_examples=40, deadline=None)
+    def test_wav_synth_decode_round_trip(self, seed, n_samples, rate):
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            decode_wav,
+            synth_wav,
+        )
+
+        a = decode_wav(synth_wav(seed, n_samples=n_samples, rate=rate))
+        assert a["n_samples"] == n_samples
+        assert a["sample_rate"] == rate
+        assert a["duration_ms"] == (n_samples * 1000) // rate
+
+    @given(st.binary(max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_feature_rows_total_on_garbage(self, payload):
+        """Arbitrary bytes must never raise — they become 'unsupported'."""
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            audio_feature_row,
+            image_feature_row,
+        )
+
+        assert image_feature_row(0, payload)["media_id"] == 0
+        assert audio_feature_row(0, payload)["media_id"] == 0

@@ -763,3 +763,52 @@ class TestDuplicateComponents:
             for r in duplicate_components(pairs).collect()
         }
         assert set(got.values()) == {1} and len(got) == 12
+
+
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize to min member per component
+    comp = {}
+    for x in list(parent):
+        comp.setdefault(find(x), []).append(x)
+    return {x: root for root, xs in comp.items() for x in xs}
+
+
+class TestComponentsModel:
+    def test_random_graphs_match_union_find(self, spark):
+        """Random edge sets: the distributed min-label propagation must
+        agree with a plain union-find model."""
+        import random
+
+        rng = random.Random(816)
+        for trial in range(3):
+            n = rng.randint(5, 30)
+            edges = [
+                (rng.randint(0, n), rng.randint(0, n))
+                for _ in range(rng.randint(1, 25))
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            if not edges:
+                continue
+            from deepseek_ocr_customvllm_spark.operators.dedup import (
+                duplicate_components,
+            )
+
+            pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+            got = {
+                r["doc_id"]: r["component_id"]
+                for r in duplicate_components(pairs).collect()
+            }
+            assert got == _union_find_components(edges), f"trial {trial}: {edges}"
