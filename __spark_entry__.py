@@ -445,6 +445,24 @@ def _q_corpus_filter(spark, sf_dir):
     return textstats.corpus_filter(_docs(spark, sf_dir))
 
 
+def _q_doc_sample(spark, sf_dir):
+    return textstats.doc_sample(_docs(spark, sf_dir)).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _q_domain_stats(spark, sf_dir):
+    # the documents table carries no url; derive deterministic per-source
+    # hosts (with a www. prefix so the strip rule is exercised)
+    docs = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".test/doc/"), F.col("doc_id")
+        ),
+    )
+    return textstats.domain_stats(docs)
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir))
 
@@ -888,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_multi": _q_lang_id_multi,
         "quality_score": _q_quality_score,
         "corpus_filter": _q_corpus_filter,
+        "doc_sample": _q_doc_sample,
+        "domain_stats": _q_domain_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "dedup_exact": _q_dedup_exact,
@@ -1159,6 +1179,28 @@ FROM c
 """,
         "lang_id_multi": _oracle_lang_id_multi(),
         "corpus_filter": _oracle_corpus_filter(),
+        "doc_sample": f"""
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+         {dedup.hex_to_bigint_sql("'sample-v1' || cast(doc_id as varchar)", 8)} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM b WHERE bucket < 10
+""",
+        "domain_stats": """
+WITH u AS (
+  SELECT regexp_replace(
+           regexp_extract('https://www.' || source || '.test/doc/' || doc_id,
+                          '^[a-z]+://([^/]+)', 1),
+           '^www\\.', '') AS domain,
+         n_chars
+  FROM documents
+)
+SELECT domain, count(*) AS n_docs,
+       cast(sum(n_chars) as bigint) AS total_chars,
+       floor(avg(n_chars) * 100) / 100 AS avg_chars
+FROM u GROUP BY domain
+""",
         "quality_score": f"""
 WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
 c AS (

@@ -203,6 +203,46 @@ def compression_quality(df: DataFrame) -> DataFrame:
     )
 
 
+def doc_sample(df: DataFrame, percent: int = 10, salt: str = "sample-v1") -> DataFrame:
+    """Deterministic hash sampling — the reproducible way to cut an
+    eval/dev slice from a moving corpus.
+
+    Keep iff ``first-8-hex-of-md5(salt || doc_id) mod 100 < percent``:
+    a pure function of (doc_id, salt), so the same docs are sampled on
+    every run, at any parallelism, and when the corpus grows the old
+    sample stays a subset decision per doc (unlike ``df.sample``, whose
+    membership depends on partitioning and seed plumbing).  md5-derived
+    so the DuckDB oracle agrees bit-for-bit.
+    """
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('" + salt + "', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100"
+    )
+    return df.withColumn("_b", bucket).filter(F.col("_b") < percent).drop("_b")
+
+
+def domain_stats(df: DataFrame) -> DataFrame:
+    """Per-registered-host rollup — the grouping every crawl pipeline
+    runs (robots audits, per-site caps, quality triage).
+
+    Host extraction is a plain regex (identical text in the DuckDB
+    oracle — deliberately NOT Spark's ``parse_url``, which the oracle
+    engine lacks), ``www.`` stripped.  The aggregation is a hash groupBy
+    with map-side combine; Zipf-hot domains are exactly the skew the
+    AQE skew-join test and the salted extraction repartition exist for.
+    """
+    host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    return (
+        df.select(host.alias("domain"), "n_chars")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.floor(F.avg("n_chars") * 100) / 100).alias("avg_chars"),
+        )
+    )
+
+
 # corpus-filter thresholds (frozen contract)
 FILTER_MIN_WORDS = 10
 FILTER_MIN_QUALITY = 0.5
