@@ -812,3 +812,33 @@ class TestComponentsModel:
                 for r in duplicate_components(pairs).collect()
             }
             assert got == _union_find_components(edges), f"trial {trial}: {edges}"
+
+
+class TestStreamingCorpusOps:
+    def test_corpus_filter_runs_on_a_stream(self, spark, tmpdir):
+        """The corpus keep/drop pass is stateless, so it must compose with
+        Structured Streaming unchanged (same operator object, readStream
+        source) and agree with the batch result."""
+        from deepseek_ocr_customvllm_spark.operators.textstats import corpus_filter
+
+        landing = os.path.join(tmpdir, "landing")
+        docs = spark.read.parquet(os.path.join(SF0001, "documents.parquet"))
+        docs.write.parquet(landing)
+        batch = {r["doc_id"]: r["reason"] for r in corpus_filter(docs).collect()}
+
+        stream = spark.readStream.schema(docs.schema).parquet(landing)
+        out_dir = os.path.join(tmpdir, "out")
+        q = (
+            corpus_filter(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = {
+            r["doc_id"]: r["reason"] for r in spark.read.parquet(out_dir).collect()
+        }
+        assert streamed == batch
