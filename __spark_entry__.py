@@ -721,23 +721,15 @@ def _q_multimodal_inspect(spark, sf_dir):
 
 
 def _media_payload(doc_id: int) -> bytes:
-    """Deterministic media corpus: BMPs, PPMs, and some compressed-codec
-    payloads (which must become 'unsupported' rows, not failures)."""
-    from deepseek_ocr_customvllm_spark.operators import multimodal
+    from deepseek_ocr_customvllm_spark.operators.multimodal import synth_media_payload
 
-    if doc_id % 29 == 0:
-        return b"\x89PNG\r\n\x1a\n" + b"compressed-not-decodable"
-    if doc_id % 7 == 3:
-        return multimodal.synth_ppm(doc_id)
-    return multimodal.synth_bmp(doc_id)
+    return synth_media_payload(doc_id)
 
 
 def _audio_payload(doc_id: int) -> bytes:
-    from deepseek_ocr_customvllm_spark.operators import multimodal
+    from deepseek_ocr_customvllm_spark.operators.multimodal import synth_audio_payload
 
-    if doc_id % 23 == 0:
-        return b"ID3\x04\x00compressed-mp3-not-decodable"
-    return multimodal.synth_wav(doc_id, n_samples=400 + (doc_id % 5) * 100)
+    return synth_audio_payload(doc_id)
 
 
 def _q_audio_features(spark, sf_dir):
@@ -747,12 +739,18 @@ def _q_audio_features(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
 
     def gen(it):
+        # imports INSIDE the closure: executors import the (py-files
+        # shipped) package, never this driver-contract module
         import pandas as pd
+
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            synth_audio_payload,
+        )
 
         for pdf in it:
             ids = pdf["doc_id"].tolist()
             yield pd.DataFrame(
-                {"media_id": ids, "payload": [_audio_payload(i) for i in ids]}
+                {"media_id": ids, "payload": [synth_audio_payload(i) for i in ids]}
             )
 
     media = docs.mapInPandas(gen, schema="media_id long, payload binary")
@@ -768,12 +766,18 @@ def _q_image_features(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
 
     def gen(it):
+        # imports INSIDE the closure: executors import the (py-files
+        # shipped) package, never this driver-contract module
         import pandas as pd
+
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            synth_media_payload,
+        )
 
         for pdf in it:
             ids = pdf["doc_id"].tolist()
             yield pd.DataFrame(
-                {"media_id": ids, "payload": [_media_payload(i) for i in ids]}
+                {"media_id": ids, "payload": [synth_media_payload(i) for i in ids]}
             )
 
     media = docs.mapInPandas(gen, schema="media_id long, payload binary")

@@ -216,6 +216,24 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def synth_media_payload(doc_id: int) -> bytes:
+    """Deterministic mixed media corpus keyed by doc id: BMPs, PPMs, and
+    some compressed-codec payloads (which must become 'unsupported' rows,
+    not failures)."""
+    if doc_id % 29 == 0:
+        return b"\x89PNG\r\n\x1a\n" + b"compressed-not-decodable"
+    if doc_id % 7 == 3:
+        return synth_ppm(doc_id)
+    return synth_bmp(doc_id)
+
+
+def synth_audio_payload(doc_id: int) -> bytes:
+    """Deterministic audio corpus: WAVs plus some mp3-header payloads."""
+    if doc_id % 23 == 0:
+        return b"ID3\x04\x00compressed-mp3-not-decodable"
+    return synth_wav(doc_id, n_samples=400 + (doc_id % 5) * 100)
+
+
 def decode_image(payload: bytes) -> dict:
     """Dispatch on magic bytes; real decode for uncompressed formats,
     honest ``NotImplementedError`` for compressed codecs."""
