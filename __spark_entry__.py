@@ -392,19 +392,24 @@ bits AS (SELECT doc_id, {bit_aggs} FROM vals GROUP BY doc_id)
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract a pages corpus derived from sf0.001 documents,
-    summarize by content type / status."""
+    roll up by source / content type / status (the per-site extraction
+    health report a crawl operator reads)."""
     docs = _docs(spark, SF0001)
     pages = pages_from_documents(docs)
     extracted = extract_pages(pages, num_partitions=8)
+    source = F.regexp_extract(F.col("url"), r"^https://docs\.test/([^/]+)/", 1)
     return (
-        extracted.groupBy("content_type", "status")
+        extracted.groupBy(
+            source.alias("source"), "content_type", "status"
+        )
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_pages").alias("n_pages"),
             F.sum("n_blocks").alias("n_blocks"),
             F.sum("n_chars").alias("n_chars"),
+            F.sum(F.size("spans")).alias("n_spans"),
         )
-        .orderBy("content_type", "status")
+        .orderBy("source", "content_type", "status")
     )
 
 
