@@ -181,3 +181,54 @@ def test_cyclic_page_tree_terminates():
     pdf += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
     # must terminate and still find the real page (guard only prunes depth)
     assert extract_pdf_pages(pdf) == ["survivor"]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: random document layouts
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _random_pdf(draw):
+    """A random multi-page PDF: arbitrary object order, optional per-page
+    compression, 1-4 pages of plain text; returns (pdf_bytes, expected)."""
+    n_pages = draw(st.integers(1, 4))
+    texts = [
+        draw(st.text(alphabet="abcDEF 123", min_size=1, max_size=20)).strip() or "x"
+        for _ in range(n_pages)
+    ]
+    compress = [draw(st.booleans()) for _ in range(n_pages)]
+    page_objs = []   # (num, body)
+    stream_objs = []
+    for k in range(n_pages):
+        page_num, stream_num = 10 + k, 50 + k
+        page_objs.append((page_num, _page(stream_num)))
+        stream_objs.append(
+            (stream_num, _stream_obj(stream_num, _content(texts[k]), compress[k]))
+        )
+    kids = " ".join(f"{10 + k} 0 R" for k in range(n_pages))
+    fixed = [
+        (1, _obj(1, _CATALOG)),
+        (2, _obj(
+            2,
+            b"<< /Type /Pages /Kids [" + kids.encode() + b"] /Count %d"
+            b" /MediaBox [0 0 612 792] >>" % n_pages,
+        )),
+        (9, _obj(9, _FONT)),
+    ] + [(n, _obj(n, b_)) for n, b_ in page_objs] + [
+        (n, s) for n, s in stream_objs
+    ]
+    order = draw(st.permutations(fixed))
+    pdf = b"%PDF-1.4\n" + b"".join(body for _, body in order)
+    pdf += b"trailer\n<< /Size 99 /Root 1 0 R >>\n%%EOF\n"
+    return pdf, texts
+
+
+@given(_random_pdf())
+@settings(max_examples=60, deadline=None)
+def test_random_layouts_extract_in_page_order(case):
+    pdf, texts = case
+    assert extract_pdf_pages(pdf) == texts
