@@ -842,3 +842,50 @@ class TestStreamingCorpusOps:
             r["doc_id"]: r["reason"] for r in spark.read.parquet(out_dir).collect()
         }
         assert streamed == batch
+
+
+class TestScalarUdfTier:
+    """SURVEY §2.9: the standalone scalar pandas_udf wrappers must agree
+    byte-for-byte with the pure functions the fused stage calls."""
+
+    def test_udfs_match_direct_calls(self, spark):
+        from deepseek_ocr_customvllm_spark.extractor.blocks import parse_blocks
+        from deepseek_ocr_customvllm_spark.extractor.markdown import clean_page
+        from deepseek_ocr_customvllm_spark.extractor.tags import (
+            resolve_tags_document,
+        )
+        from deepseek_ocr_customvllm_spark.operators.extract import _superset_block
+        from deepseek_ocr_customvllm_spark.operators.udfs import (
+            blocks_from_text,
+            clean_markdown,
+            clean_page_udf,
+        )
+
+        texts = [
+            "# H\npara text here",
+            "<|ref|>image<|/ref|><|det|>[[1, 2, 3, 4]]<|/det|> body \\eqqcolon x",
+            "| a | 1 |\n| total | 1 |",
+            "",
+            "<｜end▁of▁sentence｜>",
+        ]
+        rows = [(i, t, f"doc{i:08x}0000") for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, ["i", "text", "doc_id"])
+        got = {
+            r["i"]: r
+            for r in df.select(
+                "i",
+                clean_markdown(F.col("text"), F.col("doc_id")).alias("clean"),
+                clean_page_udf(F.col("text")).alias("page"),
+                blocks_from_text(F.col("text"), F.col("doc_id")).alias("blocks"),
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            did = f"doc{i:08x}0000"
+            assert got[i]["clean"] == resolve_tags_document(t, did)
+            assert got[i]["page"] == clean_page(t, 0)[0]
+            expected_blocks = [
+                _superset_block(b)
+                for b in parse_blocks(resolve_tags_document(t, did))
+            ]
+            got_blocks = [r.asDict(recursive=True) for r in (got[i]["blocks"] or [])]
+            assert got_blocks == expected_blocks
