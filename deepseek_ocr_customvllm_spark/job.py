@@ -27,9 +27,26 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deepseek_ocr_customvllm_spark.operators.extract import extract_pages, lineage_from_extracted
+from pyspark.sql import types as T
+
+from deepseek_ocr_customvllm_spark.operators.extract import (
+    EXTRACTED_SCHEMA,
+    extract_pages,
+    lineage_from_extracted,
+)
 from deepseek_ocr_customvllm_spark.plans.session import get_spark
 from deepseek_ocr_customvllm_spark.plans.state import open_state_store
+
+# Explicit read schema (extracted columns + the job_id partition column):
+# schema inference fails on a table whose last rewrite produced zero rows
+# (e.g. a purge of every url).
+_EXTRACTED_READ_SCHEMA = T.StructType(
+    list(EXTRACTED_SCHEMA.fields) + [T.StructField("job_id", T.StringType())]
+)
+
+
+def _read_extracted_raw(spark: SparkSession, extracted_path: str) -> DataFrame:
+    return spark.read.schema(_EXTRACTED_READ_SCHEMA).parquet(extracted_path)
 
 
 def run_extraction_job(
@@ -71,7 +88,7 @@ def run_extraction_job(
     ).parquet(extracted_path)
 
     this_run = (
-        spark.read.parquet(extracted_path)
+        _read_extracted_raw(spark, extracted_path)
         .filter(F.col("job_id") == job_id)
         .select("url", "status", "warc_ts", "partition_id", "n_bytes_in", "t_ms")
     )
@@ -109,7 +126,7 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    df = spark.read.parquet(os.path.join(out_dir, "extracted"))
+    df = _read_extracted_raw(spark, os.path.join(out_dir, "extracted"))
     w = Window.partitionBy("url").orderBy(F.col("job_id").desc())
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -134,7 +151,7 @@ def purge_urls(spark: SparkSession, out_dir: str, urls_df: DataFrame) -> int:
 
     extracted_path = os.path.join(out_dir, "extracted")
     urls = urls_df.select("url")
-    current = spark.read.parquet(extracted_path)
+    current = _read_extracted_raw(spark, extracted_path)
     n_before = current.count()
     remaining = current.join(urls, "url", "left_anti")
 
@@ -151,7 +168,7 @@ def purge_urls(spark: SparkSession, out_dir: str, urls_df: DataFrame) -> int:
     state = open_state_store(spark, os.path.join(out_dir, "extraction_state"))
     if hasattr(state, "delete_urls"):
         state.delete_urls(urls)
-    n_after = spark.read.parquet(extracted_path).count()
+    n_after = _read_extracted_raw(spark, extracted_path).count()
     return n_before - n_after
 
 

@@ -889,3 +889,19 @@ class TestScalarUdfTier:
             ]
             got_blocks = [r.asDict(recursive=True) for r in (got[i]["blocks"] or [])]
             assert got_blocks == expected_blocks
+
+
+class TestPurgeAll:
+    def test_purging_every_url_leaves_a_readable_table(self, spark, tmpdir):
+        from deepseek_ocr_customvllm_spark.job import purge_urls, read_extracted
+
+        pages = synth_pages_df(spark, 20)
+        run_extraction_job(spark, pages, tmpdir, num_partitions=2, max_bytes=MAXB)
+        all_urls = pages.select("url")
+        removed = purge_urls(spark, tmpdir, all_urls)
+        assert removed == 20
+        # the emptied table must still read (explicit schema, no inference)
+        assert read_extracted(spark, tmpdir).count() == 0
+        # and re-ingestion works from scratch
+        m = run_extraction_job(spark, pages, tmpdir, num_partitions=2, max_bytes=MAXB)
+        assert m["rows_extracted"] == 20
