@@ -31,17 +31,6 @@ def _stream_obj(num: int, payload: bytes, compress: bool = False) -> bytes:
     return _obj(num, head + payload + b"\nendstream")
 
 
-def _assemble(objects: list, root: int = 1) -> bytes:
-    """objects: list of (num, body) IN THE GIVEN BYTE ORDER."""
-    out = b"%PDF-1.4\n"
-    for num, body in objects:
-        out += _obj(num, body) if not body.startswith(b"<< /Length") else (
-            b"%d 0 obj\n" % num + body + b"\nendobj\n"
-        )
-    out += b"trailer\n<< /Size %d /Root %d 0 R >>\n%%%%EOF\n" % (len(objects) + 1, root)
-    return out
-
-
 def _page(contents_ref, parent: int = 2, extra: bytes = b"") -> bytes:
     if isinstance(contents_ref, list):
         refs = b"[" + b" ".join(b"%d 0 R" % r for r in contents_ref) + b"]"
@@ -64,10 +53,7 @@ _CATALOG = b"<< /Type /Catalog /Pages 2 0 R >>"
 def test_reordered_objects_extract_in_page_order():
     """Streams written in REVERSE byte order must still come out as
     page 1 then page 2 (the byte-order scan would swap them)."""
-    objects = [
-        (6, _stream_obj(6, _content("second page"))[10:-8]),
-    ]
-    # build manually: put stream objects FIRST and reversed, pages after
+    # stream objects FIRST and reversed, pages after
     pdf = b"%PDF-1.4\n"
     pdf += _stream_obj(6, _content("second page"))
     pdf += _stream_obj(5, _content("first page"))
