@@ -278,6 +278,68 @@ class _ContentParser(HTMLParser):
         self.blocks.append(_Block("table", html_line, _nonspace_len(html_line), 0))
 
 
+# ---------------------------------------------------------------------------
+# fast tokenizer for "simple" documents
+# ---------------------------------------------------------------------------
+#
+# The stdlib HTMLParser.feed loop is the extractor's largest remaining cost
+# (~35% of per-doc time) while _ContentParser consumes only three event
+# kinds (starttag name, endtag name, data — attrs and charrefs unused).
+# For documents built ONLY from unambiguous constructs, a single-regex
+# tokenizer reproduces the stdlib event stream EXACTLY; anything outside
+# that grammar — entities (&), comments/declarations (<!), processing
+# instructions (<?), script/style CDATA modes, malformed or exotic tags,
+# attrs on end tags, dangling '<' — falls back to the stdlib parser BEFORE
+# any event is dispatched (validation completes first), so outputs are
+# byte-identical by construction.  Equivalence is additionally fuzzed in
+# tests/test_realistic_html.py against forced-stdlib parses.
+
+_RISKY_RE = re.compile(r"&|<!|<\?|<script|<style", re.IGNORECASE)
+# '<' followed by a letter (starttag) or '/' (endtag) opens a tag candidate;
+# any other '<' is literal data per the stdlib parser (the corpus embeds
+# grounding pseudo-tags like '<|ref|>' in text, which MUST stay data).
+_TOKEN_RE = re.compile(r"<[a-zA-Z/][^>]*>|[^<]+|<")
+_SIMPLE_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[^\s<>\"'=]+(?:=(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s<>\"'`=]+))?)*)"
+    r"\s*(/?)>"
+)
+
+_EV_DATA, _EV_START, _EV_END, _EV_STARTEND = 0, 1, 2, 3
+
+
+def _fast_events(html_text: str):
+    """Token events mirroring HTMLParser, or None when the document needs
+    the stdlib parser (never dispatches anything on failure)."""
+    if _RISKY_RE.search(html_text):
+        return None
+    events = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(html_text):
+        if m.start() != pos:
+            return None
+        pos = m.end()
+        tok = m.group()
+        if tok[0] == "<" and len(tok) > 1:
+            t = _SIMPLE_TAG_RE.fullmatch(tok)
+            if t is None:
+                return None
+            closing, name, attrs, selfclose = t.groups()
+            if closing and (selfclose or attrs.strip()):
+                return None  # '</x/>' / '</x a=b>' -> stdlib quirk paths
+            if closing:
+                events.append((_EV_END, name.lower()))
+            elif selfclose:
+                events.append((_EV_STARTEND, name.lower()))
+            else:
+                events.append((_EV_START, name.lower()))
+        else:
+            events.append((_EV_DATA, tok))
+    if pos != len(html_text):
+        return None  # dangling '<...' at EOF
+    return events
+
+
 def extract_html_page(html_text: str) -> str:
     """HTML document -> one page of tagged markdown text.
 
@@ -286,8 +348,25 @@ def extract_html_page(html_text: str) -> str:
     lines.  Pure function of the input string.
     """
     parser = _ContentParser()
-    parser.feed(html_text)
-    parser.close()
+    events = _fast_events(html_text)
+    if events is None:
+        parser.feed(html_text)
+        parser.close()
+    else:
+        handle_start = parser.handle_starttag
+        handle_end = parser.handle_endtag
+        handle_data = parser.handle_data
+        for kind, val in events:
+            if kind == _EV_DATA:
+                handle_data(val)
+            elif kind == _EV_START:
+                handle_start(val, [])
+            elif kind == _EV_END:
+                handle_end(val)
+            else:  # <x/> : stdlib default handle_startendtag = start + end
+                handle_start(val, [])
+                handle_end(val)
+        parser._flush()  # the close() tail without the stdlib goahead
 
     out: List[str] = []
     for b in parser.blocks:

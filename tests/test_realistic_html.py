@@ -135,3 +135,74 @@ class TestLargeDocument:
         res = extract_document("u", html)
         assert res.status == "SUCCESS"
         assert "deep content" in res.markdown
+
+
+class TestFastTokenizerEquivalence:
+    """The fast-path tokenizer must be event-equivalent to the stdlib
+    parser wherever the gate admits a document — asserted by running BOTH
+    paths and comparing final extracted text byte-for-byte."""
+
+    @staticmethod
+    def _both_paths(html_text):
+        from deepseek_ocr_customvllm_spark.extractor import html_extract as hx
+
+        fast = hx.extract_html_page(html_text)
+        # force the stdlib path
+        parser = hx._ContentParser()
+        parser.feed(html_text)
+        parser.close()
+        out = []
+        for b in parser.blocks:
+            if b.kind == "table" or b.kind == "img":
+                out.append(b.text)
+                continue
+            if b.chars == 0:
+                continue
+            if hx.LINK_DENSITY_NUM * b.link_chars > b.chars:
+                continue
+            if b.kind == "heading":
+                out.append("#" * b.heading_level + " " + b.text)
+            else:
+                out.append(b.text)
+        return fast, "\n\n".join(out)
+
+    def test_corpus_documents_agree(self):
+        from deepseek_ocr_customvllm_spark.sources.pagegen import synth_page
+
+        n_checked = 0
+        for i in range(150):
+            p = synth_page(i, 2)
+            if p["html"][:5] == b"%PDF-":
+                continue
+            html_text = p["html"].decode("utf-8", errors="replace")
+            fast, slow = self._both_paths(html_text)
+            assert fast == slow, p["url"]
+            n_checked += 1
+        assert n_checked > 100
+
+    def test_fuzzed_documents_agree(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        snippet = st.one_of(
+            st.text(alphabet="ab <>|/=\"'\n\t&;#!?", max_size=25),
+            st.sampled_from(
+                [
+                    "<p>", "</p>", "<P>", "</ P>", "<br/>", "<a href='x'>",
+                    "</a>", "<div class=\"a b\">", "<h2>", "</h2>",
+                    "<table><tr><td>", "</td></tr></table>", "<|ref|>x<|/ref|>",
+                    "<|det|>[[1,2,3,4]]<|/det|>", "<em unquoted=v>", "<x",
+                    "a < b > c", "<!-- comment -->", "&amp;", "<ul><li>",
+                    "<img src=y>", "<pre>", "</pre>", "<td a='>'>",
+                ]
+            ),
+        )
+        docs = st.lists(snippet, max_size=20).map("".join)
+
+        @settings(max_examples=200, deadline=None)
+        @given(docs)
+        def check(html_text):
+            fast, slow = self._both_paths(html_text)
+            assert fast == slow
+
+        check()
