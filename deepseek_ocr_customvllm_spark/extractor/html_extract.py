@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import re
 from html.parser import HTMLParser
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 # ---- frozen heuristics (define golden-fixture bytes; do not tune) ----
 # A block survives iff 3 * link_chars <= chars (link density <= 1/3).
