@@ -450,6 +450,10 @@ def _q_corpus_filter(spark, sf_dir):
     return textstats.corpus_filter(_docs(spark, sf_dir))
 
 
+def _q_vocab_topk(spark, sf_dir):
+    return textstats.vocab_topk(_docs(spark, sf_dir))
+
+
 def _q_doc_sample(spark, sf_dir):
     return textstats.doc_sample(_docs(spark, sf_dir)).select(
         "doc_id", "source", "n_chars"
@@ -915,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_multi": _q_lang_id_multi,
         "quality_score": _q_quality_score,
         "corpus_filter": _q_corpus_filter,
+        "vocab_topk": _q_vocab_topk,
         "doc_sample": _q_doc_sample,
         "domain_stats": _q_domain_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1188,6 +1193,12 @@ FROM c
 """,
         "lang_id_multi": _oracle_lang_id_multi(),
         "corpus_filter": _oracle_corpus_filter(),
+        "vocab_topk": f"""
+WITH norm AS (SELECT {_NORM_DUCK} AS t FROM documents),
+toks AS (SELECT unnest(string_split(t, ' ')) AS token FROM norm WHERE t <> '')
+SELECT token, count(*) AS n FROM toks GROUP BY token
+ORDER BY n DESC, token LIMIT 100
+""",
         "doc_sample": f"""
 WITH b AS (
   SELECT doc_id, source, n_chars,

@@ -203,6 +203,24 @@ def compression_quality(df: DataFrame) -> DataFrame:
     )
 
 
+def vocab_topk(df: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by document-wide frequency.
+
+    Explode -> hash-aggregate (map-side combined: the shuffle carries one
+    row per distinct token per partition, not one per occurrence) ->
+    global top-k with a deterministic (count desc, token asc) tie-break.
+    The final ordering is a single-partition sort of only the aggregated
+    vocabulary — tiny next to the corpus — which is the correct top-k
+    shape at any scale.
+    """
+    d = with_norm(df)
+    toks = d.filter(F.col("t") != "").select(
+        F.explode(F.split("t", " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
+
+
 def doc_sample(df: DataFrame, percent: int = 10, salt: str = "sample-v1") -> DataFrame:
     """Deterministic hash sampling — the reproducible way to cut an
     eval/dev slice from a moving corpus.
