@@ -702,6 +702,56 @@ def _q_top_customers_per_region(spark, sf_dir):
     return spark.sql(_TOP_CUSTOMERS_SQL)
 
 
+def _funnel_sql(ts_diff: str) -> str:
+    """Dialect-shared funnel query; ``ts_diff`` is the engine's
+    seconds-between expression (Spark unix_timestamp vs DuckDB epoch)."""
+    return f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(CASE WHEN prev IS NULL OR ({ts_diff}) > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e
+),
+o AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id) AS ord
+  FROM s
+),
+conv AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'view' THEN ord END) AS first_view_ord,
+         max(CASE WHEN event_type = 'purchase' THEN ord END) AS last_purchase_ord
+  FROM o GROUP BY user_id, session_id
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       cast(sum(CASE WHEN first_view_ord IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+         AS n_view_sessions,
+       cast(sum(CASE WHEN first_view_ord IS NOT NULL
+                      AND last_purchase_ord > first_view_ord
+                     THEN 1 ELSE 0 END) AS bigint) AS n_converted
+FROM conv GROUP BY user_id
+"""
+
+
+def _q_events_funnel(spark, sf_dir):
+    """View -> purchase conversion per 30-minute session: sessionize
+    (gap windows), order within session, flag sessions where a purchase
+    follows the first view."""
+    _ensure_utc(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _funnel_sql("unix_timestamp(ts) - unix_timestamp(prev)")
+    )
+
+
 def _q_events_sessionize(spark, sf_dir):
     _ensure_utc(spark)
     register_views(spark, sf_dir)
@@ -945,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "top_customers_per_region": _q_top_customers_per_region,
         "events_sessionize": _q_events_sessionize,
+        "events_funnel": _q_events_funnel,
         "multimodal_inspect": _q_multimodal_inspect,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -1432,6 +1483,7 @@ s AS (
 SELECT user_id, cast(sum(new_session) AS bigint) AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id
 """,
+        "events_funnel": _funnel_sql("floor(epoch(ts)) - floor(epoch(prev))"),
         "multimodal_inspect": """
 SELECT doc_id, cast(strlen(text) as bigint) AS n_bytes,
        md5(substr(text, 1, 64)) AS head_hash
