@@ -137,3 +137,17 @@ def test_entry_smoke(spark):
 
 def test_every_oracle_has_query():
     assert set(_ORACLES) <= set(_QUERIES)
+
+
+def test_no_oracle_emits_driver_hostile_types(duck):
+    """NOTES.md portability rule #7, enforced: no oracle may surface a
+    DECIMAL/HUGEINT/unsigned column (DuckDB SUM(INTEGER) -> decimal128,
+    SUM(BIGINT) -> hugeint), because the driver's value hash sees the
+    Arrow type and mismatches Spark's int64 even when values are equal."""
+    for name, sql in _ORACLES.items():
+        desc = duck.execute(f"DESCRIBE {sql}").fetchall()
+        for col, typ, *_ in desc:
+            assert not any(
+                k in typ.upper()
+                for k in ("DECIMAL", "HUGEINT", "UINTEGER", "UBIGINT")
+            ), f"{name}.{col} is {typ} — cast it (NOTES.md rule #7)"
