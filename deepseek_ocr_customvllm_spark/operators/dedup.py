@@ -59,9 +59,18 @@ def hex32_sql(col_expr: str) -> str:
 # shingling
 # ---------------------------------------------------------------------------
 
-def shingles(df: DataFrame) -> DataFrame:
-    """``documents(doc_id, text)`` -> distinct ``(doc_id, sh)`` word
-    3-gram shingles of the normalized text."""
+def shingles(df: DataFrame, distinct: bool = True) -> DataFrame:
+    """``documents(doc_id, text)`` -> ``(doc_id, sh)`` word 3-gram
+    shingles of the normalized text.
+
+    ``distinct=True`` is required for exact set-Jaccard verification; the
+    MinHash signature path passes ``distinct=False`` because ``min()``
+    over a multiset equals ``min()`` over its set.  Measured neutral at
+    sandbox SF (map-side partial aggregation collapses both shapes
+    before the wire), but at corpus scale the signature branch then
+    shuffles 8 partial minima per (partition, doc) instead of the
+    distinct shingle set — strictly less data as documents grow.
+    """
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     d = df.select("doc_id", norm.alias("t")).filter(F.col("t") != "")
     d = d.withColumn("ts", F.split("t", " ")).filter(F.size("ts") >= SHINGLE_WORDS)
@@ -71,7 +80,8 @@ def shingles(df: DataFrame) -> DataFrame:
             "i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))"
         )
     )
-    return d.select("doc_id", sh.alias("sh")).distinct()
+    out = d.select("doc_id", sh.alias("sh"))
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -185,7 +195,9 @@ def minhash_lsh_duplicates(df: DataFrame, persist: bool = False) -> DataFrame:
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(sh)
+    # signatures from the NON-distinct stream: min is duplicate-blind, so
+    # the signature branch skips the distinct shuffle
+    sig = minhash_signatures(shingles(df, distinct=False))
     cand = lsh_candidate_pairs(sig)
     return jaccard_verify(cand, sh)
 
@@ -206,7 +218,7 @@ def ngram_jaccard_pairs(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(sh).select("doc_id", "m0")
+    sig = minhash_signatures(shingles(df, distinct=False)).select("doc_id", "m0")
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (
