@@ -367,7 +367,9 @@ def _assemble_page(
 # document structure: object map, page tree, font encodings
 # ---------------------------------------------------------------------------
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+# direct /Length only — `/Length 5 0 R` (indirect) must NOT match
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
 _REF_IN_ARR_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -415,16 +417,125 @@ def _glyph_to_char(name: str) -> Optional[str]:
     return None
 
 
+def _find_stream_kw(data: bytes, start: int) -> int:
+    """Position of the next real ``stream`` KEYWORD at/after ``start``:
+    per spec §7.3.8.1 the keyword is followed by an EOL, and ``endstream``
+    must not match (its tail contains 'stream')."""
+    k = start
+    while True:
+        k = data.find(b"stream", k)
+        if k == -1:
+            return -1
+        if data[k - 3 : k] != b"end" and data[k + 6 : k + 7] in (b"\r", b"\n"):
+            return k
+        k += 6
+
+
+def _stream_extent(data: bytes, dict_part: bytes, ks: int) -> Tuple[int, int]:
+    """(data_start, data_end) of the stream whose keyword starts at ``ks``.
+
+    A direct ``/Length`` is used when the byte at start+Length is followed
+    by ``endstream`` (the verification makes a lying /Length harmless);
+    otherwise fall back to searching ``endstream``.  Slicing by extent —
+    not regex — means FlateDecode payloads that legitimately contain
+    ``endstream``/``endobj``/``N 0 obj`` byte sequences can neither
+    truncate the object nor inject phantom definitions."""
+    ds = ks + 6
+    if data[ds : ds + 2] == b"\r\n":
+        ds += 2
+    elif data[ds : ds + 1] == b"\n":
+        ds += 1
+    lm = _LENGTH_DIRECT_RE.search(dict_part)
+    if lm:
+        cand = ds + int(lm.group(1))
+        if data[cand : cand + 12].lstrip(b"\r\n ").startswith(b"endstream"):
+            return ds, cand
+    es = data.find(b"endstream", ds)
+    return ds, (es if es != -1 else len(data))
+
+
+def _scan_top_level_objects(pdf_bytes: bytes) -> List[Tuple[int, int, bytes]]:
+    """``[(file_pos, obj_num, body)]`` in byte order, with stream extents
+    respected (see ``_stream_extent``).  The scanner never looks INSIDE
+    stream data for the next object header, so binary payloads cannot
+    shadow real objects."""
+    entries: List[Tuple[int, int, bytes]] = []
+    pos = 0
+    n = len(pdf_bytes)
+    while True:
+        m = _OBJ_HEAD_RE.search(pdf_bytes, pos)
+        if not m:
+            break
+        body_start = m.end()
+        ks = _find_stream_kw(pdf_bytes, body_start)
+        ke = pdf_bytes.find(b"endobj", body_start)
+        if ks != -1 and (ke == -1 or ks < ke):
+            # stream object: jump over the stream data, then find endobj
+            _ds, de = _stream_extent(
+                pdf_bytes, pdf_bytes[body_start:ks], ks
+            )
+            ke = pdf_bytes.find(b"endobj", de)
+            end = ke if ke != -1 else n
+            entries.append((m.start(), int(m.group(1)), pdf_bytes[body_start:end]))
+            pos = end + 6 if ke != -1 else n
+        elif ke != -1:
+            entries.append((m.start(), int(m.group(1)), pdf_bytes[body_start:ke]))
+            pos = ke + 6
+        else:
+            break  # truncated object at EOF
+    return entries
+
+
+_OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm\b")
+
+
+def _expand_object_streams(
+    entries: List[Tuple[int, int, bytes]],
+) -> List[Tuple[int, int, bytes]]:
+    """Unpack ``/Type /ObjStm`` containers (PDF 1.5 compressed objects,
+    spec §7.5.7): the stream payload starts with ``/N`` pairs of
+    ``objnum offset`` integers, then the object bodies at
+    ``/First + offset``.  Members inherit the container's file position so
+    last-definition-wins keeps honoring incremental updates."""
+    members: List[Tuple[int, int, bytes]] = []
+    for pos, _num, body in entries:
+        d = _obj_dict(body)
+        if not _OBJSTM_TYPE_RE.search(d):
+            continue
+        data = _stream_payload(body)
+        m_n = re.search(rb"/N\s+(\d+)\b", d)
+        m_first = re.search(rb"/First\s+(\d+)\b", d)
+        if data is None or not m_n or not m_first:
+            continue
+        n_objs, first = int(m_n.group(1)), int(m_first.group(1))
+        try:
+            header = [int(x) for x in data[:first].split()[: 2 * n_objs]]
+        except ValueError:
+            continue
+        if len(header) < 2 * n_objs:
+            continue
+        for k in range(n_objs):
+            onum, off = header[2 * k], header[2 * k + 1]
+            end = header[2 * k + 3] if k + 1 < n_objs else len(data) - first
+            if 0 <= off <= end <= len(data) - first:
+                members.append((pos, onum, data[first + off : first + end]))
+    return members
+
+
 def _parse_objects(pdf_bytes: bytes) -> dict:
-    """Object number -> body bytes.  Scanned in byte order with
-    last-definition-wins, which absorbs incremental updates without
-    trusting (or needing) the xref table."""
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(pdf_bytes)}
+    """Object number -> body bytes.  Scanned in byte order (stream-extent
+    aware) with last-definition-wins, which absorbs incremental updates
+    without trusting (or needing) the xref table; ``/ObjStm`` members are
+    unpacked in place."""
+    entries = _scan_top_level_objects(pdf_bytes)
+    expanded = entries + _expand_object_streams(entries)
+    expanded.sort(key=lambda e: e[0])  # stable: members follow container
+    return {num: body for _pos, num, body in expanded}
 
 
 def _obj_dict(body: bytes) -> bytes:
     """The dictionary part of an object body (before any stream data)."""
-    k = body.find(b"stream")
+    k = _find_stream_kw(body, 0)
     return body[:k] if k != -1 else body
 
 
@@ -445,16 +556,73 @@ def _content_refs(dict_bytes: bytes) -> List[int]:
 
 
 def _stream_payload(body: bytes) -> Optional[bytes]:
-    m = _STREAM_RE.search(body)
-    if not m:
+    ks = _find_stream_kw(body, 0)
+    if ks == -1:
         return None
-    payload = m.group(1)
+    ds, de = _stream_extent(body, body[:ks], ks)
+    payload = body[ds:de]
     if _FLATE_RE.search(_obj_dict(body)):
         try:
             payload = zlib.decompress(payload)
         except zlib.error:
             return None
     return payload
+
+
+# --- ToUnicode CMaps (spec §9.10.3) ----------------------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEX_ITEM_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFRANGE_ITEM_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(<[0-9A-Fa-f]+>|\[(?:\s*<[0-9A-Fa-f]+>)*\s*\])"
+)
+_CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>")
+
+
+def _utf16be_hex_to_str(hx: bytes) -> str:
+    try:
+        return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "ignore")
+    except ValueError:
+        return ""
+
+
+def _parse_tounicode_cmap(data: bytes) -> Tuple[int, dict]:
+    """CMap stream -> (code width in bytes, {code: unicode string}).
+
+    Handles ``bfchar`` pairs and both ``bfrange`` destination forms
+    (``<lo> <hi> <dstStart>`` increments the destination; the array form
+    lists one destination per code).  The code width comes from the
+    codespacerange — 2 for the Identity-H CMaps modern CID-font PDFs
+    emit, 1 for simple fonts."""
+    m = _CODESPACE_RE.search(data)
+    width = max(1, len(m.group(1)) // 2) if m else 1
+    cmap: dict = {}
+    for sec in _BFCHAR_RE.finditer(data):
+        toks = _HEX_ITEM_RE.findall(sec.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            cmap[int(toks[i], 16)] = _utf16be_hex_to_str(toks[i + 1])
+    for sec in _BFRANGE_RE.finditer(data):
+        for item in _BFRANGE_ITEM_RE.finditer(sec.group(1)):
+            lo, hi = int(item.group(1), 16), int(item.group(2), 16)
+            if hi < lo or hi - lo > 0x10000:  # malformed / hostile range
+                continue
+            dst = item.group(3)
+            if dst.startswith(b"["):
+                for k, d in enumerate(_HEX_ITEM_RE.findall(dst)):
+                    if lo + k > hi:
+                        break
+                    cmap[lo + k] = _utf16be_hex_to_str(d)
+            else:
+                base_hex = dst[1:-1]
+                base = int(base_hex, 16)
+                n_hex = max(2, len(base_hex))
+                for k in range(hi - lo + 1):
+                    cmap[lo + k] = _utf16be_hex_to_str(
+                        b"%0*x" % (n_hex, base + k)
+                    )
+    return width, cmap
 
 
 def _differences_map(font_dict: bytes, objs: dict) -> Optional[dict]:

