@@ -97,7 +97,9 @@ def extract_document(
         if len(payload) > max_bytes:
             return ExtractResult(
                 url=url,
-                content_type=detect_content_type(payload[:16]),
+                # 4 KiB prefix: enough for any realistic whitespace/BOM preamble
+                # before the HTML, while never strip()-ing a huge payload
+                content_type=detect_content_type(payload[:4096]),
                 status=STATUS_REJECTED,
                 error=f"payload {len(payload)} bytes exceeds cap {max_bytes}",
             )
@@ -143,7 +145,7 @@ def extract_document(
         # Re-detect rather than assume HTML: a PDF that raises mid-parse must
         # be quarantined under its true type or content_type/status rollups skew.
         try:
-            failed_ctype = detect_content_type(payload[:16])
+            failed_ctype = detect_content_type(payload[:4096])
         except Exception:  # noqa: BLE001
             failed_ctype = CONTENT_TYPE_HTML
         return ExtractResult(

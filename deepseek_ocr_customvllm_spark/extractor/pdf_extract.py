@@ -27,15 +27,22 @@ dictionaries with ``/Differences`` remap byte codes through a glyph-name
 table before decoding.  Files without a parseable catalog fall back to
 the original byte-order stream scan.
 
+Round 3: object bodies are sliced by verified stream extents (a Flate
+payload containing ``endobj`` or a phantom ``N 0 obj`` can neither
+truncate nor shadow objects), ``/Type /ObjStm`` object streams (PDF 1.5
+compressed objects) are unpacked, and ``/ToUnicode`` CMaps
+(``bfchar``/``bfrange``, 1- and 2-byte code spaces) drive text decoding —
+including 2-byte Identity-H codes for composite Type0/CID fonts.  A
+referenced content stream that fails to decode triggers the byte-order
+fallback instead of silently dropping the page.
+
 Scope (documented limitations, deterministic by construction):
 - ``/FlateDecode`` streams are inflated with zlib; other filters are
-  skipped
-- no ToUnicode CMaps and no composite (Type0/CID) fonts: strings decode
-  as UTF-8 with latin-1 fallback unless a ``/Differences`` map applies
-- object streams (``/Type /ObjStm``, PDF 1.5 compressed objects) are not
-  unpacked
-- glyph widths are not modelled: boxes on the same baseline are joined
-  with single spaces in x-order
+  skipped (a content stream using one falls back to the byte-order scan)
+- Type0/CID fonts without a ``/ToUnicode`` CMap decode to nothing
+  (CIDs are glyph ids, not characters); with one, they decode exactly
+- glyph advance widths are not modelled: boxes on the same baseline are
+  joined with single spaces in x-order
 """
 
 from __future__ import annotations
@@ -238,10 +245,12 @@ def _tokenize(data: bytes):
 def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[TextBox]:
     """Run the text operators of one content stream, collecting boxes.
 
-    ``font_maps`` maps resource font names (e.g. ``"F1"``) to a
-    ``{code: char}`` dict built from that font's ``/Differences`` array;
-    strings shown while such a font is selected (via ``Tf``) decode
-    through the map, all others through utf-8/latin-1.
+    ``font_maps`` maps resource font names (e.g. ``"F1"``) to
+    ``(code_width, {code: str})`` built from the font's ``/ToUnicode``
+    CMap and/or ``/Differences`` array; strings shown while such a font
+    is selected (via ``Tf``) decode through the map — byte-at-a-time for
+    width 1, big-endian code units for width 2 (Identity-H CID fonts) —
+    all others through utf-8/latin-1.
     """
     boxes: List[TextBox] = []
     stack: List[object] = []  # operand stack (numbers / strings / arrays)
@@ -250,14 +259,21 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
     leading = 0.0
     seq = 0
     in_text = False
-    cur_map: Optional[dict] = None
+    cur_map: Optional[Tuple[int, dict]] = None
 
     def decode(raw: bytes) -> str:
         if cur_map is None:
             return _default_decode(raw)
-        # unmapped codes keep their base-encoding (latin-1 ~ Standard
-        # for the printable range) interpretation
-        return "".join(cur_map.get(b, chr(b)) for b in raw)
+        width, mp = cur_map
+        if width == 1:
+            # unmapped codes keep their base-encoding (latin-1 ~ Standard
+            # for the printable range) interpretation
+            return "".join(mp.get(b, chr(b)) for b in raw)
+        # multi-byte code space: unmapped CIDs have no unicode meaning
+        return "".join(
+            mp.get(int.from_bytes(raw[i : i + width], "big"), "")
+            for i in range(0, len(raw) - width + 1, width)
+        )
 
     def emit(text: str) -> None:
         nonlocal seq
@@ -555,13 +571,21 @@ def _content_refs(dict_bytes: bytes) -> List[int]:
     return []
 
 
+_FILTER_RE = re.compile(rb"/Filter\s*(/\w+|\[[^\]]*\])")
+
+
 def _stream_payload(body: bytes) -> Optional[bytes]:
+    """Decoded stream data, or None when it cannot be decoded (zlib
+    failure, or a filter other than a single FlateDecode)."""
     ks = _find_stream_kw(body, 0)
     if ks == -1:
         return None
     ds, de = _stream_extent(body, body[:ks], ks)
     payload = body[ds:de]
-    if _FLATE_RE.search(_obj_dict(body)):
+    fm = _FILTER_RE.search(_obj_dict(body))
+    if fm:
+        if re.findall(rb"/(\w+)", fm.group(1)) != [b"FlateDecode"]:
+            return None  # unsupported (or chained) filter
         try:
             payload = zlib.decompress(payload)
         except zlib.error:
@@ -646,18 +670,37 @@ def _differences_map(font_dict: bytes, objs: dict) -> Optional[dict]:
 
 
 def _font_maps(resources: bytes, objs: dict) -> dict:
-    """Resource font name -> /Differences code map (only fonts that have
-    one appear; everything else uses the default decode)."""
+    """Resource font name -> ``(code_width, {code: str})``.
+
+    A font's ``/ToUnicode`` CMap is authoritative for text extraction
+    (spec §9.10.2) and sets the code width (2 for Identity-H CID fonts);
+    ``/Differences`` fills unmapped single-byte codes for simple fonts.
+    Fonts with neither use the default utf-8/latin-1 decode."""
     m = re.search(rb"/Font\s*<<(.*?)>>", resources, re.DOTALL)
     if not m:
         return {}
     maps = {}
     for entry in _FONT_ENTRY_RE.finditer(m.group(1)):
         name, ref = entry.group(1).decode("latin-1"), int(entry.group(2))
-        if ref in objs:
-            cm = _differences_map(_obj_dict(objs[ref]), objs)
-            if cm:
-                maps[name] = cm
+        if ref not in objs:
+            continue
+        fd = _obj_dict(objs[ref])
+        width, cmap = 1, {}
+        tu_ref = _ref(fd, b"ToUnicode")
+        if tu_ref is not None and tu_ref in objs:
+            data = _stream_payload(objs[tu_ref])
+            if data is not None:
+                width, cmap = _parse_tounicode_cmap(data)
+        if re.search(rb"/Subtype\s*/Type0\b", fd) and width < 2:
+            width = 2  # Identity-H/V code space is 2-byte even sans CMap
+        if width == 1:
+            dm = _differences_map(fd, objs)
+            if dm:
+                merged = dict(dm)
+                merged.update(cmap)  # ToUnicode wins on conflicts
+                cmap = merged
+        if cmap:
+            maps[name] = (width, cmap)
     return maps
 
 
@@ -709,6 +752,13 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
                 p = _stream_payload(objs[ref])
                 if p is not None:
                     payloads.append(p)
+                elif _find_stream_kw(objs[ref], 0) != -1:
+                    # a referenced content stream that exists but fails to
+                    # decode means the structure parse cannot be trusted
+                    # (mis-sliced extent, unsupported filter): fall back to
+                    # the byte-order scan rather than silently dropping the
+                    # page
+                    return None
         # multiple content streams form ONE logical stream (spec §7.8.2)
         data = b"\n".join(payloads)
         if b"BT" not in data:
@@ -732,11 +782,15 @@ def _pages_via_byte_order(pdf_bytes: bytes) -> List[str]:
         mediabox = DEFAULT_MEDIABOX
 
     pages: List[str] = []
+    prev_end = 0
     for sm in _STREAM_RE.finditer(pdf_bytes):
         payload = sm.group(1)
-        # the stream dict sits just before the `stream` keyword
-        head_start = max(0, sm.start() - 400)
+        # the stream dict sits just before the `stream` keyword; clamp the
+        # window at the previous stream's end so one object's /Filter
+        # cannot bleed into the next header
+        head_start = max(prev_end, sm.start() - 400)
         header = pdf_bytes[head_start : sm.start()]
+        prev_end = sm.end()
         if _FLATE_RE.search(header):
             try:
                 payload = zlib.decompress(payload)

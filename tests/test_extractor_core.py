@@ -462,6 +462,21 @@ class TestErrorIsolation:
         assert r.status == "FAILED"
         assert "injected parser failure" in r.error
 
+    def test_failed_row_redetect_sees_past_leading_whitespace(self, monkeypatch):
+        """ADVICE r02: the failure-path re-detect must not classify a
+        whitespace-prefixed HTML payload as 'empty' (full-payload
+        detection says 'html') — that would skew the content_type/status
+        rollups the re-detect exists to keep honest."""
+        from deepseek_ocr_customvllm_spark.extractor import engine
+
+        def boom(_text):
+            raise RuntimeError("injected parser failure")
+
+        monkeypatch.setattr(engine, "extract_html_page", boom)
+        payload = b" " * 64 + b"<p>real html after the pad</p>"
+        r = engine.extract_document("u", payload)
+        assert r.status == "FAILED" and r.content_type == "html"
+
     def test_invalid_utf8_no_crash(self):
         r = extract_document("u", b"<p>\xff\xfe garbled \x80</p>")
         assert r.status == "SUCCESS"

@@ -120,13 +120,12 @@ def test_oracle_parity(name, spark, duck):
     _compare(spark_pdf, duck_pdf, name)
 
 
-@pytest.mark.parametrize(
-    "name", sorted(set(_QUERIES) - set(_ORACLES)), ids=sorted(set(_QUERIES) - set(_ORACLES))
-)
-def test_rows_only_queries_run(name, spark):
-    df = _QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_has_an_oracle():
+    """No rows-only queries: every queries() entry must carry a full
+    DuckDB oracle (the driver's strongest check).  If a future operator
+    genuinely cannot be SQL-expressed, document it here and relax this —
+    deliberately, not by a silent skip."""
+    assert set(_QUERIES) == set(_ORACLES)
 
 
 def test_entry_smoke(spark):

@@ -170,6 +170,213 @@ def test_cyclic_page_tree_terminates():
 
 
 # ---------------------------------------------------------------------------
+# round 3: stream extents, object streams (/ObjStm), ToUnicode CMaps
+# ---------------------------------------------------------------------------
+
+
+def _objstm(num: int, members, compress: bool = True) -> bytes:
+    """Build a /Type /ObjStm object containing ``members`` =
+    [(objnum, body_bytes)] per spec §7.5.7."""
+    header_parts, bodies, off = [], [], 0
+    for onum, b in members:
+        header_parts.append(b"%d %d" % (onum, off))
+        bodies.append(b)
+        off += len(b) + 1
+    header = b" ".join(header_parts) + b"\n"
+    payload = header + b"\n".join(bodies)
+    extra = b" /Type /ObjStm /N %d /First %d" % (len(members), len(header))
+    if compress:
+        data = zlib.compress(payload)
+        head = b"<< /Length %d%s /Filter /FlateDecode >>\nstream\n" % (
+            len(data), extra,
+        )
+    else:
+        data = payload
+        head = b"<< /Length %d%s >>\nstream\n" % (len(data), extra)
+    return _obj(num, head + data + b"\nendstream")
+
+
+def test_objstm_page_tree_extracts_in_order():
+    """Catalog, page tree, and page dicts all packed in a compressed
+    object stream (how most modern writers emit them); content streams
+    stay top-level (streams cannot live inside an ObjStm)."""
+    pdf = b"%PDF-1.5\n"
+    pdf += _objstm(
+        20,
+        [
+            (1, _CATALOG),
+            (2, _PAGES2),
+            (3, _page(5)),
+            (4, _page(6)),
+            (9, _FONT),
+        ],
+    )
+    pdf += _stream_obj(6, _content("second page"), compress=True)
+    pdf += _stream_obj(5, _content("first page"))
+    pdf += b"trailer\n<< /Size 21 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf_pages(pdf) == ["first page", "second page"]
+
+
+def test_objstm_member_respects_incremental_update():
+    """A top-level redefinition APPENDED AFTER the ObjStm must win over
+    the ObjStm member (file-position ordering)."""
+    pdf = b"%PDF-1.5\n"
+    pdf += _stream_obj(5, _content("from objstm page"))
+    pdf += _stream_obj(6, _content("updated page"))
+    pdf += _objstm(
+        20,
+        [(1, _CATALOG),
+         (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"),
+         (3, _page(5)),
+         (9, _FONT)],
+        compress=False,
+    )
+    # incremental update: page 3 now points at stream 6
+    pdf += _obj(3, _page(6))
+    pdf += b"trailer\n<< /Size 21 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf_pages(pdf) == ["updated page"]
+
+
+def test_tounicode_bfchar_and_bfrange_simple_font():
+    """1-byte ToUnicode CMap: bfchar remaps 'A'->é, bfrange remaps
+    B..D -> H..J; unmapped codes keep the base encoding."""
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfchar <41> <00E9> endbfchar\n"
+        b"1 beginbfrange <42> <44> <0048> endbfrange\n"
+        b"endcmap end\n"
+    )
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    pdf += _obj(3, _page(5))
+    pdf += _stream_obj(5, b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (ABCD x) Tj ET")
+    pdf += _obj(
+        9, b"<< /Type /Font /Subtype /Type1 /BaseFont /X /ToUnicode 8 0 R >>"
+    )
+    pdf += _stream_obj(8, cmap, compress=True)
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf_pages(pdf) == ["éHIJ x"]
+
+
+def test_tounicode_wins_over_differences():
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    pdf += _obj(3, _page(5))
+    pdf += _stream_obj(5, b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (AB) Tj ET")
+    pdf += _obj(
+        9,
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding 7 0 R"
+        b" /ToUnicode 8 0 R >>",
+    )
+    pdf += _obj(7, b"<< /Type /Encoding /Differences [65 /Z 66 /Q] >>")
+    pdf += _stream_obj(
+        8, b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+           b"1 beginbfchar <41> <0057> endbfchar\n"  # A -> W (overrides /Z)
+    )
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    # A: ToUnicode W beats Differences Z; B: Differences fills -> Q
+    assert extract_pdf_pages(pdf) == ["WQ"]
+
+
+def test_type0_identity_h_two_byte_codes():
+    """Composite (Type0/CID) font with a 2-byte Identity-H code space:
+    codes decode through the CMap (both bfrange destination forms);
+    unmapped CIDs yield nothing (they are glyph ids, not characters)."""
+    cmap = (
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfchar <0001> <0048> endbfchar\n"  # -> H
+        b"1 beginbfrange <0010> <0012> [<0065> <006C> <006C006F>]"
+        b" endbfrange\n"  # -> e, l, lo
+    )
+    pdf = b"%PDF-1.5\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    pdf += _obj(3, _page(5))
+    pdf += _stream_obj(
+        5, b"BT /F1 12 Tf 1 0 0 1 100 700 Tm <000100100011001200FF> Tj ET"
+    )
+    pdf += _obj(
+        9,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H"
+        b" /ToUnicode 8 0 R >>",
+    )
+    pdf += _stream_obj(8, cmap, compress=True)
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf_pages(pdf) == ["Hello"]
+
+
+def test_stream_data_cannot_truncate_or_shadow_objects():
+    """Stream payloads containing 'endobj' / 'N 0 obj' byte sequences:
+    the extent-aware scanner must neither truncate the object nor let a
+    phantom definition shadow a real one (ADVICE r02)."""
+    # payload shows text containing literal ' endobj ' AND a phantom
+    # redefinition of page object 3 pointing at the wrong stream
+    evil = (
+        b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (before endobj after) Tj ET\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n"
+    )
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(2, _PAGES2)
+    pdf += _obj(3, _page(5))
+    pdf += _obj(4, _page(7))
+    pdf += _stream_obj(5, evil)
+    pdf += _stream_obj(6, _content("wrong stream"))
+    pdf += _stream_obj(7, _content("second page"))
+    pdf += _obj(9, _FONT)
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    pages = extract_pdf_pages(pdf)
+    assert pages == ["before endobj after", "second page"]
+
+
+def test_corrupt_content_stream_falls_back_to_byte_order():
+    """A referenced content stream that fails to inflate must trigger the
+    byte-order fallback (which then finds whatever IS parseable) instead
+    of silently dropping pages."""
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    pdf += _obj(3, _page(5))
+    pdf += _obj(
+        5,
+        b"<< /Length 10 /Filter /FlateDecode >>\nstream\nNOTZLIB123\nendstream",
+    )
+    # an orphan stream the page tree does NOT reference: only the
+    # byte-order scan would surface it — proving the fallback really ran
+    pdf += _stream_obj(6, _content("orphan text"))
+    pdf += _obj(9, _FONT)
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf_pages(pdf) == ["orphan text"]
+
+
+def test_flate_payload_with_embedded_keywords_roundtrips():
+    """A COMPRESSED stream whose inflated text is chosen so the deflate
+    bytes are opaque binary: slicing by /Length must hand zlib the exact
+    extent (the old regex truncated at any 'endobj' byte coincidence —
+    here we simply prove the extent path is the one in use by lying
+    whitespace around the keyword)."""
+    payload = _content("compressed page")
+    data = zlib.compress(payload)
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>")
+    pdf += _obj(3, _page(5))
+    # no trailing EOL before endstream: extent must come from /Length
+    pdf += _obj(
+        5,
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+        + data
+        + b"endstream",
+    )
+    pdf += _obj(9, _FONT)
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf_pages(pdf) == ["compressed page"]
+
+
+# ---------------------------------------------------------------------------
 # hypothesis: random document layouts
 # ---------------------------------------------------------------------------
 
@@ -196,17 +403,20 @@ def _random_pdf(draw):
             (stream_num, _stream_obj(stream_num, _content(texts[k]), compress[k]))
         )
     kids = " ".join(f"{10 + k} 0 R" for k in range(n_pages))
-    fixed = [
-        (1, _obj(1, _CATALOG)),
-        (2, _obj(
-            2,
-            b"<< /Type /Pages /Kids [" + kids.encode() + b"] /Count %d"
-            b" /MediaBox [0 0 612 792] >>" % n_pages,
-        )),
-        (9, _obj(9, _FONT)),
-    ] + [(n, _obj(n, b_)) for n, b_ in page_objs] + [
-        (n, s) for n, s in stream_objs
-    ]
+    dict_objs = [
+        (1, _CATALOG),
+        (2,
+         b"<< /Type /Pages /Kids [" + kids.encode() + b"] /Count %d"
+         b" /MediaBox [0 0 612 792] >>" % n_pages),
+        (9, _FONT),
+    ] + page_objs
+    if draw(st.booleans()):
+        # modern layout: every dict object lives in one object stream
+        members = draw(st.permutations(dict_objs))
+        fixed = [(20, _objstm(20, list(members), compress=draw(st.booleans())))]
+    else:
+        fixed = [(n, _obj(n, b_)) for n, b_ in dict_objs]
+    fixed += [(n, s) for n, s in stream_objs]
     order = draw(st.permutations(fixed))
     pdf = b"%PDF-1.4\n" + b"".join(body for _, body in order)
     pdf += b"trailer\n<< /Size 99 /Root 1 0 R >>\n%%EOF\n"
