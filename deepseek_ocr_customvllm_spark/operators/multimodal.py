@@ -13,10 +13,14 @@ Decode tiers:
   with deterministic nearest-neighbour grayscale thumbnailing as the
   resize stage (:func:`grayscale_thumb`).  :func:`image_features` is the
   oracle-checked Spark operator over them.
-- **Compressed codecs (PNG/JPEG/video) stay stubbed**
-  (``decode_stub`` raises ``NotImplementedError`` — PIL/ffmpeg are not
-  in this runtime); per-row isolation turns them into ``unsupported``
-  feature rows instead of task failures.
+- **Compressed codecs (PNG/JPEG) decode behind a capability gate**:
+  when PIL is importable they decode for real through the same
+  {width, height, rows} contract; otherwise ``decode_stub`` raises
+  ``NotImplementedError`` (PIL/ffmpeg are not in this runtime) and
+  per-row isolation turns them into ``unsupported`` feature rows
+  instead of task failures.  Video stays stubbed either way.
+  The ``image_features`` oracle runs on the stdlib formats only, so it
+  is green in both environments.
 """
 
 from __future__ import annotations
@@ -47,14 +51,35 @@ INSPECT_SCHEMA = T.StructType(
 )
 
 
+try:  # capability gate: PNG/JPEG decode for real when PIL is installed
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # honest stub otherwise — no codec libs in this runtime
+    _PILImage = None
+
+
 def decode_stub(payload: bytes, media_type: str) -> object:
-    """Placeholder for compressed-codec decode (PIL / ffmpeg are not in
-    this container).  Uncompressed formats decode for real — see
-    :func:`decode_image`."""
+    """Placeholder for compressed-codec decode when the codec library is
+    absent (PIL / ffmpeg are not in this container).  Uncompressed
+    formats always decode for real — see :func:`decode_image`."""
     raise NotImplementedError(
         f"decoding media_type={media_type!r} requires codec libraries "
         "not present in this runtime"
     )
+
+
+def _decode_with_pil(payload: bytes) -> dict:
+    """PNG/JPEG -> the same {width, height, rows} contract as the stdlib
+    decoders, via PIL when importable (same downstream feature math)."""
+    import io
+
+    im = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+    w, h = im.size
+    px = list(im.getdata())
+    return {
+        "width": w,
+        "height": h,
+        "rows": [px[y * w : (y + 1) * w] for y in range(h)],
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -242,8 +267,12 @@ def decode_image(payload: bytes) -> dict:
     if payload[:2] in (b"P6", b"P3"):
         return _decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if _PILImage is not None:
+            return _decode_with_pil(payload)
         return decode_stub(payload, "image/png")
     if payload[:3] == b"\xff\xd8\xff":
+        if _PILImage is not None:
+            return _decode_with_pil(payload)
         return decode_stub(payload, "image/jpeg")
     raise ValueError("unknown image format")
 
