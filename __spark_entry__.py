@@ -27,7 +27,12 @@ if _REPO not in sys.path:
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from deepseek_ocr_customvllm_spark.operators import dedup, similarity, textstats
+from deepseek_ocr_customvllm_spark.operators import (
+    dedup,
+    scrub,
+    similarity,
+    textstats,
+)
 from deepseek_ocr_customvllm_spark.operators.extract import extract_pages
 from deepseek_ocr_customvllm_spark.operators.multimodal import inspect_payloads
 from deepseek_ocr_customvllm_spark.sources.pages import pages_from_documents
@@ -546,6 +551,73 @@ def _q_dedup_components(spark, sf_dir):
     return dedup.duplicate_components(pairs.select("id_a", "id_b"))
 
 
+# --- corpus-scrubbing inputs (derived deterministically; the documents
+# table has no paragraph structure / urls / PII, so both engines build the
+# same synthetic ones — mirrored verbatim in the oracle CTEs) -------------
+
+def _para_docs(docs: DataFrame) -> DataFrame:
+    """Per-source boilerplate header/footer around each doc's body (the
+    body is empty for doc_id % 25 == 0 — pure-boilerplate pages exist on
+    the real web and must survive as empty rows, not vanish)."""
+    body = F.when(F.col("doc_id") % 25 == 0, F.lit("")).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("cookie banner for "), F.col("source"), F.lit(" accept all\n\n"),
+            body,
+            F.lit("\n\nsite footer "), F.col("source"),
+            F.lit(" all rights reserved"),
+        ).alias("text"),
+    )
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus-frequency boilerplate removal: paragraphs seen
+    in more than max_df documents are dropped from every document."""
+    return scrub.paragraph_dedup(_para_docs(_docs(spark, sf_dir)), max_df=10)
+
+
+def _synth_urls(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".example.com/page/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("?utm_source=feed&id="), (F.col("doc_id") % 7).cast("string"),
+            F.lit("&utm_campaign=x#sec"), (F.col("doc_id") % 3).cast("string"),
+        ).alias("url"),
+    )
+
+
+def _q_url_canonical_dedup(spark, sf_dir):
+    """Crawl-frontier dedup by canonical URL (tracking params + fragments
+    stripped): groups that differ only in utm_*/#fragment collapse."""
+    return scrub.url_duplicates(_synth_urls(_docs(spark, sf_dir)))
+
+
+def _pii_docs(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), (F.col("doc_id") % 50).cast("string"),
+            F.lit("@mail."), F.col("source"), F.lit(".com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" or call 555-123-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _q_pii_redact(spark, sf_dir):
+    """Email/phone redaction with per-document match counts."""
+    return scrub.pii_redact(_pii_docs(_docs(spark, sf_dir)))
+
+
 def _augmented_embeddings(emb: DataFrame) -> DataFrame:
     """Embeddings plus planted exact-duplicate vectors (dedup hits)."""
     base = emb.select("vec_id", "embedding")
@@ -974,6 +1046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "url_canonical_dedup": _q_url_canonical_dedup,
+        "pii_redact": _q_pii_redact,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1323,6 +1398,87 @@ sh_hash AS (
 )
 SELECT d.doc_id, d.rolling_fp, s.min_shingle_fp
 FROM doc_hash d JOIN sh_hash s ON s.doc_id = d.doc_id
+""",
+        "paragraph_dedup": """
+WITH pdocs AS (
+  SELECT doc_id,
+         'cookie banner for ' || source || ' accept all' || chr(10) || chr(10)
+         || CASE WHEN doc_id % 25 = 0 THEN '' ELSE text END
+         || chr(10) || chr(10) || 'site footer ' || source
+         || ' all rights reserved' AS text
+  FROM documents
+),
+sp AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM pdocs),
+paras AS (
+  SELECT doc_id, unnest(ps) AS para, generate_subscripts(ps, 1) AS idx FROM sp
+),
+paras2 AS (SELECT * FROM paras WHERE trim(para) <> ''),
+freq AS (
+  SELECT md5(para) AS ph FROM paras2
+  GROUP BY 1 HAVING count(DISTINCT doc_id) > 10
+),
+kept AS (SELECT * FROM paras2 WHERE md5(para) NOT IN (SELECT ph FROM freq)),
+rej AS (
+  SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY idx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_paras FROM paras2 GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+       cast(coalesce(r.n_kept, 0) AS int) AS n_kept,
+       cast(t.n_paras - coalesce(r.n_kept, 0) AS int) AS n_dropped
+FROM tot t LEFT JOIN rej r USING (doc_id)
+""",
+        "url_canonical_dedup": """
+WITH urls AS (
+  SELECT doc_id,
+         'https://www.' || source || '.example.com/page/' || (doc_id % 40)
+         || '?utm_source=feed&id=' || (doc_id % 7)
+         || '&utm_campaign=x#sec' || (doc_id % 3) AS url
+  FROM documents
+),
+c0 AS (SELECT doc_id, regexp_replace(lower(url), '#.*$', '') AS c FROM urls),
+c1 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(split_part(c, '?', 1),
+                                       '://www\\.', '://'), '/$', '') AS base,
+         CASE WHEN contains(c, '?') THEN substr(c, instr(c, '?') + 1)
+              ELSE '' END AS q
+  FROM c0
+),
+c2 AS (
+  SELECT doc_id, base,
+         array_to_string(
+           list_filter(string_split(q, '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)=')),
+           '&') AS newq
+  FROM c1
+),
+canon AS (
+  SELECT doc_id,
+         CASE WHEN newq = '' THEN base ELSE base || '?' || newq END
+           AS canonical_url
+  FROM c2
+)
+SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM canon GROUP BY canonical_url HAVING count(*) > 1
+""",
+        "pii_redact": f"""
+WITH pdocs AS (
+  SELECT doc_id,
+         text || ' contact user' || (doc_id % 50) || '@mail.' || source || '.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' or call 555-123-'
+                      || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{scrub.EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{scrub.PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       cast(len(regexp_extract_all(text, '{scrub.EMAIL_RE}')) AS int) AS n_emails,
+       cast(len(regexp_extract_all(text, '{scrub.PHONE_RE}')) AS int) AS n_phones
+FROM pdocs
 """,
         "dedup_exact": f"""
 WITH {aug},

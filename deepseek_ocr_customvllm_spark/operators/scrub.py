@@ -1,0 +1,176 @@
+"""Corpus scrubbing operators: cross-corpus boilerplate-paragraph
+removal, URL canonicalization dedup, and PII redaction.
+
+These are the cleanup passes a web-scale training-data pipeline runs
+between extraction and dedup (cf. CCNet's paragraph-level dedup and the
+C4 cleaning recipe — both public):
+
+- :func:`paragraph_dedup` — a paragraph appearing in more than
+  ``max_df`` documents is boilerplate (cookie banners, nav, footers)
+  and is dropped from EVERY document; body text survives.  This is the
+  corpus-frequency complement of the per-page link-density heuristics in
+  ``extractor/html_extract.py``: layout-blind, but able to learn what
+  "boilerplate" means for each site from repetition alone.
+- :func:`canonical_urls` / :func:`url_duplicates` — tracking-parameter
+  and fragment stripping so crawl duplicates that differ only in
+  ``utm_*``/``#fragment`` collapse to one canonical key.
+- :func:`pii_redact` — email/phone pattern redaction with per-document
+  counts (training corpora scrub obvious PII before tokenization).
+
+100 TB design notes:
+
+- ``paragraph_dedup`` is two shuffles: (1) paragraph-hash count with
+  map-side partial aggregation — the frequent set (df > max_df) is
+  bounded above by total_paragraphs / max_df, so at any realistic
+  threshold it fits a broadcast; (2) the per-document reassembly
+  groupBy.  The frequent set joins back as a BROADCAST anti-join, so
+  the full paragraph table is never shuffled for the membership test.
+- ``canonical_urls`` / ``pii_redact`` are single-scan narrow maps
+  (regexp only, whole-stage codegen, no Python); ``url_duplicates``
+  adds the one hash-aggregate shuffle every dedup needs.
+
+Every regex sticks to the dialect-portable subset (character classes,
+bounded quantifiers, anchors) that Java's engine and DuckDB's RE2
+evaluate identically; the oracles reuse the same pattern strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PARA_SEP = "\n\n"
+
+# dialect-portable patterns (Java regex + RE2 agree on this subset)
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+# tracking params are removed by splitting the query string and filtering
+# parameters by prefix — regex-only surgery needs lookahead for adjacent
+# tracking params, and RE2 (the oracle dialect) has none
+TRACKING_PREFIX_RE = r"^(utm_[a-z]+|fbclid|gclid)="
+FRAGMENT_RE = r"#.*$"
+
+
+# ---------------------------------------------------------------------------
+# boilerplate paragraph removal (CCNet-style corpus-frequency dedup)
+# ---------------------------------------------------------------------------
+
+def split_paragraphs(docs: DataFrame) -> DataFrame:
+    """``(doc_id, text)`` -> one row per ``(doc_id, idx, para)`` with
+    blank-line-separated paragraphs in document order."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), PARA_SEP)).alias("idx", "para"),
+    ).filter(F.trim(F.col("para")) != "")
+
+
+def frequent_paragraphs(paras: DataFrame, max_df: int) -> DataFrame:
+    """Paragraph hashes appearing in more than ``max_df`` documents.
+
+    One map-side-combined shuffle; the output is bounded by
+    total_paragraphs / max_df rows, which is what makes the downstream
+    broadcast anti-join safe at corpus scale."""
+    return (
+        paras.groupBy(F.md5(F.col("para").cast("binary")).alias("ph"))
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_df)
+    )
+
+
+def paragraph_dedup(docs: DataFrame, max_df: int = 10) -> DataFrame:
+    """Remove corpus-frequent paragraphs from every document.
+
+    Returns ``(doc_id, clean_text, n_kept, n_dropped)`` — documents whose
+    paragraphs are ALL boilerplate survive with an empty ``clean_text``
+    (they are what the downstream corpus filter drops, and losing the
+    rows silently would corrupt corpus accounting).
+    """
+    paras = split_paragraphs(docs)
+    freq = frequent_paragraphs(paras, max_df)
+    kept = paras.join(
+        F.broadcast(freq),
+        F.md5(F.col("para").cast("binary")) == F.col("ph"),
+        "left_anti",
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            PARA_SEP,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda x: x["para"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    return (
+        totals.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add ``canonical_url``: fragment stripped, tracking params
+    (utm_*/fbclid/gclid) and empty params filtered out of the query
+    string, ``www.`` host prefix dropped, trailing slash trimmed.
+    Pure whole-stage-codegen expressions — no UDF."""
+    c = F.regexp_replace(F.lower(F.col(url_col)), FRAGMENT_RE, "")
+    base = F.split_part(c, F.lit("?"), F.lit(1))
+    # host/path fixes act on the BASE (before the query is re-appended,
+    # so 'path/?x=1' normalizes to 'path?x=1'); no backreference — Java
+    # ($1) and RE2 (\1) disagree on the syntax
+    base = F.regexp_replace(base, r"://www\.", "://")
+    base = F.regexp_replace(base, r"/$", "")
+    q = F.when(F.instr(c, "?") > 0, F.substr(c, F.instr(c, "?") + 1)).otherwise(
+        F.lit("")
+    )
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PREFIX_RE),
+    )
+    newq = F.array_join(kept, "&")
+    canon = F.when(newq == "", base).otherwise(F.concat(base, F.lit("?"), newq))
+    return df.withColumn("canonical_url", canon)
+
+
+def url_duplicates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Duplicate groups by canonical URL: ``(canonical_url, n_dups,
+    keep_doc_id)`` for groups larger than one — the crawl-frontier
+    equivalent of ``dedup.exact_duplicates``."""
+    return (
+        canonical_urls(df, url_col)
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, redacted, n_emails, n_phones)``: email/phone matches
+    replaced with ``<EMAIL>``/``<PHONE>`` tokens, with per-document match
+    counts (counted BEFORE redaction, on the same pattern strings the
+    replacement uses)."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).alias("n_phones"),
+    )

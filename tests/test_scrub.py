@@ -1,0 +1,129 @@
+"""Corpus-scrubbing operators: paragraph dedup, URL canonicalization,
+PII redaction — edge cases and plan shape."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from deepseek_ocr_customvllm_spark.operators import scrub  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from deepseek_ocr_customvllm_spark.plans.session import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+class TestParagraphDedup:
+    def test_frequent_paragraph_dropped_everywhere(self, spark):
+        rows = [(i, f"banner\n\nbody {i}\n\nfooter") for i in range(8)]
+        rows.append((100, "banner\n\nfooter"))  # all-boilerplate doc
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in scrub.paragraph_dedup(docs, max_df=5).collect()
+        }
+        assert len(got) == 9  # the all-boilerplate doc SURVIVES as a row
+        for i in range(8):
+            assert got[i]["clean_text"] == f"body {i}"
+            assert got[i]["n_kept"] == 1 and got[i]["n_dropped"] == 2
+        assert got[100]["clean_text"] == "" and got[100]["n_kept"] == 0
+
+    def test_order_preserved_and_threshold_respected(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha\n\nbeta\n\ngamma"), (2, "beta\n\ndelta")],
+            ["doc_id", "text"],
+        )
+        # df(beta)=2 <= max_df=2: nothing is dropped, order intact
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in scrub.paragraph_dedup(docs, max_df=2).collect()
+        }
+        assert got == {1: "alpha\n\nbeta\n\ngamma", 2: "beta\n\ndelta"}
+
+    def test_frequent_set_joins_as_broadcast(self, spark):
+        """The membership test against the frequent set must be a
+        broadcast anti-join — shuffling the full paragraph table for it
+        would be the 100 TB bottleneck."""
+        docs = spark.createDataFrame(
+            [(i, f"banner\n\nbody {i}") for i in range(6)], ["doc_id", "text"]
+        )
+        plan = scrub.paragraph_dedup(docs, max_df=2)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+class TestCanonicalUrls:
+    CASES = {
+        # adjacent tracking params, tracking first: '?' must survive
+        "https://www.a.com/p?utm_a=1&utm_b=2&id=3": "https://a.com/p?id=3",
+        # tracking last
+        "https://a.com/p?id=3&utm_c=x": "https://a.com/p?id=3",
+        # only tracking: query gone entirely
+        "https://a.com/p?utm_a=1": "https://a.com/p",
+        # fragment + trailing slash + uppercase
+        "HTTPS://WWW.A.COM/Path/?x=1#Frag": "https://a.com/path?x=1",
+        # no query at all
+        "http://b.org/q/": "http://b.org/q",
+        # fbclid/gclid, empty params
+        "https://c.net/?fbclid=zz&&gclid=aa&k=v": "https://c.net?k=v",
+        # a param whose NAME merely contains 'utm_' is kept
+        "https://d.io/p?myutm_x=1": "https://d.io/p?myutm_x=1",
+    }
+
+    def test_cases(self, spark):
+        rows = [(i, u) for i, u in enumerate(self.CASES)]
+        df = spark.createDataFrame(rows, ["doc_id", "url"])
+        got = {
+            r["url"]: r["canonical_url"]
+            for r in scrub.canonical_urls(df).collect()
+        }
+        for url, want in self.CASES.items():
+            assert got[url] == want.lower(), url
+
+    def test_url_duplicates_groups(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "https://a.com/p?utm_a=1"),
+                (2, "https://www.a.com/p#top"),
+                (3, "https://a.com/p/"),
+                (4, "https://a.com/other"),
+            ],
+            ["doc_id", "url"],
+        )
+        got = scrub.url_duplicates(df).collect()
+        assert len(got) == 1
+        assert got[0]["canonical_url"] == "https://a.com/p"
+        assert got[0]["n_dups"] == 3 and got[0]["keep_doc_id"] == 1
+
+
+class TestPiiRedact:
+    def test_email_and_phone(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "write a.b-c_d@mail.example.co or call 555-123-4567 now"),
+                (2, "no pii here"),
+                (3, "two mails x@y.org z@w.net and 111-222-3333 444-555-6666"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r.asDict() for r in scrub.pii_redact(df).collect()}
+        assert got[1]["redacted"] == "write <EMAIL> or call <PHONE> now"
+        assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+        assert got[2]["redacted"] == "no pii here"
+        assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+        assert got[3]["redacted"] == "two mails <EMAIL> <EMAIL> and <PHONE> <PHONE>"
+        assert got[3]["n_emails"] == 2 and got[3]["n_phones"] == 2
+
+    def test_partial_numbers_not_redacted(self, spark):
+        df = spark.createDataFrame(
+            [(1, "order 12-345-6789 code 1234-567-8901 ok")], ["doc_id", "text"]
+        )
+        r = scrub.pii_redact(df).collect()[0]
+        # \b boundaries: neither malformed number matches
+        assert r["n_phones"] == 0 and "<PHONE>" not in r["redacted"]
