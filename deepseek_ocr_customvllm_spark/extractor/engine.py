@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
@@ -51,6 +52,10 @@ STATUS_FAILED = "FAILED"
 STATUS_REJECTED = "REJECTED"
 
 CONTENT_TYPE_PDF = "pdf"
+
+# an /Encrypt reference in a trailer/xref-stream dictionary (raw bytes —
+# those dictionaries are never themselves encrypted or compressed)
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
 CONTENT_TYPE_HTML = "html"
 CONTENT_TYPE_EMPTY = "empty"
 
@@ -108,6 +113,16 @@ def extract_document(
             return ExtractResult(url=url, content_type=ctype, status=STATUS_SUCCESS)
 
         if ctype == CONTENT_TYPE_PDF:
+            # Encrypted PDFs must QUARANTINE (FAILED + reason), not pass
+            # through as empty SUCCESS rows: their content streams are
+            # RC4/AES ciphertext, so every zlib inflate fails and the
+            # document would silently extract to nothing.  The trailer
+            # reference is a heuristic (ciphertext containing the exact
+            # ASCII pattern is vanishingly unlikely); decryption itself is
+            # out of scope, matching the reference which feeds PyMuPDF and
+            # errors on password-protected files.
+            if _ENCRYPT_RE.search(payload):
+                raise ValueError("encrypted PDF (trailer has /Encrypt)")
             pages = extract_pdf_pages(payload)
         else:
             text = payload.decode("utf-8", errors="replace")

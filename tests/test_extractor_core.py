@@ -485,6 +485,17 @@ class TestErrorIsolation:
         r = extract_document("u", None)
         assert r.status == "SUCCESS" and r.n_pages == 0
 
+    def test_encrypted_pdf_quarantines_not_empty_success(self):
+        """An /Encrypt'd PDF's streams are ciphertext: it must become a
+        FAILED row with a reason, not an empty SUCCESS."""
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"trailer\n<< /Size 9 /Root 1 0 R /Encrypt 7 0 R >>\n%%EOF\n"
+        )
+        r = extract_document("u", pdf)
+        assert r.status == "FAILED" and r.content_type == "pdf"
+        assert "encrypted" in r.error
+
 
 class TestTrueTeds:
     """True tree-edit-distance TEDS (Scripts/table_diff.py metric) over

@@ -218,3 +218,29 @@ def test_prebucketed_input_extracts_with_zero_shuffle(spark, tmp_path):
     plan = _formatted(df)
     assert "Exchange (" not in plan
     assert df.count() == 40
+
+
+def test_pii_redact_is_pure_map_no_shuffle(spark):
+    """PII redaction is a single narrow scan: no Exchange, no Python —
+    the whole thing stays inside whole-stage codegen."""
+    import __spark_entry__ as em
+
+    df = em.queries()["pii_redact"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "codegen id" in plan  # whole-stage codegen spans the projection
+
+
+def test_url_canonical_dedup_is_single_shuffle(spark):
+    """Canonicalization is expression-only; the dedup adds exactly the
+    one hash-aggregate exchange every dedup needs (partial_count proves
+    the map-side combine)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["url_canonical_dedup"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(df)
+    # formatted mode prints each node twice (tree + detail section)
+    assert plan.count(") Exchange") == 1
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
