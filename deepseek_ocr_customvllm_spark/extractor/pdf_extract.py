@@ -37,8 +37,10 @@ referenced content stream that fails to decode triggers the byte-order
 fallback instead of silently dropping the page.
 
 Scope (documented limitations, deterministic by construction):
-- ``/FlateDecode`` streams are inflated with zlib; other filters are
-  skipped (a content stream using one falls back to the byte-order scan)
+- stream filters: FlateDecode (+ PNG predictors), LZWDecode,
+  ASCII85Decode, ASCIIHexDecode, RunLengthDecode, and chains thereof all
+  decode for real; image codecs (DCT/JPX/JBIG2/CCITT) and /Crypt return
+  None and trigger the byte-order fallback for the page
 - Type0/CID fonts without a ``/ToUnicode`` CMap decode to nothing
   (CIDs are glyph ids, not characters); with one, they decode exactly
 - glyph advance widths are not modelled: boxes on the same baseline are
@@ -62,7 +64,6 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
-_FLATE_RE = re.compile(rb"/FlateDecode")
 _NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
 
 
@@ -572,25 +573,172 @@ def _content_refs(dict_bytes: bytes) -> List[int]:
 
 
 _FILTER_RE = re.compile(rb"/Filter\s*(/\w+|\[[^\]]*\])")
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_EARLYCHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF-variant LZW (spec §7.4.4): 9→12-bit MSB-first codes, clear
+    code 256, EOD 257, code width grows ``early_change`` codes early."""
+    table = {i: bytes([i]) for i in range(256)}
+    next_code, code_len = 258, 9
+    prev: Optional[bytes] = None
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= code_len:
+            code = (bitbuf >> (bitcnt - code_len)) & ((1 << code_len) - 1)
+            bitcnt -= code_len
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, code_len, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("corrupt LZW stream")
+            if prev is not None and next_code < 4096:
+                # table frozen at 4095 (12-bit cap) until a clear code
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            out += entry
+            prev = entry
+            # grow when the next entry to assign hits 511/1023/2047 (for
+            # EarlyChange=1) — the de-facto decoder contract real PDF
+            # writers encode against (cf. pdfminer's LZWDecoder.feed)
+            if next_code >= (1 << code_len) - early_change and code_len < 12:
+                code_len += 1
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (spec §7.4.5): L<128 copies L+1 literals, L>128
+    repeats the next byte 257-L times, 128 is EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i + 1 : i + 2 + length]
+            i += 2 + length
+        else:
+            out += data[i + 1 : i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    body = re.sub(rb"\s", b"", data.split(b">")[0])
+    if len(body) % 2:
+        body += b"0"
+    return bytes.fromhex(body.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = re.sub(rb"\s", b"", data)
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    return base64.a85decode(body)
+
+
+def _png_unpredict(data: bytes, dict_bytes: bytes) -> bytes:
+    """Reverse PNG row predictors (spec §7.4.4.4) — xref/ObjStm streams
+    commonly use Up (12); predictor 1 (none) passes through."""
+    pm = _PREDICTOR_RE.search(dict_bytes)
+    pred = int(pm.group(1)) if pm else 1
+    if pred < 10:  # 1 = none, 2 = TIFF (unsupported → pass through as-is)
+        return data
+    cm = _COLUMNS_RE.search(dict_bytes)
+    colors_m = _COLORS_RE.search(dict_bytes)
+    bpc_m = _BPC_RE.search(dict_bytes)
+    columns = int(cm.group(1)) if cm else 1
+    colors = int(colors_m.group(1)) if colors_m else 1
+    bpc = int(bpc_m.group(1)) if bpc_m else 8
+    rowlen = (columns * colors * bpc + 7) // 8
+    bpp = max(1, (colors * bpc) // 8)
+    out = bytearray()
+    prev_row = bytearray(rowlen)
+    for base in range(0, len(data), rowlen + 1):
+        ft = data[base]
+        row = bytearray(data[base + 1 : base + 1 + rowlen])
+        if len(row) < rowlen:
+            break  # truncated final row
+        for i in range(rowlen):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev_row[i]
+            ul = prev_row[i - bpp] if i >= bpp else 0
+            if ft == 1:
+                row[i] = (row[i] + left) & 0xFF
+            elif ft == 2:
+                row[i] = (row[i] + up) & 0xFF
+            elif ft == 3:
+                row[i] = (row[i] + ((left + up) >> 1)) & 0xFF
+            elif ft == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pr = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                row[i] = (row[i] + pr) & 0xFF
+        out += row
+        prev_row = row
+    return bytes(out)
+
+
+def _decode_filters(payload: bytes, dict_bytes: bytes) -> Optional[bytes]:
+    """Run the object's ``/Filter`` chain (array order = application
+    order, spec §7.4.1).  Returns None on an unsupported filter or any
+    decode error — the caller treats that as 'structure untrustworthy'."""
+    fm = _FILTER_RE.search(dict_bytes)
+    if not fm:
+        return payload
+    names = re.findall(rb"/(\w+)", fm.group(1))
+    try:
+        for name in names:
+            if name in (b"FlateDecode", b"Fl"):
+                payload = _png_unpredict(zlib.decompress(payload), dict_bytes)
+            elif name in (b"LZWDecode", b"LZW"):
+                em = _EARLYCHANGE_RE.search(dict_bytes)
+                payload = _png_unpredict(
+                    _lzw_decode(payload, int(em.group(1)) if em else 1),
+                    dict_bytes,
+                )
+            elif name in (b"ASCIIHexDecode", b"AHx"):
+                payload = _asciihex_decode(payload)
+            elif name in (b"ASCII85Decode", b"A85"):
+                payload = _ascii85_decode(payload)
+            elif name in (b"RunLengthDecode", b"RL"):
+                payload = _runlength_decode(payload)
+            elif name == b"Crypt":
+                return None  # encrypted: cannot decode without keys
+            else:
+                return None  # DCT/JBIG2/JPX/CCITT: image codecs, not text
+    except Exception:  # noqa: BLE001 — any decode failure means "cannot decode"
+        return None
+    return payload
 
 
 def _stream_payload(body: bytes) -> Optional[bytes]:
-    """Decoded stream data, or None when it cannot be decoded (zlib
-    failure, or a filter other than a single FlateDecode)."""
+    """Decoded stream data, or None when it cannot be decoded (filter
+    error, or an unsupported filter in the chain)."""
     ks = _find_stream_kw(body, 0)
     if ks == -1:
         return None
     ds, de = _stream_extent(body, body[:ks], ks)
-    payload = body[ds:de]
-    fm = _FILTER_RE.search(_obj_dict(body))
-    if fm:
-        if re.findall(rb"/(\w+)", fm.group(1)) != [b"FlateDecode"]:
-            return None  # unsupported (or chained) filter
-        try:
-            payload = zlib.decompress(payload)
-        except zlib.error:
-            return None
-    return payload
+    return _decode_filters(body[ds:de], _obj_dict(body))
 
 
 # --- ToUnicode CMaps (spec §9.10.3) ----------------------------------------
@@ -791,11 +939,10 @@ def _pages_via_byte_order(pdf_bytes: bytes) -> List[str]:
         head_start = max(prev_end, sm.start() - 400)
         header = pdf_bytes[head_start : sm.start()]
         prev_end = sm.end()
-        if _FLATE_RE.search(header):
-            try:
-                payload = zlib.decompress(payload)
-            except zlib.error:
-                continue
+        decoded = _decode_filters(payload, header)
+        if decoded is None:
+            continue
+        payload = decoded
         if b"BT" not in payload:
             continue
         boxes = _interpret_stream(payload)

@@ -377,6 +377,192 @@ def test_flate_payload_with_embedded_keywords_roundtrips():
 
 
 # ---------------------------------------------------------------------------
+# round 3: stream filter pipeline (LZW/A85/AHx/RL/predictors + chains)
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from deepseek_ocr_customvllm_spark.extractor import pdf_extract as px  # noqa: E402
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Minimal PDF-variant LZW encoder (test twin of px._lzw_decode)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, code_len = 258, 9
+    out_bits = []
+
+    def put(code):
+        out_bits.append((code, code_len))
+
+    put(256)  # clear
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+        else:
+            put(table[w])
+            if next_code < 4096:  # table frozen at the 12-bit cap
+                table[wc] = next_code
+                next_code += 1
+            # the encoder grows one ADD later than the decoder checks:
+            # the decoder's table lags by one add when it reads a code,
+            # so "decoder next_code >= 2^len - early" aligns with
+            # "encoder next_code > 2^len - early" (pdfminer-compatible)
+            if next_code > (1 << code_len) - early_change and code_len < 12:
+                code_len += 1
+            w = bytes([b])
+    if w:
+        put(table[w])
+    # the decoder re-checks width AFTER its final add (>= rule), so the
+    # EOD code must be emitted at that width when the boundary lands
+    # exactly on the last entry
+    if next_code >= (1 << code_len) - early_change and code_len < 12:
+        code_len += 1
+    put(257)  # EOD
+    buf = cnt = 0
+    out = bytearray()
+    for code, width in out_bits:
+        buf = (buf << width) | code
+        cnt += width
+        while cnt >= 8:
+            out.append((buf >> (cnt - 8)) & 0xFF)
+            cnt -= 8
+    if cnt:
+        out.append((buf << (8 - cnt)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Literal-only RunLength encoding (valid, if not maximally compact)."""
+    out = bytearray()
+    for i in range(0, len(data), 100):
+        chunk = data[i : i + 100]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)
+    return bytes(out)
+
+
+def _png_predict_up(data: bytes, rowlen: int) -> bytes:
+    """PNG Up (filter type 2) encoder twin of px._png_unpredict."""
+    out = bytearray()
+    prev = bytes(rowlen)
+    for base in range(0, len(data), rowlen):
+        row = data[base : base + rowlen]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+class TestFilterPipeline:
+    PAYLOAD = bytes(range(256)) * 3 + b"endobj stream endstream 7 0 obj"
+
+    def test_lzw_roundtrip(self):
+        assert px._lzw_decode(_lzw_encode(self.PAYLOAD)) == self.PAYLOAD
+
+    def test_runlength_roundtrip(self):
+        assert px._runlength_decode(_rle_encode(self.PAYLOAD)) == self.PAYLOAD
+        # repeat form: 257-250=7 copies of 'x', then EOD
+        assert px._runlength_decode(bytes([250]) + b"x" + bytes([128])) == b"x" * 7
+
+    def test_asciihex_and_ascii85_roundtrip(self):
+        import base64
+
+        hx = self.PAYLOAD.hex().encode() + b">"
+        assert px._asciihex_decode(hx) == self.PAYLOAD
+        a85 = base64.a85encode(self.PAYLOAD) + b"~>"
+        assert px._ascii85_decode(a85) == self.PAYLOAD
+
+    def test_png_up_predictor_roundtrip(self):
+        import zlib as z
+
+        data = bytes((i * 7 + 3) & 0xFF for i in range(24 * 10))
+        pred = _png_predict_up(data, 24)
+        dict_bytes = b"<< /Predictor 12 /Columns 24 >>"
+        assert px._png_unpredict(pred, dict_bytes) == data
+        # and through _decode_filters with Flate on top
+        body = b"/Filter /FlateDecode /Predictor 12 /Columns 24"
+        assert px._decode_filters(z.compress(pred), body) == data
+
+    @pytest.mark.parametrize(
+        "filt,encode",
+        [
+            (b"/LZWDecode", _lzw_encode),
+            (b"/RunLengthDecode", _rle_encode),
+            (b"/ASCIIHexDecode", lambda d: d.hex().encode() + b">"),
+            (b"/ASCII85Decode",
+             lambda d: __import__("base64").a85encode(d) + b"~>"),
+        ],
+        ids=["lzw", "rle", "ahx", "a85"],
+    )
+    def test_page_extracts_through_filter(self, filt, encode):
+        payload = encode(_content("filtered page"))
+        pdf = b"%PDF-1.4\n"
+        pdf += _obj(1, _CATALOG)
+        pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+                       b" /MediaBox [0 0 612 792] >>")
+        pdf += _obj(3, _page(5))
+        pdf += _obj(
+            5,
+            b"<< /Length %d /Filter %s >>\nstream\n" % (len(payload), filt)
+            + payload + b"\nendstream",
+        )
+        pdf += _obj(9, _FONT)
+        pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+        assert extract_pdf_pages(pdf) == ["filtered page"]
+
+    def test_filter_chain_a85_then_flate(self):
+        """[/ASCII85Decode /FlateDecode]: decode order is array order —
+        the classic email-safe wrapping of a compressed stream."""
+        import base64
+        import zlib as z
+
+        payload = base64.a85encode(z.compress(_content("chained page"))) + b"~>"
+        pdf = b"%PDF-1.4\n"
+        pdf += _obj(1, _CATALOG)
+        pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+                       b" /MediaBox [0 0 612 792] >>")
+        pdf += _obj(3, _page(5))
+        pdf += _obj(
+            5,
+            b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n"
+            % len(payload) + payload + b"\nendstream",
+        )
+        pdf += _obj(9, _FONT)
+        pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+        assert extract_pdf_pages(pdf) == ["chained page"]
+
+    def test_image_codec_filters_return_none(self):
+        assert px._decode_filters(b"\xff\xd8\xff", b"/Filter /DCTDecode") is None
+        assert px._decode_filters(b"x", b"/Filter [/FlateDecode /JBIG2Decode]") is None
+
+    @given(st.binary(min_size=0, max_size=4000))
+    @settings(max_examples=80, deadline=None)
+    def test_lzw_roundtrip_fuzz(self, data):
+        assert px._lzw_decode(_lzw_encode(data)) == data
+
+    def test_lzw_code_width_boundaries(self):
+        """Every length around the 9→10 and 10→11 bit switches, both
+        EarlyChange values, plus a corpus that exhausts the 12-bit table
+        (frozen, not overflowed).  Random incompressible bytes make adds
+        ≈ length, so the sweep crosses each boundary exactly."""
+        import random
+
+        rng = random.Random(7)
+        sizes = list(range(245, 270)) + list(range(500, 530)) + [8000, 20000]
+        for n in sizes:
+            data = bytes(rng.randrange(256) for _ in range(n))
+            for ec in (0, 1):
+                assert px._lzw_decode(_lzw_encode(data, ec), ec) == data, (n, ec)
+        big = (b"the quick brown fox jumps " * 40 + bytes(range(256))) * 60
+        assert px._lzw_decode(_lzw_encode(big)) == big
+
+
+# ---------------------------------------------------------------------------
 # hypothesis: random document layouts
 # ---------------------------------------------------------------------------
 
