@@ -551,6 +551,32 @@ def _q_dedup_components(spark, sf_dir):
     return dedup.duplicate_components(pairs.select("id_a", "id_b"))
 
 
+def _gopher_docs(docs: DataFrame) -> DataFrame:
+    """Documents with planted bullet lines and duplicate lines so the
+    line-level Gopher signals have guaranteed hits (the base corpus is
+    single-line).  Mirrored verbatim in the oracle CTE."""
+    extra_bullets = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("\n- bullet one\n- bullet two")
+    ).otherwise(F.lit(""))
+    extra_dups = F.when(
+        F.col("doc_id") % 6 == 0, F.lit("\nrepeated line\nrepeated line")
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), extra_bullets, extra_dups).alias("text")
+    )
+
+
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality signals (word length, symbol ratio, bullet and
+    duplicate-line fractions) with the paper's keep thresholds."""
+    return textstats.gopher_quality(_gopher_docs(_docs(spark, sf_dir)))
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Top-5 distinctive terms per source by integer-scaled TF-IDF."""
+    return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
 # --- corpus-scrubbing inputs (derived deterministically; the documents
 # table has no paragraph structure / urls / PII, so both engines build the
 # same synthetic ones — mirrored verbatim in the oracle CTEs) -------------
@@ -1046,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
+        "gopher_quality": _q_gopher_quality,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "paragraph_dedup": _q_paragraph_dedup,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "pii_redact": _q_pii_redact,
@@ -1398,6 +1426,72 @@ sh_hash AS (
 )
 SELECT d.doc_id, d.rolling_fp, s.min_shingle_fp
 FROM doc_hash d JOIN sh_hash s ON s.doc_id = d.doc_id
+""",
+        "gopher_quality": f"""
+WITH gdocs AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || '- bullet one' || chr(10) || '- bullet two'
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN chr(10) || 'repeated line' || chr(10) || 'repeated line'
+                 ELSE '' END AS text
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {_NORM_DUCK} AS t,
+         string_split(text, chr(10)) AS lines
+  FROM gdocs
+),
+m AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_words,
+         length(regexp_replace(t, ' ', '', 'g')) AS n_word_chars,
+         length(t) - length(regexp_replace(t, '#', '', 'g'))
+           + len(regexp_extract_all(t, '\\.\\.\\.')) AS n_symbols,
+         len(lines) AS n_lines,
+         len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS n_bullets,
+         len(lines) - len(list_distinct(lines)) AS n_dup_lines
+  FROM sig
+),
+r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words = 0 THEN 0e0
+              ELSE floor(n_word_chars / n_words * 10000) / 10000 END AS mean_word_len,
+         CASE WHEN n_words = 0 THEN 0e0
+              ELSE floor(n_symbols / n_words * 10000) / 10000 END AS symbol_word_ratio,
+         floor(n_bullets / n_lines * 10000) / 10000 AS bullet_line_ratio,
+         floor(n_dup_lines / n_lines * 10000) / 10000 AS dup_line_ratio
+  FROM m
+)
+SELECT *,
+       (mean_word_len >= 3.0e0 AND mean_word_len <= 10.0e0
+        AND symbol_word_ratio <= 0.1e0
+        AND bullet_line_ratio <= 0.9e0
+        AND dup_line_ratio <= 0.3e0) AS keep
+FROM r
+""",
+        "tfidf_top_terms": f"""
+WITH norm AS (SELECT source, {_NORM_DUCK} AS t FROM documents WHERE {_NORM_DUCK} <> ''),
+words AS (SELECT source, unnest(string_split(t, ' ')) AS term FROM norm),
+tf AS (
+  SELECT source, term, count(*) AS tf FROM words WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ns AS (SELECT count(DISTINCT source) AS n FROM tf),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf, dfreq.df,
+         tf.tf * ((ns.n * 10000) // dfreq.df) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN ns
+),
+ranked AS (
+  SELECT *, cast(row_number() OVER (
+      PARTITION BY source ORDER BY score DESC, term) AS int) AS rank
+  FROM scored
+)
+SELECT source, term, tf, df, score, rank FROM ranked WHERE rank <= 5
 """,
         "paragraph_dedup": """
 WITH pdocs AS (

@@ -360,3 +360,105 @@ def fingerprints(df: DataFrame) -> DataFrame:
         F.md5(F.substring(F.col("t"), 1, 64).cast("binary")).alias("fp_head"),
         F.length("t").alias("n_chars_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality signals + per-source TF-IDF
+# ---------------------------------------------------------------------------
+
+# Gopher rules (Rae et al. 2021, table A1 — public): mean word length in
+# [3, 10], symbol-to-word ratio (#, ...) <= 0.1, <= 90% bullet lines,
+# bounded duplicate-line fraction.  Thresholds below mirror the paper's.
+GOPHER_WORD_LEN_LO = 3.0
+GOPHER_WORD_LEN_HI = 10.0
+GOPHER_SYMBOL_RATIO_MAX = 0.1
+GOPHER_BULLET_RATIO_MAX = 0.9
+GOPHER_DUP_LINE_RATIO_MAX = 0.3
+BULLET_LINE_RE = r"^\s*[-*•]"
+
+
+def gopher_quality(df: DataFrame) -> DataFrame:
+    """Gopher-rule quality signals per document, single scan, pure
+    ``F.*`` (whole-stage codegen): word stats over the normalized text,
+    line stats over the raw text.  ``keep`` applies the paper thresholds.
+
+    All ratios are floor-truncated (``dtrunc``) so the DuckDB oracle is
+    bit-identical.
+    """
+    d = with_norm(df)
+    n_words = F.when(F.col("t") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("t"), " "))
+    )
+    n_word_chars = F.length(F.regexp_replace(F.col("t"), " ", ""))
+    n_symbols = (
+        F.length("t")
+        - F.length(F.regexp_replace(F.col("t"), "#", ""))
+        + F.size(F.regexp_extract_all(F.col("t"), F.lit(r"\.\.\."), F.lit(0)))
+    )
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_bullets = F.size(
+        F.filter(lines, lambda ln: ln.rlike(BULLET_LINE_RE))
+    )
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    out = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.when(n_words == 0, F.lit(0.0))
+        .otherwise(dtrunc(n_word_chars / n_words, 4))
+        .alias("mean_word_len"),
+        F.when(n_words == 0, F.lit(0.0))
+        .otherwise(dtrunc(n_symbols / n_words, 4))
+        .alias("symbol_word_ratio"),
+        dtrunc(n_bullets / n_lines, 4).alias("bullet_line_ratio"),
+        dtrunc(n_dup_lines / n_lines, 4).alias("dup_line_ratio"),
+    )
+    keep = (
+        (F.col("mean_word_len") >= GOPHER_WORD_LEN_LO)
+        & (F.col("mean_word_len") <= GOPHER_WORD_LEN_HI)
+        & (F.col("symbol_word_ratio") <= GOPHER_SYMBOL_RATIO_MAX)
+        & (F.col("bullet_line_ratio") <= GOPHER_BULLET_RATIO_MAX)
+        & (F.col("dup_line_ratio") <= GOPHER_DUP_LINE_RATIO_MAX)
+    )
+    return out.withColumn("keep", keep)
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5, idf_scale: int = 10_000) -> DataFrame:
+    """Top-``k`` distinctive terms per source by TF-IDF.
+
+    The IDF uses scaled INTEGER arithmetic (``n_sources * idf_scale div
+    df``) instead of ``ln`` — JVM and DuckDB libm may differ by 1 ulp on
+    transcendentals, and the ranking (the point of tf-idf) is identical.
+
+    Scale shape: explode -> (source, term) count [map-side combined] ->
+    term document-frequency from the tf table itself [vocab-sized] ->
+    broadcast the 1-row source count -> window top-k per source over the
+    aggregated vocab only, never the raw token stream.
+    """
+    from pyspark.sql.window import Window
+
+    d = with_norm(df)
+    words = (
+        d.filter(F.col("t") != "")
+        .select("source", F.explode(F.split("t", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_sources = tf.select(F.count_distinct("source").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.expr(f"tf * ((n * {idf_scale}) div df)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

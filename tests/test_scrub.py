@@ -127,3 +127,48 @@ class TestPiiRedact:
         r = scrub.pii_redact(df).collect()[0]
         # \b boundaries: neither malformed number matches
         assert r["n_phones"] == 0 and "<PHONE>" not in r["redacted"]
+
+
+class TestGopherQuality:
+    def test_signals_and_thresholds(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.textstats import gopher_quality
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over lazy dogs tonight"),
+                (2, ""),  # empty: zero words, ratios 0
+                (3, "- a\n- b\n- c"),  # all bullet lines
+                (4, "dup\ndup\ndup\nuniq"),  # 2/4 duplicate lines
+                (5, "### ### ### ### word"),  # symbol-heavy
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r.asDict() for r in gopher_quality(docs).collect()}
+        assert got[1]["keep"] is True
+        assert got[2]["n_words"] == 0 and got[2]["keep"] is False
+        assert got[3]["bullet_line_ratio"] == 1.0 and got[3]["keep"] is False
+        assert got[4]["dup_line_ratio"] == 0.5 and got[4]["keep"] is False
+        assert got[5]["symbol_word_ratio"] > 0.1 and got[5]["keep"] is False
+
+
+class TestTfidfTopTerms:
+    def test_distinctive_terms_rank_first(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.textstats import tfidf_top_terms
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha alpha shared", "s1"),
+                (2, "beta shared shared", "s2"),
+                (3, "gamma shared", "s3"),
+            ],
+            ["doc_id", "text", "source"],
+        )
+        got = {
+            (r["source"], r["rank"]): r["term"]
+            for r in tfidf_top_terms(docs, k=2).collect()
+        }
+        # per-source unique terms beat the corpus-wide 'shared'
+        assert got[("s1", 1)] == "alpha"
+        assert got[("s2", 1)] == "beta"
+        assert got[("s3", 1)] == "gamma"
+        assert got[("s1", 2)] == got[("s2", 2)] == got[("s3", 2)] == "shared"
