@@ -43,8 +43,11 @@ Scope (documented limitations, deterministic by construction):
   None and trigger the byte-order fallback for the page
 - Type0/CID fonts without a ``/ToUnicode`` CMap decode to nothing
   (CIDs are glyph ids, not characters); with one, they decode exactly
-- glyph advance widths are not modelled: boxes on the same baseline are
-  joined with single spaces in x-order
+- glyph advances ARE modelled (``/Widths``, CID ``/W``/``/DW``, default
+  em/2): successive show ops land at their true x positions, and TJ
+  kerning beyond ``TJ_SPACE_UNITS`` decodes as an inter-word space;
+  ``Tc``/``Tw``/``Tz`` spacing params remain unmodelled (rarely used
+  for layout; their omission only shifts x by small amounts)
 """
 
 from __future__ import annotations
@@ -243,44 +246,79 @@ def _tokenize(data: bytes):
         i += 1
 
 
+# A TJ kerning adjustment at or beyond this many thousandths of an em is
+# an inter-word gap, not a kern: insert a space (LaTeX and many word
+# processors encode spaces this way instead of space glyphs).
+TJ_SPACE_UNITS = -180.0
+DEFAULT_GLYPH_W = 500.0  # em/2: the classic simple-font fallback advance
+
+
 def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[TextBox]:
     """Run the text operators of one content stream, collecting boxes.
 
-    ``font_maps`` maps resource font names (e.g. ``"F1"``) to
-    ``(code_width, {code: str})`` built from the font's ``/ToUnicode``
-    CMap and/or ``/Differences`` array; strings shown while such a font
-    is selected (via ``Tf``) decode through the map — byte-at-a-time for
-    width 1, big-endian code units for width 2 (Identity-H CID fonts) —
-    all others through utf-8/latin-1.
+    ``font_maps`` maps resource font names (e.g. ``"F1"``) to dicts
+    ``{code_width, cmap, widths, default_w}`` built from the font's
+    ``/ToUnicode`` CMap, ``/Differences`` array, and ``/Widths`` (simple)
+    or descendant ``/W`` (CID) arrays.  Strings shown while such a font
+    is selected (via ``Tf``) decode through the cmap — byte-at-a-time
+    for width 1, big-endian code units for width 2 (Identity-H CID
+    fonts) — all others through utf-8/latin-1.
+
+    Glyph ADVANCE is modelled: after every show op, the current position
+    moves by the shown string's width (``/Widths``-aware, in text-space
+    units scaled by the ``Tf`` size), and TJ numeric adjustments shift
+    it back — adjustments beyond :data:`TJ_SPACE_UNITS` decode as spaces.
+    Successive show ops without explicit repositioning therefore land at
+    their true x order.
     """
     boxes: List[TextBox] = []
     stack: List[object] = []  # operand stack (numbers / strings / arrays)
     lx = ly = 0.0  # line start
     cx = cy = 0.0  # current position
     leading = 0.0
+    font_size = 0.0  # advance is zero until a Tf sets the size, per spec
     seq = 0
     in_text = False
-    cur_map: Optional[Tuple[int, dict]] = None
+    cur_font: Optional[dict] = None
+
+    def _codes(raw: bytes, w: int) -> List[int]:
+        if w == 1:
+            return list(raw)
+        return [
+            int.from_bytes(raw[i : i + w], "big")
+            for i in range(0, len(raw) - w + 1, w)
+        ]
 
     def decode(raw: bytes) -> str:
-        if cur_map is None:
+        mp = cur_font.get("cmap") if cur_font else None
+        width = cur_font["code_width"] if cur_font else 1
+        if mp is None:
             return _default_decode(raw)
-        width, mp = cur_map
         if width == 1:
             # unmapped codes keep their base-encoding (latin-1 ~ Standard
             # for the printable range) interpretation
             return "".join(mp.get(b, chr(b)) for b in raw)
         # multi-byte code space: unmapped CIDs have no unicode meaning
-        return "".join(
-            mp.get(int.from_bytes(raw[i : i + width], "big"), "")
-            for i in range(0, len(raw) - width + 1, width)
-        )
+        return "".join(mp.get(c, "") for c in _codes(raw, width))
+
+    def advance_units(raw: bytes) -> float:
+        """Width of ``raw`` in thousandths of an em."""
+        if cur_font is None:
+            return DEFAULT_GLYPH_W * len(raw)
+        ws = cur_font["widths"]
+        dw = cur_font["default_w"]
+        return sum(ws.get(c, dw) for c in _codes(raw, cur_font["code_width"]))
 
     def emit(text: str) -> None:
         nonlocal seq
         if text:
             boxes.append(TextBox(cx, cy, seq, text))
             seq += 1
+
+    def show(raw: bytes) -> None:
+        nonlocal cx
+        emit(decode(raw))
+        cx += advance_units(raw) / 1000.0 * font_size
 
     for kind, val in _tokenize(data):
         if kind in ("num", "str", "arr", "name"):
@@ -293,10 +331,12 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
                 lx = ly = cx = cy = 0.0
             elif op == "ET":
                 in_text = False
-            elif op == "Tf" and len(stack) >= 2 and font_maps is not None:
+            elif op == "Tf" and len(stack) >= 2:
                 k, name = stack[-2]
-                if k == "name":
-                    cur_map = font_maps.get(name)
+                if k == "name" and font_maps is not None:
+                    cur_font = font_maps.get(name)
+                if stack[-1][0] == "num":
+                    font_size = float(stack[-1][1])  # type: ignore[arg-type]
             elif op == "Td" and len(stack) >= 2:
                 ty = stack[-1][1]
                 tx = stack[-2][1]
@@ -323,23 +363,41 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
             elif op == "Tj" and stack and in_text:
                 k, s = stack[-1]
                 if k == "str":
-                    emit(decode(s))  # type: ignore[arg-type]
+                    show(s)  # type: ignore[arg-type]
             elif op == "TJ" and stack and in_text:
                 k, arr = stack[-1]
                 if k == "arr":
-                    emit("".join(decode(v) for ek, v in arr if ek == "str"))  # type: ignore[union-attr]
+                    # one logical box at the start position; strings
+                    # accumulate advance, numbers kern it back, and a
+                    # word-sized negative kern decodes as a space
+                    parts: List[str] = []
+                    units = 0.0
+                    for ek, v in arr:  # type: ignore[union-attr]
+                        if ek == "str":
+                            parts.append(decode(v))
+                            units += advance_units(v)
+                        else:  # num
+                            units -= float(v)  # type: ignore[arg-type]
+                            # only BETWEEN glyphs: a kern before the first
+                            # or after the last string is positioning
+                            if float(v) <= TJ_SPACE_UNITS and parts and parts[-1] != " ":  # type: ignore[arg-type]
+                                parts.append(" ")
+                    if parts and parts[-1] == " ":
+                        parts.pop()
+                    emit("".join(parts))
+                    cx += units / 1000.0 * font_size
             elif op == "'" and stack and in_text:
                 ly -= leading
                 cx, cy = lx, ly
                 k, s = stack[-1]
                 if k == "str":
-                    emit(decode(s))  # type: ignore[arg-type]
+                    show(s)  # type: ignore[arg-type]
             elif op == '"' and stack and in_text:
                 ly -= leading
                 cx, cy = lx, ly
                 k, s = stack[-1]
                 if k == "str":
-                    emit(decode(s))  # type: ignore[arg-type]
+                    show(s)  # type: ignore[arg-type]
         finally:
             stack.clear()
     return boxes
@@ -817,13 +875,97 @@ def _differences_map(font_dict: bytes, objs: dict) -> Optional[dict]:
     return code_map or None
 
 
+def _balanced_array(data: bytes, open_pos: int) -> Optional[bytes]:
+    """The ``[...]`` slice starting at ``open_pos``, bracket-balanced
+    (``/W`` arrays nest sub-lists)."""
+    depth = 0
+    for i in range(open_pos, len(data)):
+        if data[i] == 0x5B:  # [
+            depth += 1
+        elif data[i] == 0x5D:  # ]
+            depth -= 1
+            if depth == 0:
+                return data[open_pos : i + 1]
+    return None
+
+
+def _named_array(dict_bytes: bytes, name: bytes, objs: dict) -> Optional[bytes]:
+    """The array value of ``/name`` — direct, or one indirect hop."""
+    m = re.search(rb"/" + name + rb"\s*\[", dict_bytes)
+    if m:
+        return _balanced_array(dict_bytes, m.end() - 1)
+    ref = _ref(dict_bytes, name)
+    if ref is not None and ref in objs:
+        body = _obj_dict(objs[ref])
+        k = body.find(b"[")
+        if k != -1:
+            return _balanced_array(body, k)
+    return None
+
+
+def _simple_widths(fd: bytes, objs: dict) -> dict:
+    """``/FirstChar`` + ``/Widths`` -> {code: advance units}."""
+    fc = re.search(rb"/FirstChar\s+(\d+)", fd)
+    arr = _named_array(fd, b"Widths", objs)
+    if not fc or arr is None:
+        return {}
+    first = int(fc.group(1))
+    return {
+        first + i: float(w)
+        for i, w in enumerate(_NUM_RE.findall(arr[1:-1]))
+    }
+
+
+def _cid_widths(fd: bytes, objs: dict) -> Tuple[dict, float]:
+    """Descendant CIDFont ``/W`` + ``/DW`` -> ({cid: units}, default).
+
+    ``/W`` grammar (spec §9.7.4.3): ``c [w1 w2 ...]`` assigns
+    consecutively from ``c``; ``c_first c_last w`` assigns a range."""
+    desc = _named_array(fd, b"DescendantFonts", objs)
+    cid_dict = None
+    if desc is not None:
+        rm = _REF_IN_ARR_RE.search(desc)
+        if rm and int(rm.group(1)) in objs:
+            cid_dict = _obj_dict(objs[int(rm.group(1))])
+    if cid_dict is None:
+        return {}, 1000.0
+    dwm = re.search(rb"/DW\s+([\d.]+)", cid_dict)
+    default_w = float(dwm.group(1)) if dwm else 1000.0
+    w_arr = _named_array(cid_dict, b"W", objs)
+    widths: dict = {}
+    if w_arr is not None:
+        toks = re.findall(rb"\[[^\]]*\]|[-+]?(?:\d+\.?\d*|\.\d+)", w_arr[1:-1])
+        k = 0
+        while k < len(toks):
+            t = toks[k]
+            if t.startswith(b"["):
+                k += 1  # stray list without a leading code: skip
+                continue
+            if k + 1 < len(toks) and toks[k + 1].startswith(b"["):
+                c = int(float(t))
+                for j, w in enumerate(_NUM_RE.findall(toks[k + 1])):
+                    widths[c + j] = float(w)
+                k += 2
+            elif k + 2 < len(toks) and not toks[k + 2].startswith(b"["):
+                c1, c2, w = int(float(t)), int(float(toks[k + 1])), float(toks[k + 2])
+                if 0 <= c2 - c1 <= 65535:
+                    for c in range(c1, c2 + 1):
+                        widths[c] = w
+                k += 3
+            else:
+                k += 1
+    return widths, default_w
+
+
 def _font_maps(resources: bytes, objs: dict) -> dict:
-    """Resource font name -> ``(code_width, {code: str})``.
+    """Resource font name -> ``{code_width, cmap, widths, default_w}``.
 
     A font's ``/ToUnicode`` CMap is authoritative for text extraction
     (spec §9.10.2) and sets the code width (2 for Identity-H CID fonts);
     ``/Differences`` fills unmapped single-byte codes for simple fonts.
-    Fonts with neither use the default utf-8/latin-1 decode."""
+    ``widths`` carries glyph advances from ``/Widths`` (simple) or the
+    descendant CIDFont's ``/W`` (Type0).  Fonts with neither a cmap nor
+    widths are omitted — the default decode + advance applies."""
     m = re.search(rb"/Font\s*<<(.*?)>>", resources, re.DOTALL)
     if not m:
         return {}
@@ -833,22 +975,32 @@ def _font_maps(resources: bytes, objs: dict) -> dict:
         if ref not in objs:
             continue
         fd = _obj_dict(objs[ref])
-        width, cmap = 1, {}
+        code_width, cmap = 1, {}
         tu_ref = _ref(fd, b"ToUnicode")
         if tu_ref is not None and tu_ref in objs:
             data = _stream_payload(objs[tu_ref])
             if data is not None:
-                width, cmap = _parse_tounicode_cmap(data)
-        if re.search(rb"/Subtype\s*/Type0\b", fd) and width < 2:
-            width = 2  # Identity-H/V code space is 2-byte even sans CMap
-        if width == 1:
+                code_width, cmap = _parse_tounicode_cmap(data)
+        is_type0 = re.search(rb"/Subtype\s*/Type0\b", fd)
+        if is_type0 and code_width < 2:
+            code_width = 2  # Identity-H/V code space is 2-byte even sans CMap
+        if code_width == 1:
             dm = _differences_map(fd, objs)
             if dm:
                 merged = dict(dm)
                 merged.update(cmap)  # ToUnicode wins on conflicts
                 cmap = merged
-        if cmap:
-            maps[name] = (width, cmap)
+        if is_type0:
+            widths, default_w = _cid_widths(fd, objs)
+        else:
+            widths, default_w = _simple_widths(fd, objs), DEFAULT_GLYPH_W
+        if cmap or widths:
+            maps[name] = {
+                "code_width": code_width,
+                "cmap": cmap or None,
+                "widths": widths,
+                "default_w": default_w,
+            }
     return maps
 
 

@@ -377,6 +377,94 @@ def test_flate_payload_with_embedded_keywords_roundtrips():
 
 
 # ---------------------------------------------------------------------------
+# round 3: glyph advance widths + TJ kerning
+# ---------------------------------------------------------------------------
+
+
+class TestGlyphAdvance:
+    def _one_page(self, content: bytes, font: bytes) -> bytes:
+        pdf = b"%PDF-1.4\n"
+        pdf += _obj(1, _CATALOG)
+        pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+                       b" /MediaBox [0 0 612 792] >>")
+        pdf += _obj(3, _page(5))
+        pdf += _stream_obj(5, content)
+        pdf += _obj(9, font)
+        pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+        return pdf
+
+    def test_successive_tj_land_in_x_order(self):
+        """Two Tj with no repositioning between them: the advance model
+        must place the second to the RIGHT of the first (they used to
+        stack at the same x and rely on seq tie-breaking)."""
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (first) Tj (second) Tj ET"
+        )
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /X"
+            b" /FirstChar 32 /Widths 8 0 R >>"
+        )
+        pdf = self._one_page(content, font)
+        # widths array object: 95 printable-ASCII widths of 600
+        pdf = pdf.replace(
+            b"trailer",
+            _obj(8, b"[" + b" ".join(b"600" for _ in range(95)) + b"]")
+            + b"trailer",
+        )
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _font_maps,
+            _interpret_stream,
+            _parse_objects,
+        )
+
+        objs = _parse_objects(pdf)
+        fonts = _font_maps(_obj_dict(objs[3]) if False else b"/Font << /F1 9 0 R >>", objs)
+        boxes = _interpret_stream(
+            b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (first) Tj (second) Tj ET",
+            font_maps=fonts,
+        )
+        assert [b.text for b in boxes] == ["first", "second"]
+        # 'first' = 5 glyphs * 600/1000 * 12pt = 36pt advance
+        assert boxes[0].x == 100.0 and abs(boxes[1].x - 136.0) < 1e-9
+        assert extract_pdf_pages(pdf) == ["first second"]
+
+    def test_tj_kerning_space_threshold(self):
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 100 700 Tm"
+            b" [(Hello) -200 (world) -50 (!)] TJ ET"
+        )
+        pdf = self._one_page(content, _FONT)
+        # -200 is a word gap -> space; -50 is a kern -> glued
+        assert extract_pdf_pages(pdf) == ["Hello world!"]
+
+    def test_cid_w_array_both_forms(self):
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _cid_widths,
+        )
+
+        objs = {
+            7: b"<< /Type /Font /Subtype /CIDFontType2 /DW 750"
+               b" /W [1 [500 600 700] 10 12 250] >>",
+        }
+        fd = b"<< /Subtype /Type0 /DescendantFonts [7 0 R] >>"
+        widths, dw = _cid_widths(fd, objs)
+        assert dw == 750.0
+        assert widths == {1: 500.0, 2: 600.0, 3: 700.0,
+                          10: 250.0, 11: 250.0, 12: 250.0}
+
+    def test_widths_do_not_disturb_positioned_layout(self):
+        """Documents that reposition before every show op (the synthetic
+        corpus) must be byte-identical with or without width modeling —
+        the advance only matters BETWEEN shows."""
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (line one) Tj"
+            b" 1 0 0 1 100 680 Tm (line two) Tj ET"
+        )
+        pdf = self._one_page(content, _FONT)
+        assert extract_pdf_pages(pdf) == ["line one\nline two"]
+
+
+# ---------------------------------------------------------------------------
 # round 3: stream filter pipeline (LZW/A85/AHx/RL/predictors + chains)
 # ---------------------------------------------------------------------------
 
