@@ -240,6 +240,25 @@ def _tokenize(data: bytes):
             continue
         m = re.match(rb"[A-Za-z'\"*]+", data[i:])
         if m:
+            if m.group() == b"BI":
+                # inline image (spec §8.9.7): skip dict + BINARY payload
+                # to the whitespace-delimited EI keyword — tokenizing the
+                # raster bytes would desync the operand stream
+                k = i + 2
+                while True:
+                    j = data.find(b"EI", k)
+                    if j == -1:
+                        i = n
+                        break
+                    before = data[j - 1 : j]
+                    after = data[j + 2 : j + 3]
+                    if (j == 0 or before in (b" ", b"\t", b"\r", b"\n")) and (
+                        after == b"" or not after.isalnum()
+                    ):
+                        i = j + 2
+                        break
+                    k = j + 2
+                continue
             yield ("op", m.group().decode("latin-1"))
             i += m.end()
             continue
@@ -277,6 +296,9 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
     cx = cy = 0.0  # current position
     leading = 0.0
     font_size = 0.0  # advance is zero until a Tf sets the size, per spec
+    char_spacing = 0.0  # Tc
+    word_spacing = 0.0  # Tw (applies to single-byte code 32 only, §9.3.3)
+    hscale = 1.0  # Tz / 100
     seq = 0
     in_text = False
     cur_font: Optional[dict] = None
@@ -315,10 +337,23 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
             boxes.append(TextBox(cx, cy, seq, text))
             seq += 1
 
+    def advance_pts(raw: bytes) -> float:
+        """Full advance of one shown string in points (spec §9.4.4):
+        glyph widths scaled by size, plus Tc per glyph and Tw per
+        single-byte space, all scaled by Tz."""
+        cw = cur_font["code_width"] if cur_font else 1
+        n_glyphs = len(raw) // cw
+        n_spaces = raw.count(b" ") if cw == 1 else 0
+        return (
+            advance_units(raw) / 1000.0 * font_size
+            + n_glyphs * char_spacing
+            + n_spaces * word_spacing
+        ) * hscale
+
     def show(raw: bytes) -> None:
         nonlocal cx
         emit(decode(raw))
-        cx += advance_units(raw) / 1000.0 * font_size
+        cx += advance_pts(raw)
 
     for kind, val in _tokenize(data):
         if kind in ("num", "str", "arr", "name"):
@@ -357,6 +392,12 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
                 cx, cy = e, f
             elif op == "TL" and len(stack) >= 1:
                 leading = float(stack[-1][1])  # type: ignore[arg-type]
+            elif op == "Tc" and len(stack) >= 1:
+                char_spacing = float(stack[-1][1])  # type: ignore[arg-type]
+            elif op == "Tw" and len(stack) >= 1:
+                word_spacing = float(stack[-1][1])  # type: ignore[arg-type]
+            elif op == "Tz" and len(stack) >= 1:
+                hscale = float(stack[-1][1]) / 100.0  # type: ignore[arg-type]
             elif op == "T*":
                 ly -= leading
                 cx, cy = lx, ly
@@ -371,13 +412,13 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
                     # accumulate advance, numbers kern it back, and a
                     # word-sized negative kern decodes as a space
                     parts: List[str] = []
-                    units = 0.0
+                    pts = 0.0
                     for ek, v in arr:  # type: ignore[union-attr]
                         if ek == "str":
                             parts.append(decode(v))
-                            units += advance_units(v)
+                            pts += advance_pts(v)
                         else:  # num
-                            units -= float(v)  # type: ignore[arg-type]
+                            pts -= float(v) / 1000.0 * font_size * hscale  # type: ignore[arg-type]
                             # only BETWEEN glyphs: a kern before the first
                             # or after the last string is positioning
                             if float(v) <= TJ_SPACE_UNITS and parts and parts[-1] != " ":  # type: ignore[arg-type]
@@ -385,7 +426,7 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
                     if parts and parts[-1] == " ":
                         parts.pop()
                     emit("".join(parts))
-                    cx += units / 1000.0 * font_size
+                    cx += pts
             elif op == "'" and stack and in_text:
                 ly -= leading
                 cx, cy = lx, ly
@@ -393,6 +434,11 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
                 if k == "str":
                     show(s)  # type: ignore[arg-type]
             elif op == '"' and stack and in_text:
+                if len(stack) >= 3:  # aw ac string " (sets Tw and Tc)
+                    if stack[-3][0] == "num":
+                        word_spacing = float(stack[-3][1])  # type: ignore[arg-type]
+                    if stack[-2][0] == "num":
+                        char_spacing = float(stack[-2][1])  # type: ignore[arg-type]
                 ly -= leading
                 cx, cy = lx, ly
                 k, s = stack[-1]

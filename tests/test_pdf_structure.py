@@ -702,3 +702,51 @@ def _random_pdf(draw):
 def test_random_layouts_extract_in_page_order(case):
     pdf, texts = case
     assert extract_pdf_pages(pdf) == texts
+
+
+class TestSpacingParamsAndInlineImages:
+    def test_tc_tw_tz_affect_advance(self):
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _interpret_stream,
+        )
+
+        # 2pt char spacing on 4 glyphs + 1pt word spacing on 1 space,
+        # 200% horizontal scale; default width 500/1000em at 10pt
+        content = (
+            b"BT /F1 10 Tf 2 Tc 1 Tw 200 Tz 1 0 0 1 100 700 Tm"
+            b" (a b) Tj (c) Tj ET"
+        )
+        boxes = _interpret_stream(content)
+        # 'a b': 3 glyphs * 5pt + 3*2 Tc + 1*1 Tw = 22pt, x2 scale = 44
+        assert boxes[0].x == 100.0
+        assert abs(boxes[1].x - 144.0) < 1e-9
+
+    def test_quote_op_sets_spacing(self):
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _interpret_stream,
+        )
+
+        content = (
+            b'BT /F1 10 Tf 14 TL 1 0 0 1 100 700 Tm'
+            b' 3 2 (ab) " (c) Tj ET'
+        )
+        boxes = _interpret_stream(content)
+        assert [b.text for b in boxes] == ["ab", "c"]
+        # after ": 2 glyphs*5 + 2*2 Tc = 14pt (no space in 'ab')
+        assert abs(boxes[1].x - 114.0) < 1e-9
+
+    def test_inline_image_binary_does_not_desync(self):
+        """A BI..ID..EI inline image whose binary payload contains '('
+        and 'Tj'-looking bytes must be skipped wholesale."""
+        binary = b"\x00(\xff Tj (fake) Tj \x01\x02EI_not_end\x03"
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (before) Tj ET\n"
+            b"BI /W 4 /H 4 /BPC 8 /CS /G ID " + binary + b" EI\n"
+            b"BT /F1 12 Tf 1 0 0 1 100 680 Tm (after) Tj ET"
+        )
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _interpret_stream,
+        )
+
+        boxes = _interpret_stream(content)
+        assert [b.text for b in boxes] == ["before", "after"]
