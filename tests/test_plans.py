@@ -244,3 +244,14 @@ def test_url_canonical_dedup_is_single_shuffle(spark):
     assert plan.count(") Exchange") == 1
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_broadcasts_the_source_count(spark):
+    """The 1-row corpus-wide source count must come in as a broadcast,
+    and the whole query stays JVM-side (no Python)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["tfidf_top_terms"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
