@@ -1452,7 +1452,7 @@ m AS (
          length(t) - length(regexp_replace(t, '#', '', 'g'))
            + len(regexp_extract_all(t, '\\.\\.\\.')) AS n_symbols,
          len(lines) AS n_lines,
-         len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) AS n_bullets,
+         len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS n_bullets,
          len(lines) - len(list_distinct(lines)) AS n_dup_lines
   FROM sig
 ),
@@ -1531,20 +1531,28 @@ WITH urls AS (
          || '&utm_campaign=x#sec' || (doc_id % 3) AS url
   FROM documents
 ),
-c0 AS (SELECT doc_id, regexp_replace(lower(url), '#.*$', '') AS c FROM urls),
+c0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS raw FROM urls),
+ch AS (
+  SELECT doc_id, raw,
+         regexp_extract(raw, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*') AS pre
+  FROM c0
+),
+cl AS (
+  SELECT doc_id, lower(pre) || substr(raw, length(pre) + 1) AS c FROM ch
+),
 c1 AS (
   SELECT doc_id,
          regexp_replace(regexp_replace(split_part(c, '?', 1),
                                        '://www\\.', '://'), '/$', '') AS base,
          CASE WHEN contains(c, '?') THEN substr(c, instr(c, '?') + 1)
               ELSE '' END AS q
-  FROM c0
+  FROM cl
 ),
 c2 AS (
   SELECT doc_id, base,
          array_to_string(
            list_filter(string_split(q, '&'),
-             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)=')),
+             p -> p <> '' AND NOT regexp_matches(p, '(?i)^(utm_[a-z]+|fbclid|gclid)=')),
            '&') AS newq
   FROM c1
 ),

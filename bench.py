@@ -246,8 +246,13 @@ def main() -> None:
         med_4n = _median([p["dps_4n"] for p in pair_results])
         eff = best["efficiency"]
         eff_median = round((med_4n / med_n) / (SCALE_4N / SCALE_N), 4)
-        ext_n = {"docs_per_sec": med_n}
-        ext_4n = {"docs_per_sec": med_4n}
+        # docs_per_sec_n/4n come from the SAME pair as the headline
+        # efficiency, so (dps_4n / dps_n) / 4 recomputes it exactly;
+        # medians are reported under their own keys.  Max-of-pairs is
+        # upward-biased under noise — that is why the median rides along
+        # and the bar must clear on a quiet host either way.
+        ext_n = {"docs_per_sec": best["dps_n"]}
+        ext_4n = {"docs_per_sec": best["dps_4n"]}
         total = round(sum(timings.values()), 3)
         result = {
             "metric": "headline_total_sec",
@@ -270,6 +275,8 @@ def main() -> None:
                 ),
                 "docs_per_sec_n": ext_n["docs_per_sec"],
                 "docs_per_sec_4n": ext_4n["docs_per_sec"],
+                "docs_per_sec_n_median": med_n,
+                "docs_per_sec_4n_median": med_4n,
                 "scaling_cores": [SCALE_N, SCALE_4N],
                 "scaling_efficiency": eff,
                 "scaling_efficiency_median": eff_median,

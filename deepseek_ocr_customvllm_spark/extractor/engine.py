@@ -56,6 +56,19 @@ CONTENT_TYPE_PDF = "pdf"
 # an /Encrypt reference in a trailer/xref-stream dictionary (raw bytes —
 # those dictionaries are never themselves encrypted or compressed)
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+
+
+def _is_encrypted_pdf(payload: bytes) -> bool:
+    """True when the ACTIVE trailer declares /Encrypt.
+
+    Scanned only in the trailer region — after the last ``trailer``
+    keyword, or the 2 KiB tail for xref-stream files — so page CONTENT
+    that merely mentions the pattern (e.g. documentation about PDF
+    security) cannot false-positive, and a superseded trailer whose
+    encryption a later incremental update removed is not consulted."""
+    t = payload.rfind(b"trailer")
+    region = payload[t:] if t != -1 else payload[-2048:]
+    return bool(_ENCRYPT_RE.search(region))
 CONTENT_TYPE_HTML = "html"
 CONTENT_TYPE_EMPTY = "empty"
 
@@ -116,12 +129,10 @@ def extract_document(
             # Encrypted PDFs must QUARANTINE (FAILED + reason), not pass
             # through as empty SUCCESS rows: their content streams are
             # RC4/AES ciphertext, so every zlib inflate fails and the
-            # document would silently extract to nothing.  The trailer
-            # reference is a heuristic (ciphertext containing the exact
-            # ASCII pattern is vanishingly unlikely); decryption itself is
+            # document would silently extract to nothing.  Decryption is
             # out of scope, matching the reference which feeds PyMuPDF and
             # errors on password-protected files.
-            if _ENCRYPT_RE.search(payload):
+            if _is_encrypted_pdf(payload):
                 raise ValueError("encrypted PDF (trailer has /Encrypt)")
             pages = extract_pdf_pages(payload)
         else:

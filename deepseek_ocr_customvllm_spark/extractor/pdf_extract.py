@@ -44,10 +44,11 @@ Scope (documented limitations, deterministic by construction):
 - Type0/CID fonts without a ``/ToUnicode`` CMap decode to nothing
   (CIDs are glyph ids, not characters); with one, they decode exactly
 - glyph advances ARE modelled (``/Widths``, CID ``/W``/``/DW``, default
-  em/2): successive show ops land at their true x positions, and TJ
-  kerning beyond ``TJ_SPACE_UNITS`` decodes as an inter-word space;
-  ``Tc``/``Tw``/``Tz`` spacing params remain unmodelled (rarely used
-  for layout; their omission only shifts x by small amounts)
+  em/2, plus the ``Tc``/``Tw``/``Tz`` spacing parameters and the
+  ``\"`` operator's spacing operands): successive show ops land at their
+  true x positions, and TJ kerning beyond ``TJ_SPACE_UNITS`` decodes as
+  an inter-word space; inline images (``BI..ID..EI``) are skipped
+  wholesale so raster bytes cannot desync the operand stream
 """
 
 from __future__ import annotations
@@ -315,6 +316,10 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
         mp = cur_font.get("cmap") if cur_font else None
         width = cur_font["code_width"] if cur_font else 1
         if mp is None:
+            if width > 1:
+                # multi-byte CIDs without a ToUnicode CMap are glyph ids
+                # with no textual meaning: emit nothing, never raw bytes
+                return ""
             return _default_decode(raw)
         if width == 1:
             # unmapped codes keep their base-encoding (latin-1 ~ Standard
@@ -490,7 +495,7 @@ def _assemble_page(
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 # direct /Length only — `/Length 5 0 R` (indirect) must NOT match
-_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?![0-9]|\s+\d+\s+R)")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)*)\s*\]")
 _REF_IN_ARR_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -564,7 +569,9 @@ def _stream_extent(data: bytes, dict_part: bytes, ks: int) -> Tuple[int, int]:
     ds = ks + 6
     if data[ds : ds + 2] == b"\r\n":
         ds += 2
-    elif data[ds : ds + 1] == b"\n":
+    elif data[ds : ds + 1] in (b"\n", b"\r"):
+        # lone \r is spec-invalid but emitted by lenient writers; the
+        # keyword finder accepts it, so the extent must skip it too
         ds += 1
     lm = _LENGTH_DIRECT_RE.search(dict_part)
     if lm:

@@ -114,7 +114,11 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _cap_hot_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+def _cap_hot_buckets(
+    bands: DataFrame,
+    max_bucket: int | None,
+    bucket_cols: tuple = ("band", "bk"),
+) -> DataFrame:
     """Drop band buckets with more than ``max_bucket`` members BEFORE the
     self-join.  A degenerate corpus (k boilerplate docs sharing a band
     key — and exact duplicates share ALL bands) otherwise produces k^2/2
@@ -125,7 +129,7 @@ def _cap_hot_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
     """
     if max_bucket is None:
         return bands
-    w = Window.partitionBy("band", "bk")
+    w = Window.partitionBy(*bucket_cols)
     return (
         bands.withColumn("_n", F.count("*").over(w))
         .filter(F.col("_n") <= max_bucket)
@@ -262,13 +266,7 @@ def ngram_jaccard_pairs(
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(shingles(df, distinct=False)).select("doc_id", "m0")
-    if max_bucket is not None:
-        w = Window.partitionBy("m0")
-        sig = (
-            sig.withColumn("_n", F.count("*").over(w))
-            .filter(F.col("_n") <= max_bucket)
-            .drop("_n")
-        )
+    sig = _cap_hot_buckets(sig, max_bucket, bucket_cols=("m0",))
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (

@@ -41,14 +41,21 @@ from pyspark.sql import functions as F
 
 PARA_SEP = "\n\n"
 
-# dialect-portable patterns (Java regex + RE2 agree on this subset)
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+# dialect-portable patterns (Java regex + RE2 agree on this subset).
+# Explicit a-zA-Z classes, not lowercase-only: PII scrubbing must catch
+# John.Doe@Example.COM, and the input is never pre-lowercased here.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+"
 PHONE_RE = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
 # tracking params are removed by splitting the query string and filtering
 # parameters by prefix — regex-only surgery needs lookahead for adjacent
 # tracking params, and RE2 (the oracle dialect) has none
-TRACKING_PREFIX_RE = r"^(utm_[a-z]+|fbclid|gclid)="
+# (?i): tracking params appear in any case; (?i) parses identically in
+# Java and RE2.
+TRACKING_PREFIX_RE = r"(?i)^(utm_[a-z]+|fbclid|gclid)="
 FRAGMENT_RE = r"#.*$"
+# scheme://host prefix — the ONLY case-insensitive part of a URL per
+# RFC 3986 (path and query are case-significant)
+SCHEME_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*"
 
 
 # ---------------------------------------------------------------------------
@@ -121,11 +128,16 @@ def paragraph_dedup(docs: DataFrame, max_df: int = 10) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Add ``canonical_url``: fragment stripped, tracking params
-    (utm_*/fbclid/gclid) and empty params filtered out of the query
-    string, ``www.`` host prefix dropped, trailing slash trimmed.
+    """Add ``canonical_url``: fragment stripped, scheme+host lowercased
+    (ONLY those — path/query case is significant per RFC 3986), tracking
+    params (utm_*/fbclid/gclid) and empty params filtered out of the
+    query string, ``www.`` host prefix dropped, trailing slash trimmed.
     Pure whole-stage-codegen expressions — no UDF."""
-    c = F.regexp_replace(F.lower(F.col(url_col)), FRAGMENT_RE, "")
+    raw = F.regexp_replace(F.col(url_col), FRAGMENT_RE, "")
+    prefix = F.regexp_extract(raw, SCHEME_HOST_RE, 0)
+    c = F.concat(
+        F.lower(prefix), F.substring(raw, F.length(prefix) + 1, F.length(raw))
+    )
     base = F.split_part(c, F.lit("?"), F.lit(1))
     # host/path fixes act on the BASE (before the query is re-appended,
     # so 'path/?x=1' normalizes to 'path?x=1'); no backreference — Java

@@ -374,7 +374,9 @@ GOPHER_WORD_LEN_HI = 10.0
 GOPHER_SYMBOL_RATIO_MAX = 0.1
 GOPHER_BULLET_RATIO_MAX = 0.9
 GOPHER_DUP_LINE_RATIO_MAX = 0.3
-BULLET_LINE_RE = r"^\s*[-*•]"
+# explicit [ \t] class, NOT \s: Java's \s includes \x0B, RE2's does not —
+# the exact dialect divergence the oracle rules forbid
+BULLET_LINE_RE = r"^[ \t]*[-*•]"
 
 
 def gopher_quality(df: DataFrame) -> DataFrame:

@@ -545,3 +545,28 @@ class TestTrueTeds:
         s = teds(html, perturbed)
         assert 0.5 < s < 1.0
         assert mean_teds([(html, html), (html, perturbed)]) == (1.0 + s) / 2
+
+
+class TestEncryptedDetectionScope:
+    def test_encrypt_mention_in_content_not_quarantined(self):
+        """Page CONTENT that merely mentions '/Encrypt 7 0 R' (e.g. docs
+        about PDF security) must extract normally — only the active
+        trailer region is consulted (round-3 review finding)."""
+        body = b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (see /Encrypt 7 0 R here) Tj ET"
+        head = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+            b" /MediaBox [0 0 612 792] >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n"
+        )
+        pdf = (
+            head
+            + (b"5 0 obj\n<< /Length %d >>\nstream\n" % len(body))
+            + body
+            + b"\nendstream\nendobj\n"
+            + b"trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n"
+        )
+        r = extract_document("u", pdf)
+        assert r.status == "SUCCESS"
+        assert "Encrypt" in r.markdown_raw

@@ -414,11 +414,12 @@ class TestGlyphAdvance:
         from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
             _font_maps,
             _interpret_stream,
+            _obj_dict,
             _parse_objects,
         )
 
         objs = _parse_objects(pdf)
-        fonts = _font_maps(_obj_dict(objs[3]) if False else b"/Font << /F1 9 0 R >>", objs)
+        fonts = _font_maps(_obj_dict(objs[3]), objs)  # the real page resources
         boxes = _interpret_stream(
             b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (first) Tj (second) Tj ET",
             font_maps=fonts,
@@ -750,3 +751,66 @@ class TestSpacingParamsAndInlineImages:
 
         boxes = _interpret_stream(content)
         assert [b.text for b in boxes] == ["before", "after"]
+
+
+class TestReviewRegressions:
+    """Round-3 self-review findings, pinned."""
+
+    def test_indirect_multidigit_length_not_misparsed(self):
+        """'/Length 123 0 R' must NOT match as direct length '12'
+        (regex backtracking through the lookahead)."""
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _LENGTH_DIRECT_RE,
+        )
+
+        assert _LENGTH_DIRECT_RE.search(b"/Length 123 0 R") is None
+        m = _LENGTH_DIRECT_RE.search(b"/Length 123 >>")
+        assert m and m.group(1) == b"123"
+
+    def test_indirect_length_stream_with_endstream_bytes(self):
+        """Indirect /Length + uncompressed payload containing the word
+        'endstream'-adjacent text: the extent falls back to the search
+        but the object map stays aligned for FOLLOWING objects."""
+        payload = _content("page body")  # no embedded keywords needed
+        pdf = b"%PDF-1.4\n"
+        pdf += _obj(1, _CATALOG)
+        pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+                       b" /MediaBox [0 0 612 792] >>")
+        pdf += _obj(3, _page(5))
+        pdf += _obj(
+            5,
+            b"<< /Length 6 0 R >>\nstream\n" + payload + b"\nendstream",
+        )
+        pdf += _obj(6, b"%d" % len(payload))
+        pdf += _obj(9, _FONT)
+        pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+        assert extract_pdf_pages(pdf) == ["page body"]
+
+    def test_type0_without_tounicode_decodes_to_nothing(self):
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _interpret_stream,
+        )
+
+        fonts = {"F1": {"code_width": 2, "cmap": None,
+                        "widths": {1: 600.0}, "default_w": 1000.0}}
+        boxes = _interpret_stream(
+            b"BT /F1 12 Tf 1 0 0 1 100 700 Tm <00480065> Tj ET",
+            font_maps=fonts,
+        )
+        assert boxes == []  # no NUL-laced garbage in the corpus
+
+    def test_lone_cr_after_stream_keyword(self):
+        payload = zlib.compress(_content("cr page"))
+        pdf = b"%PDF-1.4\n"
+        pdf += _obj(1, _CATALOG)
+        pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+                       b" /MediaBox [0 0 612 792] >>")
+        pdf += _obj(3, _page(5))
+        pdf += _obj(
+            5,
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\r" % len(payload)
+            + payload + b"\nendstream",
+        )
+        pdf += _obj(9, _FONT)
+        pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+        assert extract_pdf_pages(pdf) == ["cr page"]

@@ -66,14 +66,18 @@ class TestCanonicalUrls:
         "https://a.com/p?id=3&utm_c=x": "https://a.com/p?id=3",
         # only tracking: query gone entirely
         "https://a.com/p?utm_a=1": "https://a.com/p",
-        # fragment + trailing slash + uppercase
-        "HTTPS://WWW.A.COM/Path/?x=1#Frag": "https://a.com/path?x=1",
+        # fragment + trailing slash; scheme+host lowercase, PATH CASE KEPT
+        "HTTPS://WWW.A.COM/Path/?x=1#Frag": "https://a.com/Path?x=1",
         # no query at all
         "http://b.org/q/": "http://b.org/q",
         # fbclid/gclid, empty params
         "https://c.net/?fbclid=zz&&gclid=aa&k=v": "https://c.net?k=v",
         # a param whose NAME merely contains 'utm_' is kept
         "https://d.io/p?myutm_x=1": "https://d.io/p?myutm_x=1",
+        # query VALUE case is significant and preserved
+        "https://e.com/p?id=AbC": "https://e.com/p?id=AbC",
+        # tracking params match case-insensitively
+        "https://f.com/p?UTM_SOURCE=x&id=2": "https://f.com/p?id=2",
     }
 
     def test_cases(self, spark):
@@ -84,7 +88,7 @@ class TestCanonicalUrls:
             for r in scrub.canonical_urls(df).collect()
         }
         for url, want in self.CASES.items():
-            assert got[url] == want.lower(), url
+            assert got[url] == want, url
 
     def test_url_duplicates_groups(self, spark):
         df = spark.createDataFrame(
@@ -119,6 +123,15 @@ class TestPiiRedact:
         assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
         assert got[3]["redacted"] == "two mails <EMAIL> <EMAIL> and <PHONE> <PHONE>"
         assert got[3]["n_emails"] == 2 and got[3]["n_phones"] == 2
+
+    def test_mixed_case_email_redacted(self, spark):
+        """PII scrubbing must be case-insensitive — a missed uppercase
+        email is a silent PII leak (round-3 review finding)."""
+        df = spark.createDataFrame(
+            [(1, "mail John.Doe@Example.COM today")], ["doc_id", "text"]
+        )
+        r = scrub.pii_redact(df).collect()[0]
+        assert r["redacted"] == "mail <EMAIL> today" and r["n_emails"] == 1
 
     def test_partial_numbers_not_redacted(self, spark):
         df = spark.createDataFrame(
