@@ -114,7 +114,9 @@ class ParquetStateStore:
 
         root/
           v_00000001/bucket=<b>/...parquet   # only buckets merge #1 touched
-          v_00000001.manifest.json           # {bucket: owning_version}, commit marker
+          v_00000001.manifest.json           # commit marker:
+                                             # {"buckets": {bucket: owning_version},
+                                             #  "applied": {stream_id: last_batch_id}}
           v_00000002/bucket=<b>/...
           v_00000002.manifest.json
 
@@ -149,14 +151,35 @@ class ParquetStateStore:
     def _path(self, version: int) -> str:
         return os.path.join(self.root, f"v_{version:08d}")
 
-    def _manifest(self, version: int) -> Dict[int, int]:
+    def _manifest_full(self, version: int) -> Dict:
+        """{"buckets": {bucket: owner_version}, "applied": {stream_id:
+        last_batch_id}} — reads both the current format and the legacy
+        flat bucket map."""
         with open(self._manifest_path(version), encoding="utf-8") as f:
-            return {int(k): int(v) for k, v in json.load(f).items()}
+            raw = json.load(f)
+        if "buckets" in raw and isinstance(raw["buckets"], dict):
+            return {
+                "buckets": {int(k): int(v) for k, v in raw["buckets"].items()},
+                "applied": dict(raw.get("applied", {})),
+            }
+        return {
+            "buckets": {int(k): int(v) for k, v in raw.items()},
+            "applied": {},
+        }
 
-    def _commit(self, version: int, manifest: Dict[int, int]) -> None:
+    def _manifest(self, version: int) -> Dict[int, int]:
+        return self._manifest_full(version)["buckets"]
+
+    def _commit(
+        self, version: int, manifest: Dict[int, int], applied: Optional[Dict] = None
+    ) -> None:
+        payload = {
+            "buckets": {str(k): v for k, v in manifest.items()},
+            "applied": applied or {},
+        }
         tmp = self._manifest_path(version) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({str(k): v for k, v in manifest.items()}, f)
+            json.dump(payload, f)
         os.rename(tmp, self._manifest_path(version))  # atomic commit point
 
     def _bucket(self, col: F.Column) -> F.Column:
@@ -197,12 +220,25 @@ class ParquetStateStore:
         return df
 
     # -- merge ----------------------------------------------------------------
-    def _write_buckets(self, rows: DataFrame, changed: list) -> int:
+    def _write_buckets(
+        self, rows: DataFrame, changed: list, applied_update: Optional[Dict] = None
+    ) -> int:
         """Write rows (already restricted to the changed buckets) as the
         next version; commit by copying the previous manifest forward and
-        repointing the changed buckets.  Returns the new version."""
+        repointing the changed buckets.  ``applied_update`` merges into
+        the manifest's stream-batch ledger IN THE SAME atomic commit (the
+        basis of the streaming exactly-once guard).  Returns the new
+        version."""
         prev = self.current_version()
-        manifest = self._manifest(prev) if prev is not None else {}
+        full = (
+            self._manifest_full(prev)
+            if prev is not None
+            else {"buckets": {}, "applied": {}}
+        )
+        manifest = full["buckets"]
+        applied = full["applied"]
+        if applied_update:
+            applied.update(applied_update)
         new_version = (prev or 0) + 1
         (
             rows.withColumn("bucket", self._bucket(F.col("url")))
@@ -212,17 +248,39 @@ class ParquetStateStore:
         )
         for b in changed:
             manifest[b] = new_version
-        self._commit(new_version, manifest)
+        self._commit(new_version, manifest, applied)
         return new_version
 
-    def merge(self, batch: DataFrame) -> int:
+    def last_applied(self, stream_id: str) -> int:
+        """Last micro-batch id MERGEd for ``stream_id`` (-1 if none)."""
+        v = self.current_version()
+        if v is None:
+            return -1
+        return int(self._manifest_full(v)["applied"].get(stream_id, -1))
+
+    def merge(
+        self,
+        batch: DataFrame,
+        stream_id: Optional[str] = None,
+        batch_id: Optional[int] = None,
+    ) -> int:
         """MERGE the batch ``(url, status, updated_at)`` into the state.
 
         Matched urls: status/updated_at replaced, attempt incremented.
         New urls: inserted with attempt=1.  Touches ONLY the url-hash
         buckets present in the batch; untouched buckets keep their old
         version (no rewrite).  Returns the new version.
+
+        ``stream_id``/``batch_id`` make the merge IDEMPOTENT per
+        micro-batch for Structured Streaming's ``foreachBatch`` replay
+        contract: a batch id at or below the ledger entry committed with
+        the last manifest is skipped outright (replaying it would
+        double-increment ``attempt``); the ledger update rides in the
+        same atomic manifest rename as the data commit.
         """
+        if stream_id is not None and batch_id is not None:
+            if batch_id <= self.last_applied(stream_id):
+                return self.current_version() or 0
         batch = batch.select("url", "status", "updated_at")
         changed = [
             r["b"]
@@ -260,7 +318,12 @@ class ParquetStateStore:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        return self._write_buckets(merged, changed)
+        applied_update = (
+            {stream_id: int(batch_id)}
+            if stream_id is not None and batch_id is not None
+            else None
+        )
+        return self._write_buckets(merged, changed, applied_update)
 
     # -- resume ------------------------------------------------------------
     def pending(self, pages_df: DataFrame) -> DataFrame:

@@ -83,6 +83,56 @@ def run_metrics_once(spark: SparkSession, extracted_dir: str) -> "DataFrame":
     return spark.sql("SELECT * FROM extraction_metrics")
 
 
+STREAM_ID = "extract_stream"
+
+
+def run_stream_with_state(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> int:
+    """Streaming extraction with the exactly-once state MERGE the batch
+    job performs — the full queue-consumer shape of the reference
+    (``app/tasks/tasks.py:8-37``: process, then ack/update the job row).
+
+    ``foreachBatch`` writes the extracted rows and MERGEs
+    ``(url, status, updated_at)`` into the :class:`ParquetStateStore`,
+    passing the micro-batch id so a replayed batch (restart between sink
+    and checkpoint commit) is skipped by the store's atomic
+    stream-ledger — ``attempt`` counts each url exactly once per
+    processed batch.  Returns rows in ``out_dir`` after draining.
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.state import ParquetStateStore
+
+    extracted = extraction_stream(spark, landing_dir)
+    store = ParquetStateStore(spark, state_dir)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(out_dir)
+        store.merge(
+            batch_df.select(
+                "url", "status", F.col("warc_ts").alias("updated_at")
+            ),
+            stream_id=STREAM_ID,
+            batch_id=batch_id,
+        )
+        batch_df.unpersist()
+
+    q = (
+        extracted.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).count()
+
+
 def run_stream_once(
     spark: SparkSession,
     landing_dir: str,

@@ -1132,3 +1132,70 @@ class TestPurgeAll:
         # and re-ingestion works from scratch
         m = run_extraction_job(spark, pages, tmpdir, num_partitions=2, max_bytes=MAXB)
         assert m["rows_extracted"] == 20
+
+
+class TestStreamingStateMerge:
+    """foreachBatch MERGE with the per-batch idempotence ledger: the
+    streaming face of the batch job's exactly-once contract."""
+
+    def test_stream_merges_state_and_resume_skips(self, spark, tmpdir):
+        from deepseek_ocr_customvllm_spark.plans.state import ParquetStateStore
+        from deepseek_ocr_customvllm_spark.streaming.extract_stream import (
+            run_stream_with_state,
+        )
+
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        synth_pages_df(spark, 25, num_partitions=1).write.parquet(
+            os.path.join(landing, "b1")
+        )
+        n = run_stream_with_state(
+            spark,
+            landing + "/*",
+            os.path.join(tmpdir, "out"),
+            os.path.join(tmpdir, "ckpt"),
+            os.path.join(tmpdir, "state"),
+        )
+        assert n == 25
+        store = ParquetStateStore(spark, os.path.join(tmpdir, "state"))
+        state = store.read().collect()
+        assert len(state) == 25
+        assert all(r["attempt"] == 1 for r in state)  # exactly once
+        # a SECOND drain with no new files must not touch the state
+        v_before = store.current_version()
+        run_stream_with_state(
+            spark,
+            landing + "/*",
+            os.path.join(tmpdir, "out"),
+            os.path.join(tmpdir, "ckpt"),
+            os.path.join(tmpdir, "state"),
+        )
+        assert store.current_version() == v_before
+
+    def test_replayed_batch_id_is_skipped(self, spark, tmpdir):
+        """Simulated foreachBatch replay (restart between sink side
+        effects and checkpoint commit): the same batch_id MERGEd twice
+        must leave attempt == 1; the NEXT batch_id increments."""
+        import datetime
+
+        from deepseek_ocr_customvllm_spark.plans.state import ParquetStateStore
+
+        store = ParquetStateStore(spark, os.path.join(tmpdir, "state"), n_buckets=8)
+        rows = [("u1", "SUCCESS", datetime.datetime(2026, 1, 1))]
+        batch = spark.createDataFrame(rows, ["url", "status", "updated_at"])
+        store.merge(batch, stream_id="s", batch_id=0)
+        store.merge(batch, stream_id="s", batch_id=0)  # replay
+        assert [r["attempt"] for r in store.read().collect()] == [1]
+        assert store.last_applied("s") == 0
+        store.merge(batch, stream_id="s", batch_id=1)  # genuinely new batch
+        assert [r["attempt"] for r in store.read().collect()] == [2]
+        # ledger survives an unrelated (batch-API) merge in between
+        store.merge(
+            spark.createDataFrame(
+                [("u2", "SUCCESS", datetime.datetime(2026, 1, 2))],
+                ["url", "status", "updated_at"],
+            )
+        )
+        assert store.last_applied("s") == 1
+        store.merge(batch, stream_id="s", batch_id=1)  # stale replay again
+        assert sorted(r["attempt"] for r in store.read().collect()) == [1, 2]
