@@ -551,6 +551,98 @@ def _q_dedup_components(spark, sf_dir):
     return dedup.duplicate_components(pairs.select("id_a", "id_b"))
 
 
+def _q_embedding_kmeans(spark, sf_dir):
+    """Iterative distributed k-means (Lloyd's) over quantized embeddings:
+    broadcast-literal assignment (map-only) + aggregated centroid update
+    per round, deterministic init and tie-breaks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_clusters(emb)
+
+
+def _oracle_kmeans(k: int = 8, n_iter: int = 2) -> str:
+    """The same Lloyd's iterations unrolled as chained CTEs.  Integer
+    arithmetic end to end; centroid division truncates toward zero in
+    both engines (DuckDB ``//`` floors, hence the CASE)."""
+    tzdiv = "cast(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS bigint)"
+    parts = [
+        f"""
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(x * 1000) AS bigint)) AS qe
+  FROM embeddings
+),
+dims AS (
+  SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS dim FROM q
+),
+c0 AS (SELECT vec_id AS c, dim, v AS cv FROM dims WHERE vec_id < {k})"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+d{i} AS (
+  SELECT d.vec_id, c.c, sum((d.v - c.cv) * (d.v - c.cv)) AS dist
+  FROM dims d JOIN c{i - 1} c USING (dim)
+  GROUP BY 1, 2
+),
+asg{i} AS (
+  SELECT vec_id, cast(min(dist * {k} + c) % {k} AS int) AS cluster
+  FROM d{i} GROUP BY 1
+),
+s{i} AS (
+  SELECT a.cluster AS c, d.dim, sum(d.v) AS s, count(*) AS n
+  FROM dims d JOIN asg{i} a USING (vec_id)
+  GROUP BY 1, 2
+),
+c{i} AS (
+  SELECT c, dim, {tzdiv} AS cv FROM s{i}
+  UNION ALL
+  SELECT c, dim, cv FROM c{i - 1}
+  WHERE c NOT IN (SELECT DISTINCT c FROM s{i})
+)""")
+    fin = n_iter + 1
+    parts.append(f""",
+d{fin} AS (
+  SELECT d.vec_id, c.c, sum((d.v - c.cv) * (d.v - c.cv)) AS dist
+  FROM dims d JOIN c{n_iter} c USING (dim)
+  GROUP BY 1, 2
+),
+a{fin} AS (
+  SELECT vec_id, cast(min(dist * {k} + c) AS bigint) AS key FROM d{fin} GROUP BY 1
+)
+SELECT vec_id, cast(key % {k} AS int) AS cluster,
+       cast(key // {k} AS bigint) AS dist
+FROM a{fin}""")
+    return "WITH " + "".join(parts)
+
+
+def _q_events_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted once per (cohort, week-offset) they return in — the classic
+    growth-analytics triangle.  Two hash aggregations and one key join;
+    integer week arithmetic end to end (portable + deterministic)."""
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", F.expr("unix_timestamp(ts) div 604800").alias("week")
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    ret = activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+    sizes = first.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return ret.join(sizes, "cohort_week").select(
+        "cohort_week", "week_offset", "n_users", "cohort_size"
+    )
+
+
 def _gopher_docs(docs: DataFrame) -> DataFrame:
     """Documents with planted bullet lines and duplicate lines so the
     line-level Gopher signals have guaranteed hits (the base corpus is
@@ -1072,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "events_retention": _q_events_retention,
         "gopher_quality": _q_gopher_quality,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -1426,6 +1520,24 @@ sh_hash AS (
 )
 SELECT d.doc_id, d.rolling_fp, s.min_shingle_fp
 FROM doc_hash d JOIN sh_hash s ON s.doc_id = d.doc_id
+""",
+        "embedding_kmeans": _oracle_kmeans(),
+        "events_retention": """
+WITH e AS (
+  SELECT user_id, cast(floor(epoch(ts)) AS bigint) // 604800 AS week
+  FROM events
+),
+f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+a AS (
+  SELECT DISTINCT e.user_id, f.cohort_week, e.week - f.cohort_week AS week_offset
+  FROM e JOIN f USING (user_id)
+),
+r AS (
+  SELECT cohort_week, week_offset, count(*) AS n_users FROM a GROUP BY 1, 2
+),
+cs AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1)
+SELECT r.cohort_week, r.week_offset, r.n_users, cs.cohort_size
+FROM r JOIN cs USING (cohort_week)
 """,
         "gopher_quality": f"""
 WITH gdocs AS (

@@ -258,3 +258,85 @@ def embedding_norm_stats(emb: DataFrame) -> DataFrame:
             F.max("sqnorm").alias("max_sqnorm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd's iterations, distributed assignment + update)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITER = 2
+
+
+def _tz_div(s: int, n: int) -> int:
+    """Integer division truncating toward ZERO (Spark/DuckDB `div`
+    semantics) — Python's `//` floors, which differs for negative sums."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _assign_clusters(q: DataFrame, centroids: List[List[int]], k: int) -> DataFrame:
+    """Nearest centroid per vector via broadcast-LITERAL centroid arrays:
+    zero shuffle, the whole arithmetic in one JVM projection.
+    Deterministic tie-break: minimize ``dist * k + cluster`` (lowest
+    cluster id wins), a single bigint key both engines order identically.
+    ``dist``/``cluster`` are recovered from the key (it stays well under
+    2^53, so the double round-trip in floor() is exact)."""
+    terms = [
+        F.aggregate(
+            F.zip_with(
+                F.col("qe"),
+                F.array(*[F.lit(int(v)) for v in centroids[j]]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        * k
+        + j
+        for j in range(k)
+    ]
+    key = F.least(*terms)
+    return q.select(
+        "vec_id",
+        "qe",
+        (key % k).cast("int").alias("cluster"),
+        F.floor(key / k).cast("long").alias("dist"),
+    )
+
+
+def kmeans_clusters(
+    emb: DataFrame, k: int = KMEANS_K, n_iter: int = KMEANS_ITER
+) -> DataFrame:
+    """Lloyd's k-means over integer-quantized embeddings, fully
+    deterministic and oracle-reproducible:
+
+    - init: the ``k`` lowest vec_ids' vectors (no RNG);
+    - assignment: broadcast centroid literals, squared-L2 in bigint,
+      ties to the lowest cluster id — a map-only stage;
+    - update: ``posexplode`` to (cluster, dim) partial sums (map-side
+      combined, k x dim rows to the driver), centroid = toward-zero
+      integer division; empty clusters keep their previous centroid.
+
+    The driver-side loop is the standard Lloyd's shape (cf. Spark MLlib):
+    each round is one map-only assignment + one aggregation; only the
+    k x dim centroid table ever leaves the executors.
+    """
+    q = quantized(emb).select("vec_id", "qe")
+    centroids = [
+        list(r["qe"])
+        for r in q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    for _ in range(n_iter):
+        assigned = _assign_clusters(q, centroids, k)
+        upd = (
+            assigned.select("cluster", F.posexplode("qe").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = {c: list(centroids[c]) for c in range(k)}
+        for r in upd:
+            new[r["cluster"]][r["dim"]] = _tz_div(int(r["s"]), int(r["n"]))
+        centroids = [new[c] for c in range(k)]
+    return _assign_clusters(q, centroids, k).select("vec_id", "cluster", "dist")
