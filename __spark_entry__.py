@@ -551,6 +551,27 @@ def _q_dedup_components(spark, sf_dir):
     return dedup.duplicate_components(pairs.select("id_a", "id_b"))
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Fixed-size token windows with overlap (training-sample prep):
+    40-token chunks every 32 tokens."""
+    return scrub.chunk_documents(_docs(spark, sf_dir), chunk_tokens=40, overlap=8)
+
+
+def _q_corpus_dedup_apply(spark, sf_dir):
+    """Dedup APPLIED end to end: MinHash-LSH near-dup pairs -> connected
+    components -> drop every non-canonical member; returns the surviving
+    corpus (the output a training pipeline actually feeds downstream)."""
+    aug = _augmented_docs(_docs(spark, sf_dir))
+    pairs = dedup.minhash_lsh_duplicates(aug)
+    comp = dedup.duplicate_components(pairs.select("id_a", "id_b"))
+    non_canon = comp.filter(F.col("doc_id") != F.col("component_id")).select(
+        "doc_id"
+    )
+    return aug.join(non_canon, "doc_id", "left_anti").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+
 def _q_embedding_kmeans(spark, sf_dir):
     """Iterative distributed k-means (Lloyd's) over quantized embeddings:
     broadcast-literal assignment (map-only) + aggregated centroid update
@@ -1164,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
+        "doc_chunks": _q_doc_chunks,
+        "corpus_dedup_apply": _q_corpus_dedup_apply,
         "embedding_kmeans": _q_embedding_kmeans,
         "events_retention": _q_events_retention,
         "gopher_quality": _q_gopher_quality,
@@ -1520,6 +1543,45 @@ sh_hash AS (
 )
 SELECT d.doc_id, d.rolling_fp, s.min_shingle_fp
 FROM doc_hash d JOIN sh_hash s ON s.doc_id = d.doc_id
+""",
+        "doc_chunks": f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+sp AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
+idx AS (
+  SELECT doc_id, ts,
+         unnest(range(0, greatest((len(ts) - 8 - 1) // 32 + 1, 1))) AS ci
+  FROM sp
+)
+SELECT doc_id, cast(ci AS int) AS chunk_idx,
+       array_to_string(list_slice(ts, ci * 32 + 1, ci * 32 + 40), ' ')
+         AS chunk_text,
+       cast(len(list_slice(ts, ci * 32 + 1, ci * 32 + 40)) AS int) AS n_tokens
+FROM idx
+""",
+        "corpus_dedup_apply": f"""
+WITH RECURSIVE {aug},
+mh_pairs AS (
+  SELECT id_a, id_b FROM ({_oracle_minhash().strip()}) mh
+),
+sym AS (
+  SELECT id_a, id_b FROM mh_pairs
+  UNION
+  SELECT id_b AS id_a, id_a AS id_b FROM mh_pairs
+),
+walk(doc_id, comp) AS (
+  SELECT DISTINCT id_a AS doc_id, id_a AS comp FROM sym
+  UNION
+  SELECT s.id_a AS doc_id, w.comp
+  FROM sym s JOIN walk w ON w.doc_id = s.id_b
+),
+components AS (
+  SELECT doc_id, min(comp) AS component_id FROM walk GROUP BY doc_id
+)
+SELECT a.doc_id, length(a.text) AS n_chars
+FROM aug a
+WHERE a.doc_id NOT IN (
+  SELECT doc_id FROM components WHERE doc_id <> component_id
+)
 """,
         "embedding_kmeans": _oracle_kmeans(),
         "events_retention": """

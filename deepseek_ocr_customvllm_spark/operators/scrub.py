@@ -186,3 +186,45 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias("n_emails"),
         F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-chunk preparation
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 100, overlap: int = 10
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-tokenization chunking for LLM training samples.
+
+    ``(doc_id, text)`` -> ``(doc_id, chunk_idx, chunk_text, n_tokens)``:
+    whitespace tokens of the normalized text, windows of ``chunk_tokens``
+    starting every ``chunk_tokens - overlap``; the last window keeps its
+    tail (shorter, never empty).  Pure array expressions over one scan —
+    the explode multiplies rows but never shuffles; empty documents
+    yield no chunks.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    d = docs.select("doc_id", norm.alias("t")).filter(F.col("t") != "")
+    d = d.withColumn("ts", F.split("t", " "))
+    # n_chunks = ceil((n - overlap) / step), floored at 1 so every
+    # non-empty doc yields a chunk (greatest() is explicit: Spark `div`
+    # truncates toward zero while the DuckDB oracle's `//` floors, and
+    # only the clamp makes the tiny-doc case agree between them)
+    chunks = F.expr(
+        f"transform(sequence(0, greatest((size(ts) - {overlap} - 1) div {step}, 0)),"
+        f" i -> slice(ts, i * {step} + 1, {chunk_tokens}))"
+    )
+    out = d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "toks")
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join("toks", " ").alias("chunk_text"),
+        F.size("toks").alias("n_tokens"),
+    )

@@ -185,3 +185,33 @@ class TestTfidfTopTerms:
         assert got[("s2", 1)] == "beta"
         assert got[("s3", 1)] == "gamma"
         assert got[("s1", 2)] == got[("s2", 2)] == got[("s3", 2)] == "shared"
+
+
+class TestChunkDocuments:
+    def test_windows_overlap_and_tail(self, spark):
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(25))), (2, "a b"), (3, "")],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r["doc_id"], r["chunk_idx"]): r.asDict()
+            for r in scrub.chunk_documents(docs, chunk_tokens=10, overlap=2).collect()
+        }
+        # 25 tokens, step 8: windows at 0/8/16; the tail keeps 9 tokens
+        assert got[(1, 0)]["chunk_text"].startswith("w0 ")
+        assert got[(1, 1)]["chunk_text"].startswith("w8 ")  # 2-token overlap
+        assert got[(1, 2)]["n_tokens"] == 9
+        assert got[(2, 0)]["chunk_text"] == "a b"  # tiny doc: one chunk
+        assert not any(d == 3 for d, _ in got)  # empty doc: no chunks
+
+    def test_doc_at_most_overlap_tokens_yields_one_chunk(self, spark):
+        """len(tokens) <= overlap is the div-vs-floor trap between Spark
+        and the oracle — the clamp must make both emit exactly one chunk."""
+        docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        got = scrub.chunk_documents(docs, chunk_tokens=10, overlap=4).collect()
+        assert len(got) == 1 and got[0]["n_tokens"] == 3
+
+    def test_validation(self, spark):
+        docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            scrub.chunk_documents(docs, chunk_tokens=10, overlap=10)
