@@ -551,6 +551,16 @@ def _q_dedup_components(spark, sf_dir):
     return dedup.duplicate_components(pairs.select("id_a", "id_b"))
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: training docs sharing word 3-grams with
+    the held-out slice (doc_id % 97 == 0 plays the eval set; the planted
+    near/exact duplicates of those docs are the guaranteed hits)."""
+    aug = _augmented_docs(_docs(spark, sf_dir))
+    eval_docs = aug.filter(F.col("doc_id") % 97 == 0)
+    train = aug.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contaminated_docs(train, eval_docs)
+
+
 def _q_doc_chunks(spark, sf_dir):
     """Fixed-size token windows with overlap (training-sample prep):
     40-token chunks every 32 tokens."""
@@ -1185,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
+        "decontaminate": _q_decontaminate,
         "doc_chunks": _q_doc_chunks,
         "corpus_dedup_apply": _q_corpus_dedup_apply,
         "embedding_kmeans": _q_embedding_kmeans,
@@ -1544,6 +1555,23 @@ sh_hash AS (
 SELECT d.doc_id, d.rolling_fp, s.min_shingle_fp
 FROM doc_hash d JOIN sh_hash s ON s.doc_id = d.doc_id
 """,
+        "decontaminate": f"""
+WITH {{aug}},
+norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM aug),
+toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r
+  WHERE len(ts) >= 3
+),
+eval_sh AS (
+  SELECT DISTINCT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0
+),
+train_sh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, count(*) AS n_hits, count(DISTINCT e.eval_id) AS n_eval_docs
+FROM train_sh t JOIN eval_sh e USING (sh)
+GROUP BY t.doc_id HAVING count(*) >= 2
+""".replace("{aug}", aug),
         "doc_chunks": f"""
 WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
 sp AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),

@@ -516,3 +516,39 @@ def simhash_near_pairs(
     return pairs.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= hamming_max)
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination
+# ---------------------------------------------------------------------------
+
+def contaminated_docs(
+    train: DataFrame, eval_docs: DataFrame, min_hits: int = 2
+) -> DataFrame:
+    """Training documents sharing word n-grams with any eval document —
+    the decontamination pass every serious pre-training corpus runs
+    (cf. the n-gram overlap checks published with GPT-3 appendix C /
+    Llama 2 §A.6).
+
+    ``(doc_id, n_hits, n_eval_docs)`` for training docs with at least
+    ``min_hits`` distinct shingles found in the eval set.  Shape at
+    corpus scale: the EVAL side is tiny by definition, so its distinct
+    shingle set broadcasts and the training side is one scan + explode +
+    broadcast semi-join + one map-side-combined aggregation — no
+    training-side self-join anywhere.
+    """
+    train_sh = shingles(train)
+    eval_sh = (
+        shingles(eval_docs)
+        .select(F.col("doc_id").alias("eval_id"), "sh")
+        .distinct()
+    )
+    hits = train_sh.join(F.broadcast(eval_sh), "sh")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_hits") >= min_hits)
+    )

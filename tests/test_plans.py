@@ -255,3 +255,27 @@ def test_tfidf_broadcasts_the_source_count(spark):
     plan = _formatted(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """The k-means assignment stage must broadcast centroid LITERALS —
+    zero Exchange in the whole assignment plan (only the centroid-update
+    aggregations shuffle, and only k x dim rows reach the driver)."""
+    from deepseek_ocr_customvllm_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = similarity.quantized(emb).select("vec_id", "qe")
+    centroids = [[0] * 64 for _ in range(4)]
+    plan = _formatted(similarity._assign_clusters(q, centroids, 4))
+    assert ") Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval side is tiny by definition: its shingle set must come in
+    as a broadcast, never a shuffle of the training shingles."""
+    import __spark_entry__ as em
+
+    df = em.queries()["decontaminate"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
