@@ -86,7 +86,8 @@ aug AS (
 """
 
 # DuckDB-dialect normalized text (Spark twin: textstats.norm_text).
-_NORM_DUCK = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+# same explicit class as functions.columns.WHITESPACE_RE (see there)
+_NORM_DUCK = "regexp_replace(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')"
 
 # The driver compares oracles at sf0.01; VALUES-literal oracles (computed
 # driver-side in pure Python, no Spark) must read the same tables.  The
@@ -605,7 +606,12 @@ q AS (
 dims AS (
   SELECT vec_id, unnest(qe) AS v, generate_subscripts(qe, 1) AS dim FROM q
 ),
-c0 AS (SELECT vec_id AS c, dim, v AS cv FROM dims WHERE vec_id < {k})"""
+seeds AS (
+  SELECT vec_id, cast(row_number() OVER (ORDER BY vec_id) - 1 AS bigint) AS c
+  FROM (SELECT DISTINCT vec_id FROM q)
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= {k}
+),
+c0 AS (SELECT s.c, d.dim, d.v AS cv FROM seeds s JOIN dims d USING (vec_id))"""
     ]
     for i in range(1, n_iter + 1):
         parts.append(f""",
@@ -652,8 +658,11 @@ def _q_events_retention(spark, sf_dir):
     integer week arithmetic end to end (portable + deterministic)."""
     _ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events")
+    # floor(), not div: Spark div truncates toward zero while the
+    # oracle's // floors — they disagree for pre-1970 timestamps
     e = ev.select(
-        "user_id", F.expr("unix_timestamp(ts) div 604800").alias("week")
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(604800)).cast("long").alias("week"),
     )
     first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     activity = (
@@ -1568,9 +1577,10 @@ eval_sh AS (
   SELECT DISTINCT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0
 ),
 train_sh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
-SELECT t.doc_id, count(*) AS n_hits, count(DISTINCT e.eval_id) AS n_eval_docs
+SELECT t.doc_id, count(DISTINCT t.sh) AS n_hits,
+       count(DISTINCT e.eval_id) AS n_eval_docs
 FROM train_sh t JOIN eval_sh e USING (sh)
-GROUP BY t.doc_id HAVING count(*) >= 2
+GROUP BY t.doc_id HAVING count(DISTINCT t.sh) >= 2
 """.replace("{aug}", aug),
         "doc_chunks": f"""
 WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
@@ -1614,7 +1624,7 @@ WHERE a.doc_id NOT IN (
         "embedding_kmeans": _oracle_kmeans(),
         "events_retention": """
 WITH e AS (
-  SELECT user_id, cast(floor(epoch(ts)) AS bigint) // 604800 AS week
+  SELECT user_id, cast(floor(floor(epoch(ts)) / 604800) AS bigint) AS week
   FROM events
 ),
 f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),

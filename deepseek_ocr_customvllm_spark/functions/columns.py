@@ -20,9 +20,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# Explicit class, NOT \s: Java's \s includes \x0B while RE2's (the
+# DuckDB oracle dialect) does not — the one divergence between them.
+# Semantically identical to \s+ in both engines for this class.
+WHITESPACE_RE = r"[ \t\n\r\f\x0B]+"
+
+
 def norm_text(col: str = "text") -> Column:
-    """Whitespace-collapsed lowercase text (the shared normalization)."""
-    return F.regexp_replace(F.trim(F.lower(F.col(col))), r"\s+", " ")
+    """Whitespace-collapsed lowercase text (the shared normalization —
+    every operator that tokenizes text MUST go through this helper so
+    their tokenizations cannot drift apart)."""
+    return F.regexp_replace(F.trim(F.lower(F.col(col))), WHITESPACE_RE, " ")
 
 
 def dtrunc(col: Column, n: int = 4) -> Column:

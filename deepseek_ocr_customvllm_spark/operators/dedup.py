@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.columns import norm_text
+
 N_HASHES = 8  # minhash signature length
 N_BANDS = 4  # bands of 2 hashes each
 JACCARD_MIN = 0.5
@@ -71,7 +73,7 @@ def shingles(df: DataFrame, distinct: bool = True) -> DataFrame:
     shuffles 8 partial minima per (partition, doc) instead of the
     distinct shingle set — strictly less data as documents grow.
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = norm_text("text")
     d = df.select("doc_id", norm.alias("t")).filter(F.col("t") != "")
     d = d.withColumn("ts", F.split("t", " ")).filter(F.size("ts") >= SHINGLE_WORDS)
     sh = F.explode(
@@ -90,7 +92,7 @@ def shingles(df: DataFrame, distinct: bool = True) -> DataFrame:
 
 def exact_duplicates(df: DataFrame) -> DataFrame:
     """Duplicate groups by md5 of normalized text."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = norm_text("text")
     fp = df.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
     return (
         fp.groupBy("fp")
@@ -405,7 +407,7 @@ def simhash_signatures(df: DataFrame) -> DataFrame:
     >10 s of Janino compilation on first execution), and the extra
     (doc_id, bit) shuffle is map-side-combined.
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = norm_text("text")
     toks = (
         df.select("doc_id", norm.alias("t"))
         .filter(F.col("t") != "")
@@ -547,7 +549,10 @@ def contaminated_docs(
     return (
         hits.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_hits"),
+            # DISTINCT shingles, not join rows: a single shared 3-gram
+            # that happens to appear in many eval docs is one overlap,
+            # not many (the threshold would be meaningless otherwise)
+            F.count_distinct("sh").alias("n_hits"),
             F.count_distinct("eval_id").alias("n_eval_docs"),
         )
         .filter(F.col("n_hits") >= min_hits)

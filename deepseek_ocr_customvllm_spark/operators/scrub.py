@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.columns import norm_text
+
 PARA_SEP = "\n\n"
 
 # dialect-portable patterns (Java regex + RE2 agree on this subset).
@@ -208,7 +210,7 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = norm_text("text")
     d = docs.select("doc_id", norm.alias("t")).filter(F.col("t") != "")
     d = d.withColumn("ts", F.split("t", " "))
     # n_chunks = ceil((n - overlap) / step), floored at 1 so every

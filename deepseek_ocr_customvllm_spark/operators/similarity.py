@@ -322,21 +322,32 @@ def kmeans_clusters(
     each round is one map-only assignment + one aggregation; only the
     k x dim centroid table ever leaves the executors.
     """
-    q = quantized(emb).select("vec_id", "qe")
-    centroids = [
-        list(r["qe"])
-        for r in q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
-    ]
-    for _ in range(n_iter):
-        assigned = _assign_clusters(q, centroids, k)
-        upd = (
-            assigned.select("cluster", F.posexplode("qe").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-            .collect()
+    q = quantized(emb).select("vec_id", "qe").persist()
+    try:
+        # seed from the k lowest vec_ids PRESENT (any id space works:
+        # 1-based, sparse, filtered); cluster j = rank-j seed
+        seeds = q.orderBy("vec_id").limit(k).collect()
+        if len(seeds) < k:
+            raise ValueError(f"k-means needs >= k={k} vectors, got {len(seeds)}")
+        centroids = [list(r["qe"]) for r in seeds]
+        for _ in range(n_iter):
+            assigned = _assign_clusters(q, centroids, k)
+            upd = (
+                assigned.select("cluster", F.posexplode("qe").alias("dim", "v"))
+                .groupBy("cluster", "dim")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            new = {c: list(centroids[c]) for c in range(k)}
+            for r in upd:
+                new[r["cluster"]][r["dim"]] = _tz_div(int(r["s"]), int(r["n"]))
+            centroids = [new[c] for c in range(k)]
+        # localCheckpoint materializes the final assignment so the cached
+        # input can be released before returning (no storage leak)
+        return (
+            _assign_clusters(q, centroids, k)
+            .select("vec_id", "cluster", "dist")
+            .localCheckpoint()
         )
-        new = {c: list(centroids[c]) for c in range(k)}
-        for r in upd:
-            new[r["cluster"]][r["dim"]] = _tz_div(int(r["s"]), int(r["n"]))
-        centroids = [new[c] for c in range(k)]
-    return _assign_clusters(q, centroids, k).select("vec_id", "cluster", "dist")
+    finally:
+        q.unpersist()

@@ -278,6 +278,10 @@ class ParquetStateStore:
         double-increment ``attempt``); the ledger update rides in the
         same atomic manifest rename as the data commit.
         """
+        if (stream_id is None) != (batch_id is None):
+            # one without the other silently disables the idempotence
+            # guard — the exact corruption the ledger exists to prevent
+            raise ValueError("stream_id and batch_id must be passed together")
         if stream_id is not None and batch_id is not None:
             if batch_id <= self.last_applied(stream_id):
                 return self.current_version() or 0

@@ -108,20 +108,28 @@ def run_stream_with_state(
 
     from ..plans.state import ParquetStateStore
 
+    import os
+
     extracted = extraction_stream(spark, landing_dir)
     store = ParquetStateStore(spark, state_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # the ledger guards BOTH side effects: a replayed batch must not
+        # re-append data rows any more than it may re-merge state
+        if batch_id <= store.last_applied(STREAM_ID):
+            return
         batch_df.persist()
-        batch_df.write.mode("append").parquet(out_dir)
-        store.merge(
-            batch_df.select(
-                "url", "status", F.col("warc_ts").alias("updated_at")
-            ),
-            stream_id=STREAM_ID,
-            batch_id=batch_id,
-        )
-        batch_df.unpersist()
+        try:
+            batch_df.write.mode("append").parquet(out_dir)
+            store.merge(
+                batch_df.select(
+                    "url", "status", F.col("warc_ts").alias("updated_at")
+                ),
+                stream_id=STREAM_ID,
+                batch_id=batch_id,
+            )
+        finally:  # a failed write/merge must not leak the cached blocks
+            batch_df.unpersist()
 
     q = (
         extracted.writeStream.foreachBatch(_sink)
@@ -130,6 +138,8 @@ def run_stream_with_state(
         .start()
     )
     q.awaitTermination()
+    if not os.path.exists(out_dir):  # zero batches: nothing was extracted
+        return 0
     return spark.read.parquet(out_dir).count()
 
 

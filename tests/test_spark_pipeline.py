@@ -1199,3 +1199,113 @@ class TestStreamingStateMerge:
         assert store.last_applied("s") == 1
         store.merge(batch, stream_id="s", batch_id=1)  # stale replay again
         assert sorted(r["attempt"] for r in store.read().collect()) == [1, 2]
+
+
+class TestSecondReviewRegressions:
+    """Round-3 second-review findings, pinned."""
+
+    def test_checkpoint_loss_replay_does_not_duplicate_output(self, spark, tmpdir):
+        """Losing the stream checkpoint (but not the state/out dirs)
+        replays every batch from id 0 — the ledger must suppress BOTH
+        the data append and the merge, leaving out_dir row counts and
+        attempts unchanged."""
+        import shutil as _sh
+
+        from deepseek_ocr_customvllm_spark.plans.state import ParquetStateStore
+        from deepseek_ocr_customvllm_spark.streaming.extract_stream import (
+            run_stream_with_state,
+        )
+
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        synth_pages_df(spark, 20, num_partitions=1).write.parquet(
+            os.path.join(landing, "b1")
+        )
+        args = (
+            landing + "/*",
+            os.path.join(tmpdir, "out"),
+            os.path.join(tmpdir, "ckpt"),
+            os.path.join(tmpdir, "state"),
+        )
+        assert run_stream_with_state(spark, *args) == 20
+        _sh.rmtree(os.path.join(tmpdir, "ckpt"))  # lose the checkpoint
+        assert run_stream_with_state(spark, *args) == 20  # NOT 40
+        store = ParquetStateStore(spark, os.path.join(tmpdir, "state"))
+        assert all(r["attempt"] == 1 for r in store.read().collect())
+
+    def test_empty_landing_returns_zero(self, spark, tmpdir):
+        from deepseek_ocr_customvllm_spark.streaming.extract_stream import (
+            run_stream_with_state,
+        )
+
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        assert (
+            run_stream_with_state(
+                spark,
+                landing,
+                os.path.join(tmpdir, "out"),
+                os.path.join(tmpdir, "ckpt"),
+                os.path.join(tmpdir, "state"),
+            )
+            == 0
+        )
+
+    def test_merge_rejects_half_a_ledger_key(self, spark, tmpdir):
+        import datetime
+
+        store = ParquetStateStore(spark, os.path.join(tmpdir, "state"))
+        batch = spark.createDataFrame(
+            [("u", "SUCCESS", datetime.datetime(2026, 1, 1))],
+            ["url", "status", "updated_at"],
+        )
+        with pytest.raises(ValueError, match="together"):
+            store.merge(batch, stream_id="s")
+        with pytest.raises(ValueError, match="together"):
+            store.merge(batch, batch_id=3)
+
+    def test_kmeans_handles_sparse_nonzero_vec_ids(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.similarity import (
+            kmeans_clusters,
+        )
+
+        emb = (
+            spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+            .filter(F.col("vec_id") % 3 == 1)  # sparse, never 0
+            .withColumn("vec_id", F.col("vec_id") + 1000)
+        )
+        out = kmeans_clusters(emb, k=4, n_iter=1).collect()
+        assert len(out) == emb.count()
+        assert {r["cluster"] for r in out} <= set(range(4))
+
+    def test_kmeans_requires_k_vectors(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.similarity import (
+            kmeans_clusters,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(3)
+        with pytest.raises(ValueError, match="k-means needs"):
+            kmeans_clusters(emb, k=8)
+
+    def test_single_shared_shingle_is_one_hit(self, spark):
+        """One 3-gram shared with MANY eval docs is ONE overlap, not
+        many: the doc must fall below min_hits=2."""
+        from deepseek_ocr_customvllm_spark.operators.dedup import (
+            contaminated_docs,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "unique words here then magic token phrase closing out")],
+            ["doc_id", "text"],
+        )
+        eval_docs = spark.createDataFrame(
+            [(100 + i, f"magic token phrase variant {i} padding words")
+             for i in range(4)],
+            ["doc_id", "text"],
+        )
+        assert contaminated_docs(train, eval_docs, min_hits=2).count() == 0
+        got = contaminated_docs(train, eval_docs, min_hits=1).collect()
+        assert len(got) == 1
+        assert got[0]["n_hits"] == 1 and got[0]["n_eval_docs"] == 4
