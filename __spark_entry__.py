@@ -552,6 +552,12 @@ def _q_dedup_components(spark, sf_dir):
     return dedup.duplicate_components(pairs.select("id_a", "id_b"))
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    """Exact substring-duplicate spans (Lee et al. 2022): starts of
+    20-gram windows appearing in >= 2 documents."""
+    return dedup.duplicate_spans(_augmented_docs(_docs(spark, sf_dir)), n=20)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Eval-set decontamination: training docs sharing word 3-grams with
     the held-out slice (doc_id % 97 == 0 plays the eval set; the planted
@@ -1204,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
+        "duplicate_spans": _q_duplicate_spans,
         "decontaminate": _q_decontaminate,
         "doc_chunks": _q_doc_chunks,
         "corpus_dedup_apply": _q_corpus_dedup_apply,
@@ -1564,6 +1571,22 @@ sh_hash AS (
 SELECT d.doc_id, d.rolling_fp, s.min_shingle_fp
 FROM doc_hash d JOIN sh_hash s ON s.doc_id = d.doc_id
 """,
+        "duplicate_spans": f"""
+WITH {{aug}},
+norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM aug),
+toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
+big AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 20),
+grams AS (
+  SELECT doc_id, cast(i AS int) AS start_tok,
+         md5(array_to_string(list_slice(ts, i + 1, i + 20), ' ')) AS span_hash
+  FROM big, LATERAL (SELECT unnest(range(0, len(ts) - 20 + 1)) AS i) r
+),
+hot AS (
+  SELECT span_hash FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id, g.start_tok, g.span_hash
+FROM grams g JOIN hot USING (span_hash)
+""".replace("{aug}", aug),
         "decontaminate": f"""
 WITH {{aug}},
 norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM aug),

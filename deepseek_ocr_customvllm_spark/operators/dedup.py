@@ -557,3 +557,43 @@ def contaminated_docs(
         )
         .filter(F.col("n_hits") >= min_hits)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-duplicate spans (Lee et al. 2022-style)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(docs: DataFrame, n: int = 20, min_docs: int = 2) -> DataFrame:
+    """Token positions opening an ``n``-gram that appears in at least
+    ``min_docs`` documents — the span-level signal behind exact substring
+    deduplication ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022: cut repeated >=50-token spans instead of
+    dropping whole documents; ``n`` is the knob).
+
+    Returns ``(doc_id, start_tok, span_hash)`` per duplicated span start.
+    Shape at corpus scale: one scan -> positional n-gram explode (hashes
+    only — never the text — cross the wire) -> one map-side-combined
+    count shuffle -> semi-join back.  The suffix-array construction of
+    the paper is the single-machine shape; the hash-count formulation is
+    its standard distributed equivalent.
+    """
+    d = docs.select("doc_id", norm_text("text").alias("t")).filter(
+        F.col("t") != ""
+    )
+    d = d.withColumn("ts", F.split("t", " ")).filter(F.size("ts") >= n)
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(ts) - {n}),"
+                f" i -> md5(array_join(slice(ts, i + 1, {n}), ' ')))"
+            )
+        ).alias("start_tok", "span_hash"),
+    )
+    hot = (
+        grams.groupBy("span_hash")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("span_hash")
+    )
+    return grams.join(hot, "span_hash").select("doc_id", "start_tok", "span_hash")
