@@ -668,14 +668,38 @@ def _random_pdf(draw):
         draw(st.text(alphabet="abcDEF 123", min_size=1, max_size=20)).strip() or "x"
         for _ in range(n_pages)
     ]
-    compress = [draw(st.booleans()) for _ in range(n_pages)]
+    # each page's content stream gets a random filter (or none)
+    import base64 as _b64
+
+    def _filtered_stream(num, payload, kind):
+        encoders = {
+            "none": (None, payload),
+            "flate": (b"/FlateDecode", zlib.compress(payload)),
+            "lzw": (b"/LZWDecode", _lzw_encode(payload)),
+            "a85": (b"/ASCII85Decode", _b64.a85encode(payload) + b"~>"),
+            "ahx": (b"/ASCIIHexDecode", payload.hex().encode() + b">"),
+            "rl": (b"/RunLengthDecode", _rle_encode(payload)),
+            "a85+flate": (b"[/ASCII85Decode /FlateDecode]",
+                          _b64.a85encode(zlib.compress(payload)) + b"~>"),
+        }
+        filt, data = encoders[kind]
+        extra = b" /Filter " + filt if filt else b""
+        head = b"<< /Length %d%s >>\nstream\n" % (len(data), extra)
+        return _obj(num, head + data + b"\nendstream")
+
+    kinds = [
+        draw(st.sampled_from(
+            ["none", "flate", "lzw", "a85", "ahx", "rl", "a85+flate"]
+        ))
+        for _ in range(n_pages)
+    ]
     page_objs = []   # (num, body)
     stream_objs = []
     for k in range(n_pages):
         page_num, stream_num = 10 + k, 50 + k
         page_objs.append((page_num, _page(stream_num)))
         stream_objs.append(
-            (stream_num, _stream_obj(stream_num, _content(texts[k]), compress[k]))
+            (stream_num, _filtered_stream(stream_num, _content(texts[k]), kinds[k]))
         )
     kids = " ".join(f"{10 + k} 0 R" for k in range(n_pages))
     dict_objs = [
