@@ -1309,3 +1309,54 @@ class TestSecondReviewRegressions:
         got = contaminated_docs(train, eval_docs, min_hits=1).collect()
         assert len(got) == 1
         assert got[0]["n_hits"] == 1 and got[0]["n_eval_docs"] == 4
+
+
+class TestKmeansModel:
+    def test_distributed_matches_sequential_lloyds(self, spark):
+        """The distributed rounds must agree exactly with a sequential
+        pure-Python Lloyd's on the SAME quantized vectors (third opinion
+        next to the unrolled-CTE oracle: this one checks the distributed
+        assignment/update machinery, not the SQL)."""
+        from deepseek_ocr_customvllm_spark.operators.similarity import (
+            _tz_div,
+            kmeans_clusters,
+            quantized,
+        )
+
+        k, n_iter = 4, 2
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).filter(F.col("vec_id") < 120)
+        q = {
+            r["vec_id"]: list(r["qe"])
+            for r in quantized(emb).select("vec_id", "qe").collect()
+        }
+
+        def assign(centroids):
+            out = {}
+            for vid, v in q.items():
+                key = min(
+                    sum((a - b) * (a - b) for a, b in zip(v, c)) * k + j
+                    for j, c in enumerate(centroids)
+                )
+                out[vid] = (key % k, key // k)
+            return out
+
+        centroids = [list(q[i]) for i in sorted(q)[:k]]
+        for _ in range(n_iter):
+            a = assign(centroids)
+            sums: dict = {}
+            for vid, (c, _d) in a.items():
+                s, n = sums.setdefault(c, ([0] * len(q[vid]), 0))
+                for d, v in enumerate(q[vid]):
+                    s[d] += v
+                sums[c] = (s, n + 1)
+            for c, (s, n) in sums.items():
+                centroids[c] = [_tz_div(x, n) for x in s]
+        expected = assign(centroids)
+
+        got = {
+            r["vec_id"]: (r["cluster"], r["dist"])
+            for r in kmeans_clusters(emb, k=k, n_iter=n_iter).collect()
+        }
+        assert got == expected
