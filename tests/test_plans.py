@@ -279,3 +279,37 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
     df = em.queries()["decontaminate"](spark, "/root/testdata/sf0.001")
     plan = _formatted(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_every_query_plan_is_free_of_antipatterns(spark):
+    """Sweep ALL driver queries: no cartesian product and no
+    row-at-a-time Python anywhere; Arrow-batched Python only in the
+    operators explicitly built on that tier.  This is the systematic
+    version of the per-query plan tests — a new query cannot ship with
+    a degenerate plan unnoticed."""
+    import __spark_entry__ as em
+
+    # queries whose OPERATOR is the Arrow/pandas tier by design
+    arrow_ok = {
+        "extract_documents_pipeline", "extract_block_histogram",
+        "extract_synth_summary",              # fused mapInPandas extractor
+        "multimodal_inspect", "image_features", "audio_features",
+        "compression_quality",                # scalar pandas_udf (zlib)
+        "corpus_filter",                      # fuses the zlib signal too
+        "ann_ivf_topk",                       # grouped-map on bounded clusters
+    }
+    failures = []
+    for name, fn in em.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = _formatted(df)
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+        if name not in arrow_ok and (
+            "ArrowEvalPython" in plan
+            or "MapInPandas" in plan
+            or "FlatMapGroupsInPandas" in plan
+        ):
+            failures.append(f"{name}: unexpected Python tier")
+    assert not failures, failures
