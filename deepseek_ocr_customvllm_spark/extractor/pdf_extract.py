@@ -1082,7 +1082,14 @@ def _walk_page_tree(node_num: int, objs: dict, inherited: dict, out: List[dict],
 
 def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
     """Page texts in page-tree order; None when structure is unusable."""
-    roots = _ROOT_RE.findall(pdf_bytes)
+    # prefer the /Root in the trailer region (after the last `trailer`
+    # keyword) so uncompressed CONTENT that happens to mention
+    # "/Root N 0 R" cannot hijack the catalog; xref-stream files have no
+    # trailer keyword, so fall back to the whole-file scan
+    t = pdf_bytes.rfind(b"trailer")
+    roots = _ROOT_RE.findall(pdf_bytes[t:]) if t != -1 else []
+    if not roots:
+        roots = _ROOT_RE.findall(pdf_bytes)
     if not roots:
         return None
     objs = _parse_objects(pdf_bytes)

@@ -838,3 +838,19 @@ class TestReviewRegressions:
         pdf += _obj(9, _FONT)
         pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
         assert extract_pdf_pages(pdf) == ["cr page"]
+
+
+def test_root_mention_in_content_does_not_hijack_catalog():
+    """An uncompressed content stream whose TEXT contains '/Root 99 0 R'
+    after the trailer region must not redirect the catalog lookup."""
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+                   b" /MediaBox [0 0 612 792] >>")
+    pdf += _obj(3, _page(5))
+    pdf += _stream_obj(
+        5, b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (mentions /Root 99 0 R) Tj ET"
+    )
+    pdf += _obj(9, _FONT)
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf_pages(pdf) == ["mentions /Root 99 0 R"]
