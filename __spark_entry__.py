@@ -1773,12 +1773,14 @@ ch AS (
   FROM c0
 ),
 cl AS (
-  SELECT doc_id, lower(pre) || substr(raw, length(pre) + 1) AS c FROM ch
+  SELECT doc_id,
+         regexp_replace(lower(pre), '://www\\.', '://')
+           || substr(raw, length(pre) + 1) AS c
+  FROM ch
 ),
 c1 AS (
   SELECT doc_id,
-         regexp_replace(regexp_replace(split_part(c, '?', 1),
-                                       '://www\\.', '://'), '/$', '') AS base,
+         regexp_replace(split_part(c, '?', 1), '/$', '') AS base,
          CASE WHEN contains(c, '?') THEN substr(c, instr(c, '?') + 1)
               ELSE '' END AS q
   FROM cl

@@ -52,6 +52,8 @@ STATUS_FAILED = "FAILED"
 STATUS_REJECTED = "REJECTED"
 
 CONTENT_TYPE_PDF = "pdf"
+CONTENT_TYPE_HTML = "html"
+CONTENT_TYPE_EMPTY = "empty"
 
 # an /Encrypt reference in a trailer/xref-stream dictionary (raw bytes —
 # those dictionaries are never themselves encrypted or compressed)
@@ -62,15 +64,23 @@ def _is_encrypted_pdf(payload: bytes) -> bool:
     """True when the ACTIVE trailer declares /Encrypt.
 
     Scanned only in the trailer region — after the last ``trailer``
-    keyword, or the 2 KiB tail for xref-stream files — so page CONTENT
-    that merely mentions the pattern (e.g. documentation about PDF
-    security) cannot false-positive, and a superseded trailer whose
-    encryption a later incremental update removed is not consulted."""
+    keyword; for xref-stream files (no trailer keyword) the region
+    starts at the last ``startxref`` offset (that is where the
+    xref-stream dict carrying /Encrypt lives), with a 2 KiB tail as the
+    last resort.  Page CONTENT that merely mentions the pattern cannot
+    false-positive, and a superseded trailer whose encryption a later
+    incremental update removed is not consulted."""
     t = payload.rfind(b"trailer")
-    region = payload[t:] if t != -1 else payload[-2048:]
-    return bool(_ENCRYPT_RE.search(region))
-CONTENT_TYPE_HTML = "html"
-CONTENT_TYPE_EMPTY = "empty"
+    if t != -1:
+        return bool(_ENCRYPT_RE.search(payload[t:]))
+    sx = payload.rfind(b"startxref")
+    if sx != -1:
+        m = re.match(rb"startxref\s+(\d+)", payload[sx:])
+        if m:
+            off = int(m.group(1))
+            if 0 <= off < len(payload):
+                return bool(_ENCRYPT_RE.search(payload[off:]))
+    return bool(_ENCRYPT_RE.search(payload[-2048:]))
 
 
 @dataclass

@@ -420,13 +420,23 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
                     pts = 0.0
                     for ek, v in arr:  # type: ignore[union-attr]
                         if ek == "str":
-                            parts.append(decode(v))
+                            dv = decode(v)
+                            # an inserted word-gap space collapses with a
+                            # decoded leading space — never double up
+                            if dv.startswith(" ") and parts and parts[-1] == " ":
+                                parts.pop()
+                            parts.append(dv)
                             pts += advance_pts(v)
                         else:  # num
                             pts -= float(v) / 1000.0 * font_size * hscale  # type: ignore[arg-type]
-                            # only BETWEEN glyphs: a kern before the first
-                            # or after the last string is positioning
-                            if float(v) <= TJ_SPACE_UNITS and parts and parts[-1] != " ":  # type: ignore[arg-type]
+                            # only BETWEEN glyphs (a kern before the first
+                            # or after the last string is positioning),
+                            # and not after a trailing decoded space
+                            if (
+                                float(v) <= TJ_SPACE_UNITS  # type: ignore[arg-type]
+                                and parts
+                                and not parts[-1].endswith(" ")
+                            ):
                                 parts.append(" ")
                     if parts and parts[-1] == " ":
                         parts.pop()
@@ -1047,7 +1057,11 @@ def _font_maps(resources: bytes, objs: dict) -> dict:
             widths, default_w = _cid_widths(fd, objs)
         else:
             widths, default_w = _simple_widths(fd, objs), DEFAULT_GLYPH_W
-        if cmap or widths:
+        if cmap or widths or is_type0:
+            # Type0 stays mapped even with neither cmap nor widths:
+            # falling through to the default byte decode would emit its
+            # 2-byte CIDs as NUL-laced garbage (decode() renders
+            # cmap=None + code_width=2 as nothing instead)
             maps[name] = {
                 "code_width": code_width,
                 "cmap": cmap or None,
@@ -1105,6 +1119,8 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
         return None
 
     pages: List[str] = []
+    fonts_cache: dict = {}
+    decoded_any = False
     for node in page_nodes:
         payloads = []
         for ref in _content_refs(node["dict"]):
@@ -1112,6 +1128,7 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
                 p = _stream_payload(objs[ref])
                 if p is not None:
                     payloads.append(p)
+                    decoded_any = True
                 elif _find_stream_kw(objs[ref], 0) != -1:
                     # a referenced content stream that exists but fails to
                     # decode means the structure parse cannot be trusted
@@ -1123,14 +1140,22 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
         data = b"\n".join(payloads)
         if b"BT" not in data:
             continue
-        fonts = _font_maps(node.get("resources", b""), objs)
+        res = node.get("resources", b"")
+        if res not in fonts_cache:  # shared Resources parse ONCE per doc
+            fonts_cache[res] = _font_maps(res, objs)
+        fonts = fonts_cache[res]
         boxes = _interpret_stream(data, font_maps=fonts or None)
         if not boxes:
             continue
         pages.append(
             _assemble_page(boxes, node.get("mediabox", DEFAULT_MEDIABOX))
         )
-    return pages or None
+    # a fully-decoded structure is AUTHORITATIVE even when it yields no
+    # text (e.g. image-only pages, or CID fonts without ToUnicode that
+    # correctly decode to nothing) — falling back to the byte-order scan
+    # here would re-decode those same streams WITHOUT font information
+    # and emit garbage
+    return pages if (pages or decoded_any) else None
 
 
 def _pages_via_byte_order(pdf_bytes: bytes) -> List[str]:

@@ -336,7 +336,13 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         """Eager localCheckpoint + handles to the JVM RDDs it registered,
         so this round's blocks can be freed once the next round exists
         (DataFrame.unpersist() does not release localCheckpoint blocks —
-        they live in the block manager, not the cache manager)."""
+        they live in the block manager, not the cache manager).
+
+        Attribution is by diffing the session's persistent-RDD registry
+        around the call, which assumes NO CONCURRENT thread persists
+        RDDs in this session while a round runs (the same single-writer
+        scope the state store declares); a concurrently-created cache
+        could otherwise be mis-attributed and freed."""
         before = set(_persistent_rdds()) | outside
         out = df.localCheckpoint()  # eager by default: materialized now
         created = [v for k, v in _persistent_rdds().items() if k not in before]
@@ -539,7 +545,10 @@ def contaminated_docs(
     broadcast semi-join + one map-side-combined aggregation — no
     training-side self-join anywhere.
     """
-    train_sh = shingles(train)
+    # distinct=False: the downstream count_distinct() aggregations are
+    # duplicate-proof, so the training-side distinct shuffle (the
+    # dominant cost at corpus scale) buys nothing
+    train_sh = shingles(train, distinct=False)
     eval_sh = (
         shingles(eval_docs)
         .select(F.col("doc_id").alias("eval_id"), "sh")

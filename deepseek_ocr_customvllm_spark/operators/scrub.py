@@ -137,14 +137,17 @@ def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     Pure whole-stage-codegen expressions — no UDF."""
     raw = F.regexp_replace(F.col(url_col), FRAGMENT_RE, "")
     prefix = F.regexp_extract(raw, SCHEME_HOST_RE, 0)
+    # the www strip runs on the scheme://host PREFIX alone: it contains
+    # exactly one '://' (so all-occurrences vs first-occurrence regex
+    # semantics cannot diverge between engines), and an embedded URL in
+    # the PATH is case/byte-significant content that must not be touched
+    prefix = F.regexp_replace(F.lower(prefix), r"://www\.", "://")
     c = F.concat(
-        F.lower(prefix), F.substring(raw, F.length(prefix) + 1, F.length(raw))
+        prefix, F.substring(raw, F.length(F.regexp_extract(raw, SCHEME_HOST_RE, 0)) + 1, F.length(raw))
     )
     base = F.split_part(c, F.lit("?"), F.lit(1))
-    # host/path fixes act on the BASE (before the query is re-appended,
-    # so 'path/?x=1' normalizes to 'path?x=1'); no backreference — Java
-    # ($1) and RE2 (\1) disagree on the syntax
-    base = F.regexp_replace(base, r"://www\.", "://")
+    # trailing-slash trim acts on the BASE (before the query is
+    # re-appended, so 'path/?x=1' normalizes to 'path?x=1')
     base = F.regexp_replace(base, r"/$", "")
     q = F.when(F.instr(c, "?") > 0, F.substr(c, F.instr(c, "?") + 1)).otherwise(
         F.lit("")

@@ -120,7 +120,14 @@ def run_stream_with_state(
             return
         batch_df.persist()
         try:
-            batch_df.write.mode("append").parquet(out_dir)
+            # batch-id-keyed OVERWRITE, not append: a crash after this
+            # write but before the merge commits replays the batch, and
+            # the rewrite of the same partition is idempotent (an append
+            # would duplicate the rows).  Readers see `batch` as a
+            # discovered partition column.
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch={batch_id}"
+            )
             store.merge(
                 batch_df.select(
                     "url", "status", F.col("warc_ts").alias("updated_at")

@@ -854,3 +854,60 @@ def test_root_mention_in_content_does_not_hijack_catalog():
     pdf += _obj(9, _FONT)
     pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
     assert extract_pdf_pages(pdf) == ["mentions /Root 99 0 R"]
+
+
+class TestThirdReviewRegressions:
+    def test_type0_with_only_dw_decodes_to_nothing_via_font_maps(self):
+        """A Type0 font whose descendant has only /DW (no /W, no
+        /ToUnicode) must still be MAPPED so its 2-byte CIDs decode to
+        nothing — not fall through to the latin-1 byte decode."""
+        pdf = b"%PDF-1.5\n"
+        pdf += _obj(1, _CATALOG)
+        pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+                       b" /MediaBox [0 0 612 792] >>")
+        pdf += _obj(3, _page(5))
+        pdf += _stream_obj(
+            5, b"BT /F1 12 Tf 1 0 0 1 100 700 Tm <00480065006C006C006F> Tj ET"
+        )
+        pdf += _obj(
+            9,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+            b" /Encoding /Identity-H /DescendantFonts [8 0 R] >>",
+        )
+        pdf += _obj(8, b"<< /Type /Font /Subtype /CIDFontType2 /DW 600 >>")
+        pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+        assert extract_pdf_pages(pdf) == []  # nothing, never NUL garbage
+
+    def test_tj_space_collapses_with_decoded_spaces(self):
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _interpret_stream,
+        )
+
+        cases = {
+            b"[(Hello ) -250 (world)] TJ": "Hello world",
+            b"[(Hi) -250 ( there)] TJ": "Hi there",
+            b"[(a) -250 (b)] TJ": "a b",
+        }
+        for arr, want in cases.items():
+            boxes = _interpret_stream(
+                b"BT /F1 12 Tf 1 0 0 1 100 700 Tm " + arr + b" ET"
+            )
+            assert boxes[0].text == want, arr
+
+    def test_encrypted_xref_stream_pdf_with_big_tail_detected(self):
+        from deepseek_ocr_customvllm_spark.extractor.engine import (
+            _is_encrypted_pdf,
+        )
+
+        # xref-STREAM file (no 'trailer' keyword): /Encrypt lives in the
+        # xref object's dict, followed by >2 KiB of stream data
+        xref_off = 20
+        body = b"%PDF-1.6\npad bytes\n"
+        body += (b"7 0 obj\n<< /Type /XRef /Size 9 /Root 1 0 R"
+                 b" /Encrypt 5 0 R /Length 4000 >>\nstream\n")
+        body += b"\x00" * 4000 + b"\nendstream\nendobj\n"
+        body += b"startxref\n%d\n%%%%EOF\n" % xref_off
+        assert _is_encrypted_pdf(body) is True
+        # same layout, not encrypted
+        clean = body.replace(b" /Encrypt 5 0 R", b"")
+        assert _is_encrypted_pdf(clean) is False

@@ -215,3 +215,15 @@ class TestChunkDocuments:
         docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             scrub.chunk_documents(docs, chunk_tokens=10, overlap=10)
+
+
+class TestThirdReviewRegressions:
+    def test_embedded_url_in_path_untouched(self, spark):
+        """Only the scheme://host prefix is www-stripped/lowercased —
+        an embedded URL in the PATH is byte-significant content."""
+        df = spark.createDataFrame(
+            [(1, "https://www.a.com/redirect/https://www.B.com/X?id=1")],
+            ["doc_id", "url"],
+        )
+        got = scrub.canonical_urls(df).collect()[0]["canonical_url"]
+        assert got == "https://a.com/redirect/https://www.B.com/X?id=1"
