@@ -227,3 +227,35 @@ class TestThirdReviewRegressions:
         )
         got = scrub.canonical_urls(df).collect()[0]["canonical_url"]
         assert got == "https://a.com/redirect/https://www.B.com/X?id=1"
+
+
+class TestChunkModel:
+    def test_chunking_matches_python_model(self, spark):
+        """Random token counts and window params: the Spark array
+        expressions must agree with a 10-line Python model (windows every
+        step, tail kept, >=1 chunk per non-empty doc)."""
+        import random
+
+        rng = random.Random(42)
+        cases = []
+        for doc_id in range(40):
+            n = rng.randint(1, 120)
+            cases.append((doc_id, " ".join(f"t{doc_id}x{i}" for i in range(n))))
+        docs = spark.createDataFrame(cases, ["doc_id", "text"])
+
+        for chunk_tokens, overlap in [(10, 2), (7, 0), (40, 8), (5, 4)]:
+            step = chunk_tokens - overlap
+            expected = {}
+            for doc_id, text in cases:
+                ts = text.split(" ")
+                n_chunks = max(-(-(len(ts) - overlap) // step), 1)
+                for ci in range(n_chunks):
+                    toks = ts[ci * step : ci * step + chunk_tokens]
+                    expected[(doc_id, ci)] = (" ".join(toks), len(toks))
+            got = {
+                (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+                for r in scrub.chunk_documents(
+                    docs, chunk_tokens=chunk_tokens, overlap=overlap
+                ).collect()
+            }
+            assert got == expected, (chunk_tokens, overlap)
