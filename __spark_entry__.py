@@ -552,6 +552,12 @@ def _q_dedup_components(spark, sf_dir):
     return dedup.duplicate_components(pairs.select("id_a", "id_b"))
 
 
+def _q_lang_stratified_sample(spark, sf_dir):
+    """Deterministic per-language quota sample (balanced multilingual
+    subset selection, reproducible at any partitioning)."""
+    return textstats.language_stratified_sample(_docs(spark, sf_dir), per_lang=15)
+
+
 def _q_duplicate_spans(spark, sf_dir):
     """Exact substring-duplicate spans (Lee et al. 2022): starts of
     20-gram windows appearing in >= 2 documents."""
@@ -1210,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _q_domain_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
+        "lang_stratified_sample": _q_lang_stratified_sample,
         "duplicate_spans": _q_duplicate_spans,
         "decontaminate": _q_decontaminate,
         "doc_chunks": _q_doc_chunks,
@@ -1570,6 +1577,19 @@ sh_hash AS (
 )
 SELECT d.doc_id, d.rolling_fp, s.min_shingle_fp
 FROM doc_hash d JOIN sh_hash s ON s.doc_id = d.doc_id
+""",
+        "lang_stratified_sample": """
+WITH keyed AS (
+  SELECT doc_id, lang, source,
+         md5('stratify-v1|' || doc_id) AS sort_key
+  FROM documents
+),
+ranked AS (
+  SELECT *, cast(row_number() OVER (
+      PARTITION BY lang ORDER BY sort_key, doc_id) AS int) AS rank
+  FROM keyed
+)
+SELECT doc_id, lang, source, sort_key, rank FROM ranked WHERE rank <= 15
 """,
         "duplicate_spans": f"""
 WITH {{aug}},

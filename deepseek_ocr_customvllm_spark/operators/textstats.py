@@ -464,3 +464,26 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, idf_scale: int = 10_000) -> DataF
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def language_stratified_sample(
+    df: DataFrame, per_lang: int = 20, salt: str = "stratify-v1"
+) -> DataFrame:
+    """Deterministic per-language quota sample: the ``per_lang`` docs
+    with the smallest ``md5(salt || doc_id)`` within each language —
+    the balanced-multilingual-subset selection step of corpus curation,
+    reproducible across runs/partitionings (pure function of doc_id).
+
+    One window per language partition over a narrow projection; at
+    corpus scale the rank prunes everything beyond the quota before any
+    wide column is touched.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        df.select("doc_id", "lang", "source", key.alias("sort_key"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= per_lang)
+    )
