@@ -1204,7 +1204,18 @@ def _q_extract_synth_summary(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER is deliberate: the round-3 driver artifact recorded
+    # exactly the first 50 entries (r01 recorded 32/32, r02 43/43 — the
+    # truncation appeared only once the registry passed 50), so the five
+    # queries that missed an r03 row run FIRST this round, and five
+    # triple-green (r01+r02+r03 hash-identical), unit-covered queries
+    # take the tail positions.  See NOTES.md "driver query budget".
     return {
+        "events_asof_join": _q_events_asof_join,
+        "customer_running_revenue": _q_customer_running_revenue,
+        "extract_documents_pipeline": _q_extract_documents_pipeline,
+        "extract_block_histogram": _q_extract_block_histogram,
+        "extract_synth_summary": _q_extract_synth_summary,
         "flagship_doc_stats": _q_flagship_doc_stats,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
@@ -1243,9 +1254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_report": _q_source_quality_report,
         "embedding_norm_stats": _q_embedding_norm_stats,
         "resume_anti_join": _q_resume_anti_join,
-        "status_counts": _q_status_counts,
-        "quarantine_oversize": _q_quarantine_oversize,
-        "lineage_rollup": _q_lineage_rollup,
         "tpch_q1": _q_tpch_q1,
         "top_customers_per_region": _q_top_customers_per_region,
         "events_sessionize": _q_events_sessionize,
@@ -1253,13 +1261,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_inspect": _q_multimodal_inspect,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
+        # tail positions (51-55): triple-green since r01/r02, cheapest
+        # oracles, each additionally unit-covered — the least evidence is
+        # lost if the driver's 50-query budget truncates here
         "lineitem_rollup": _q_lineitem_rollup,
         "events_pivot": _q_events_pivot,
-        "events_asof_join": _q_events_asof_join,
-        "customer_running_revenue": _q_customer_running_revenue,
-        "extract_documents_pipeline": _q_extract_documents_pipeline,
-        "extract_block_histogram": _q_extract_block_histogram,
-        "extract_synth_summary": _q_extract_synth_summary,
+        "lineage_rollup": _q_lineage_rollup,
+        "status_counts": _q_status_counts,
+        "quarantine_oversize": _q_quarantine_oversize,
     }
 
 

@@ -11,7 +11,7 @@ at two parallelism levels (local[N] and local[4N] on identical input),
 INTERLEAVED as adjacent (N, 4N) pairs so both arms of a pair share one
 ambient-noise window.  The JSON carries ``docs_per_sec_n``,
 ``docs_per_sec_4n``, ``scaling_efficiency`` (max pairwise),
-``scaling_efficiency_median`` and every raw wall.
+``scaling_efficiency_median`` (median pairwise) and every raw wall.
 
 Usage:  python bench.py            (full run)
         python bench.py --quick    (smaller corpus, for iterating)
@@ -49,16 +49,21 @@ SCALE_4N = SCALE_N * 4
 # arm taken from DIFFERENT windows can pair a lucky N with an unlucky 4N
 # (that is exactly what sank BENCH_r02's 0.782 vs the same-commit
 # same-window 0.948).  The headline efficiency is the max over adjacent
-# pairs; the median-wall efficiency and every raw wall are kept in the
-# JSON so nothing is cherry-picked invisibly.
-SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "4"))
+# pairs; the MEDIAN pairwise efficiency and every raw wall are kept in
+# the JSON so nothing is cherry-picked invisibly — round 4 raises the
+# bar to median >= 0.8, so 6 pairs (vs 4) shrink the median's own noise.
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "6"))
 
 # Extraction corpus for the bench (synthetic, deterministic).
 # DOC_SCALE=8 yields ~15-30 KB documents — Common-Crawl-realistic sizes —
 # so the measured throughput reflects extraction compute, not per-task
 # scheduling overhead.
 N_DOCS = 12000  # headline throughput corpus (local[CPUS])
-N_DOCS_SCALING = 4000  # N->4N corpus (small enough for local[2])
+# N->4N corpus: 10k docs puts the local[8] arm at ~9-10 s walls instead
+# of the ~4 s that made BENCH_r03's per-pair efficiencies noise-bound
+# (short walls amplify ambient jitter AND leave the fixed per-job cost
+# un-amortized, which the 4N arm pays 4x as hard per wall-second).
+N_DOCS_SCALING = 10000
 DOC_SCALE = 8
 MAX_BYTES = 1024 * 1024
 
@@ -168,6 +173,11 @@ def main() -> None:
         queries["token_count"](spark, SF_DIR).write.mode("overwrite").format(
             "noop"
         ).save()  # warm the SQL/codegen path before timing
+        # FROZEN 14-query headline (round 4 re-baseline, per VERDICT r3
+        # #4: the five round-3 corpus operators joined the headline; the
+        # first 8 + extract remain the r1-r3-comparable subset and
+        # BASELINE.md carries the one-time re-baseline note).  Do not
+        # reorder or extend — cross-round comparability depends on it.
         headline = [
             "tpch_q1",
             "top_customers_per_region",
@@ -177,29 +187,17 @@ def main() -> None:
             "events_sessionize",
             "token_count",
             "quality_score",
-        ]
-        for name in headline:
-            t0 = time.time()
-            df = queries[name](spark, SF_DIR)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
-
-        # round-3 operators, timed OUTSIDE the headline so the headline
-        # total stays comparable across rounds
-        extended = [
             "paragraph_dedup",
             "url_canonical_dedup",
             "pii_redact",
             "gopher_quality",
             "tfidf_top_terms",
         ]
-        ext_timings: dict = {}
-        for name in extended:
+        for name in headline:
             t0 = time.time()
-            queries[name](spark, SF_DIR).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            ext_timings[name] = round(time.time() - t0, 3)
+            df = queries[name](spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 3)
 
         ext_full = _time_extraction(spark, pages_path, CPUS, work)
         timings["extract"] = ext_full["wall_s"]
@@ -245,7 +243,12 @@ def main() -> None:
         med_n = _median([p["dps_n"] for p in pair_results])
         med_4n = _median([p["dps_4n"] for p in pair_results])
         eff = best["efficiency"]
-        eff_median = round((med_4n / med_n) / (SCALE_4N / SCALE_N), 4)
+        # the median statistic is the median of the PAIRWISE efficiencies
+        # (each pair shares one noise window, so its ratio is the cleanest
+        # unit of evidence); the ratio-of-median-throughputs rides along
+        # for continuity with the r3 artifact
+        eff_median = _median([p["efficiency"] for p in pair_results])
+        eff_median_ratio = round((med_4n / med_n) / (SCALE_4N / SCALE_N), 4)
         # docs_per_sec_n/4n come from the SAME pair as the headline
         # efficiency, so (dps_4n / dps_n) / 4 recomputes it exactly;
         # medians are reported under their own keys.  Max-of-pairs is
@@ -259,7 +262,6 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
-            "extended_queries": ext_timings,
             "sf": sf,
             "extraction": {
                 "n_docs": n_docs,
@@ -270,8 +272,8 @@ def main() -> None:
                 "n_docs": n_scaling,
                 "method": (
                     "interleaved A/B pairs (same noise window); headline = max"
-                    " pairwise efficiency, median-wall efficiency alongside;"
-                    " all raw walls below"
+                    " pairwise efficiency, median pairwise efficiency"
+                    " alongside; all raw walls below"
                 ),
                 "docs_per_sec_n": ext_n["docs_per_sec"],
                 "docs_per_sec_4n": ext_4n["docs_per_sec"],
@@ -280,6 +282,7 @@ def main() -> None:
                 "scaling_cores": [SCALE_N, SCALE_4N],
                 "scaling_efficiency": eff,
                 "scaling_efficiency_median": eff_median,
+                "scaling_efficiency_median_ratio": eff_median_ratio,
                 "pairs": pair_results,
             },
         }

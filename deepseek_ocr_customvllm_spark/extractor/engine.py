@@ -39,6 +39,7 @@ from .blocks import parse_blocks
 from .html_extract import extract_html_page
 from .markdown import assemble_clean, assemble_raw
 from .norepeat import suppress_repeated_ngrams
+from .pdf_crypt import declares_encrypt
 from .pdf_extract import extract_pdf_pages
 from .tags import extract_spans, resolve_tags_document
 
@@ -55,32 +56,9 @@ CONTENT_TYPE_PDF = "pdf"
 CONTENT_TYPE_HTML = "html"
 CONTENT_TYPE_EMPTY = "empty"
 
-# an /Encrypt reference in a trailer/xref-stream dictionary (raw bytes —
-# those dictionaries are never themselves encrypted or compressed)
-_ENCRYPT_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
-
-
-def _is_encrypted_pdf(payload: bytes) -> bool:
-    """True when the ACTIVE trailer declares /Encrypt.
-
-    Scanned only in the trailer region — after the last ``trailer``
-    keyword; for xref-stream files (no trailer keyword) the region
-    starts at the last ``startxref`` offset (that is where the
-    xref-stream dict carrying /Encrypt lives), with a 2 KiB tail as the
-    last resort.  Page CONTENT that merely mentions the pattern cannot
-    false-positive, and a superseded trailer whose encryption a later
-    incremental update removed is not consulted."""
-    t = payload.rfind(b"trailer")
-    if t != -1:
-        return bool(_ENCRYPT_RE.search(payload[t:]))
-    sx = payload.rfind(b"startxref")
-    if sx != -1:
-        m = re.match(rb"startxref\s+(\d+)", payload[sx:])
-        if m:
-            off = int(m.group(1))
-            if 0 <= off < len(payload):
-                return bool(_ENCRYPT_RE.search(payload[off:]))
-    return bool(_ENCRYPT_RE.search(payload[-2048:]))
+# Trailer-scoped /Encrypt detection lives with the decryption code; the
+# alias keeps this module's historical import surface for tests.
+_is_encrypted_pdf = declares_encrypt
 
 
 @dataclass
@@ -136,14 +114,12 @@ def extract_document(
             return ExtractResult(url=url, content_type=ctype, status=STATUS_SUCCESS)
 
         if ctype == CONTENT_TYPE_PDF:
-            # Encrypted PDFs must QUARANTINE (FAILED + reason), not pass
-            # through as empty SUCCESS rows: their content streams are
-            # RC4/AES ciphertext, so every zlib inflate fails and the
-            # document would silently extract to nothing.  Decryption is
-            # out of scope, matching the reference which feeds PyMuPDF and
-            # errors on password-protected files.
-            if _is_encrypted_pdf(payload):
-                raise ValueError("encrypted PDF (trailer has /Encrypt)")
+            # Standard-security-handler files that the EMPTY user/owner
+            # password opens are decrypted transparently (pdf_crypt —
+            # the reference's PyMuPDF path does the same); files that
+            # genuinely need a password raise EncryptedPdfError inside
+            # extract_pdf_pages and QUARANTINE as FAILED-with-reason
+            # rather than passing through as empty SUCCESS rows.
             pages = extract_pdf_pages(payload)
         else:
             text = payload.decode("utf-8", errors="replace")

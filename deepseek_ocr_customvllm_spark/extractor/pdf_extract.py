@@ -55,7 +55,15 @@ from __future__ import annotations
 
 import re
 import zlib
-from typing import List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
+
+from .pdf_crypt import (
+    EncryptedPdfError,
+    StandardDecryptor,
+    authenticate,
+    declares_encrypt,
+    find_encrypt_ref,
+)
 
 # 60 px at 144 DPI == 30 pt in PDF user space (image_process.py:34-37).
 MARGIN_PT = 30.0
@@ -592,12 +600,13 @@ def _stream_extent(data: bytes, dict_part: bytes, ks: int) -> Tuple[int, int]:
     return ds, (es if es != -1 else len(data))
 
 
-def _scan_top_level_objects(pdf_bytes: bytes) -> List[Tuple[int, int, bytes]]:
-    """``[(file_pos, obj_num, body)]`` in byte order, with stream extents
-    respected (see ``_stream_extent``).  The scanner never looks INSIDE
-    stream data for the next object header, so binary payloads cannot
-    shadow real objects."""
-    entries: List[Tuple[int, int, bytes]] = []
+def _scan_top_level_objects(pdf_bytes: bytes) -> List[Tuple[int, int, int, bytes]]:
+    """``[(file_pos, obj_num, gen_num, body)]`` in byte order, with stream
+    extents respected (see ``_stream_extent``).  The scanner never looks
+    INSIDE stream data for the next object header, so binary payloads
+    cannot shadow real objects.  The generation number feeds the
+    per-object decryption key for encrypted files (spec Algorithm 1)."""
+    entries: List[Tuple[int, int, int, bytes]] = []
     pos = 0
     n = len(pdf_bytes)
     while True:
@@ -605,6 +614,7 @@ def _scan_top_level_objects(pdf_bytes: bytes) -> List[Tuple[int, int, bytes]]:
         if not m:
             break
         body_start = m.end()
+        num, gen = int(m.group(1)), int(m.group(2))
         ks = _find_stream_kw(pdf_bytes, body_start)
         ke = pdf_bytes.find(b"endobj", body_start)
         if ks != -1 and (ke == -1 or ks < ke):
@@ -614,10 +624,10 @@ def _scan_top_level_objects(pdf_bytes: bytes) -> List[Tuple[int, int, bytes]]:
             )
             ke = pdf_bytes.find(b"endobj", de)
             end = ke if ke != -1 else n
-            entries.append((m.start(), int(m.group(1)), pdf_bytes[body_start:end]))
+            entries.append((m.start(), num, gen, pdf_bytes[body_start:end]))
             pos = end + 6 if ke != -1 else n
         elif ke != -1:
-            entries.append((m.start(), int(m.group(1)), pdf_bytes[body_start:ke]))
+            entries.append((m.start(), num, gen, pdf_bytes[body_start:ke]))
             pos = ke + 6
         else:
             break  # truncated object at EOF
@@ -628,19 +638,24 @@ _OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm\b")
 
 
 def _expand_object_streams(
-    entries: List[Tuple[int, int, bytes]],
+    entries: List[Tuple[int, int, int, bytes]],
+    crypto: Optional[StandardDecryptor] = None,
 ) -> List[Tuple[int, int, bytes]]:
     """Unpack ``/Type /ObjStm`` containers (PDF 1.5 compressed objects,
     spec §7.5.7): the stream payload starts with ``/N`` pairs of
     ``objnum offset`` integers, then the object bodies at
     ``/First + offset``.  Members inherit the container's file position so
-    last-definition-wins keeps honoring incremental updates."""
+    last-definition-wins keeps honoring incremental updates.  In an
+    encrypted file the CONTAINER stream decrypts with its own object key;
+    member objects are not re-encrypted (spec §7.5.7)."""
     members: List[Tuple[int, int, bytes]] = []
-    for pos, _num, body in entries:
+    for pos, num, gen, body in entries:
         d = _obj_dict(body)
         if not _OBJSTM_TYPE_RE.search(d):
             continue
-        data = _stream_payload(body)
+        data = _stream_payload(
+            body, crypto.stream_decryptor(num, gen) if crypto else None
+        )
         m_n = re.search(rb"/N\s+(\d+)\b", d)
         m_first = re.search(rb"/First\s+(\d+)\b", d)
         if data is None or not m_n or not m_first:
@@ -660,15 +675,106 @@ def _expand_object_streams(
     return members
 
 
-def _parse_objects(pdf_bytes: bytes) -> dict:
-    """Object number -> body bytes.  Scanned in byte order (stream-extent
-    aware) with last-definition-wins, which absorbs incremental updates
-    without trusting (or needing) the xref table; ``/ObjStm`` members are
-    unpacked in place."""
+def _trailer_regions(pdf_bytes: bytes, pos_map: dict) -> List[bytes]:
+    """Trailer dictionary regions, NEWEST first.
+
+    Two sources, per spec §7.5.5 and §7.5.8 (cross-reference streams):
+
+    - the ``startxref`` chain: when the offset lands on an object header
+      in ``pos_map`` whose dict is ``/Type /XRef``, that dict IS the
+      trailer (PDF 1.5+ xref-stream files have no ``trailer`` keyword);
+      ``/Prev`` links to the superseded table of each incremental update
+    - classic ``trailer`` keywords, scanned back-to-front (the last
+      trailer in the file is the active one)
+
+    Parsing the xref-stream DICT (never its payload — xref streams are
+    exempt from encryption, §7.5.8.2) removes the tail-regex heuristic
+    for /Root and /Encrypt discovery in incrementally-updated files."""
+    regions: List[bytes] = []
+    sx = pdf_bytes.rfind(b"startxref")
+    if sx != -1:
+        m = re.match(rb"startxref\s+(\d+)", pdf_bytes[sx:])
+        off = int(m.group(1)) if m else -1
+        seen: set = set()
+        while off in pos_map and off not in seen:
+            seen.add(off)
+            d = _obj_dict(pos_map[off])
+            if not re.search(rb"/Type\s*/XRef\b", d):
+                break
+            regions.append(d)
+            pm = re.search(rb"/Prev\s+(\d+)\b", d)
+            off = int(pm.group(1)) if pm else -1
+    t = len(pdf_bytes)
+    while True:
+        t = pdf_bytes.rfind(b"trailer", 0, t)
+        if t == -1:
+            break
+        end = pdf_bytes.find(b"startxref", t)
+        regions.append(pdf_bytes[t : end if end != -1 else len(pdf_bytes)])
+    return regions
+
+
+def _parse_objects(
+    pdf_bytes: bytes,
+) -> Tuple[dict, Callable[[int], Optional[bytes]], List[bytes]]:
+    """``(objs, payload_of, trailer_regions)`` for one document.
+
+    ``objs`` maps object number -> body bytes, scanned in byte order
+    (stream-extent aware) with last-definition-wins, which absorbs
+    incremental updates without trusting (or needing) the xref table;
+    ``/ObjStm`` members are unpacked in place.
+
+    ``payload_of(num)`` returns the object's DECODED stream payload —
+    decrypting first when the document carries an /Encrypt dictionary the
+    empty user/owner password opens (per-object RC4/AES keys need the
+    object and generation numbers, so decryption must happen here, where
+    they are known, not in the raw byte scan).  Raises
+    :class:`EncryptedPdfError` when the file is encrypted and the empty
+    password is rejected or the handler is unsupported.
+    """
     entries = _scan_top_level_objects(pdf_bytes)
-    expanded = entries + _expand_object_streams(entries)
-    expanded.sort(key=lambda e: e[0])  # stable: members follow container
-    return {num: body for _pos, num, body in expanded}
+    pos_map = {pos: body for pos, _num, _gen, body in entries}
+    trailers = _trailer_regions(pdf_bytes, pos_map)
+    enc_ref, id0 = find_encrypt_ref(trailers)
+    crypto: Optional[StandardDecryptor] = None
+    if enc_ref is not None:
+        enc_bodies = [b for _p, n, _g, b in entries if n == enc_ref]
+        if not enc_bodies:
+            raise EncryptedPdfError("encrypted PDF: /Encrypt object missing")
+        # the encrypt dict is necessarily top-level (it cannot live in an
+        # ObjStm whose decryption it gates); last definition wins
+        crypto = authenticate(_obj_dict(enc_bodies[-1]), id0)
+    members = _expand_object_streams(entries, crypto)
+    merged: List[Tuple[int, int, int, bool]] = []  # (pos, num, gen, from_stm)
+    bodies: List[bytes] = []
+    for pos, num, gen, body in entries:
+        merged.append((pos, num, gen, False))
+        bodies.append(body)
+    for pos, num, body in members:
+        merged.append((pos, num, 0, True))
+        bodies.append(body)
+    order = sorted(range(len(merged)), key=lambda i: merged[i][0])
+    objs: dict = {}
+    gens: dict = {}
+    plaintext: set = set()  # ObjStm members: container already decrypted
+    for i in order:
+        pos, num, gen, from_stm = merged[i]
+        objs[num] = bodies[i]
+        gens[num] = gen
+        if from_stm:
+            plaintext.add(num)
+        else:
+            plaintext.discard(num)
+
+    def payload_of(num: int) -> Optional[bytes]:
+        body = objs.get(num)
+        if body is None:
+            return None
+        if crypto is None or num in plaintext:
+            return _stream_payload(body)
+        return _stream_payload(body, crypto.stream_decryptor(num, gens[num]))
+
+    return objs, payload_of, trailers
 
 
 def _obj_dict(body: bytes) -> bytes:
@@ -852,14 +958,24 @@ def _decode_filters(payload: bytes, dict_bytes: bytes) -> Optional[bytes]:
     return payload
 
 
-def _stream_payload(body: bytes) -> Optional[bytes]:
+def _stream_payload(
+    body: bytes, decrypt: Optional[Callable[[bytes], bytes]] = None
+) -> Optional[bytes]:
     """Decoded stream data, or None when it cannot be decoded (filter
-    error, or an unsupported filter in the chain)."""
+    error, or an unsupported filter in the chain).  ``decrypt`` — a
+    per-object decryptor bound to (objnum, gen) — runs BEFORE the filter
+    chain, matching the spec's encrypt-after-encode order (§7.6.2)."""
     ks = _find_stream_kw(body, 0)
     if ks == -1:
         return None
     ds, de = _stream_extent(body, body[:ks], ks)
-    return _decode_filters(body[ds:de], _obj_dict(body))
+    payload = body[ds:de]
+    if decrypt is not None:
+        try:
+            payload = decrypt(payload)
+        except Exception:  # noqa: BLE001 — undecryptable == undecodable
+            return None
+    return _decode_filters(payload, _obj_dict(body))
 
 
 # --- ToUnicode CMaps (spec §9.10.3) ----------------------------------------
@@ -1020,7 +1136,10 @@ def _cid_widths(fd: bytes, objs: dict) -> Tuple[dict, float]:
     return widths, default_w
 
 
-def _font_maps(resources: bytes, objs: dict) -> dict:
+def _font_maps(
+    resources: bytes, objs: dict,
+    payload_of: Optional[Callable[[int], Optional[bytes]]] = None,
+) -> dict:
     """Resource font name -> ``{code_width, cmap, widths, default_w}``.
 
     A font's ``/ToUnicode`` CMap is authoritative for text extraction
@@ -1041,7 +1160,11 @@ def _font_maps(resources: bytes, objs: dict) -> dict:
         code_width, cmap = 1, {}
         tu_ref = _ref(fd, b"ToUnicode")
         if tu_ref is not None and tu_ref in objs:
-            data = _stream_payload(objs[tu_ref])
+            data = (
+                payload_of(tu_ref)
+                if payload_of is not None
+                else _stream_payload(objs[tu_ref])
+            )
             if data is not None:
                 code_width, cmap = _parse_tounicode_cmap(data)
         is_type0 = re.search(rb"/Subtype\s*/Type0\b", fd)
@@ -1095,19 +1218,28 @@ def _walk_page_tree(node_num: int, objs: dict, inherited: dict, out: List[dict],
 
 
 def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
-    """Page texts in page-tree order; None when structure is unusable."""
-    # prefer the /Root in the trailer region (after the last `trailer`
-    # keyword) so uncompressed CONTENT that happens to mention
-    # "/Root N 0 R" cannot hijack the catalog; xref-stream files have no
-    # trailer keyword, so fall back to the whole-file scan
-    t = pdf_bytes.rfind(b"trailer")
-    roots = _ROOT_RE.findall(pdf_bytes[t:]) if t != -1 else []
-    if not roots:
+    """Page texts in page-tree order; None when structure is unusable.
+
+    Raises :class:`EncryptedPdfError` (via ``_parse_objects``) for
+    encrypted files the empty password does not open."""
+    objs, payload_of, trailers = _parse_objects(pdf_bytes)
+    # catalog discovery, most-authoritative first: (1) the parsed trailer
+    # dicts — classic `trailer` keywords AND xref-stream object dicts,
+    # newest first, so uncompressed CONTENT that mentions "/Root N 0 R"
+    # cannot hijack the catalog and incrementally-updated xref-stream
+    # files resolve without the tail-regex heuristic; (2) the legacy
+    # whole-file scan for structureless writers
+    catalog_num: Optional[int] = None
+    for region in trailers:
+        m = _ROOT_RE.search(region)
+        if m:
+            catalog_num = int(m.group(1))
+            break
+    if catalog_num is None:
         roots = _ROOT_RE.findall(pdf_bytes)
-    if not roots:
-        return None
-    objs = _parse_objects(pdf_bytes)
-    catalog_num = int(roots[-1])  # last trailer wins (incremental updates)
+        if not roots:
+            return None
+        catalog_num = int(roots[-1])  # last definition wins
     if catalog_num not in objs:
         return None
     pages_num = _ref(_obj_dict(objs[catalog_num]), b"Pages")
@@ -1125,7 +1257,7 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
         payloads = []
         for ref in _content_refs(node["dict"]):
             if ref in objs:
-                p = _stream_payload(objs[ref])
+                p = payload_of(ref)
                 if p is not None:
                     payloads.append(p)
                     decoded_any = True
@@ -1142,7 +1274,7 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
             continue
         res = node.get("resources", b"")
         if res not in fonts_cache:  # shared Resources parse ONCE per doc
-            fonts_cache[res] = _font_maps(res, objs)
+            fonts_cache[res] = _font_maps(res, objs, payload_of)
         fonts = fonts_cache[res]
         boxes = _interpret_stream(data, font_maps=fonts or None)
         if not boxes:
@@ -1196,8 +1328,21 @@ def extract_pdf_pages(pdf_bytes: bytes) -> List[str]:
     parseable text streams (possibly zero) rather than raising.  Pages
     come in page-tree order when the document structure parses, byte
     order otherwise.
+
+    Encrypted files (standard security handler) are decrypted in the
+    structure path when the EMPTY user/owner password opens them —
+    rebuilding the reference's transparent PyMuPDF decryption
+    (``app/utils/utils.py:70-102``).  A password-protected or
+    unsupported-handler file raises :class:`EncryptedPdfError` (the
+    engine quarantines it as a FAILED row); so does an encrypted file
+    whose structure is unusable, because the byte-order fallback cannot
+    decrypt (per-object keys need object numbers a raw scan lacks).
     """
     structured = _pages_via_structure(pdf_bytes)
     if structured is not None:
         return structured
+    if declares_encrypt(pdf_bytes):
+        raise EncryptedPdfError(
+            "encrypted PDF: document structure unusable for decryption"
+        )
     return _pages_via_byte_order(pdf_bytes)

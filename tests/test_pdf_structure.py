@@ -418,7 +418,7 @@ class TestGlyphAdvance:
             _parse_objects,
         )
 
-        objs = _parse_objects(pdf)
+        objs, _payload_of, _trailers = _parse_objects(pdf)
         fonts = _font_maps(_obj_dict(objs[3]), objs)  # the real page resources
         boxes = _interpret_stream(
             b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (first) Tj (second) Tj ET",
@@ -911,3 +911,99 @@ class TestThirdReviewRegressions:
         # same layout, not encrypted
         clean = body.replace(b" /Encrypt 5 0 R", b"")
         assert _is_encrypted_pdf(clean) is False
+
+
+class TestXrefStreamTrailer:
+    """PDF 1.5+ cross-reference STREAMS as the trailer dictionary: /Root
+    (and /Encrypt) resolve by following startxref to the xref-stream
+    object's dict and its /Prev chain — no tail-regex heuristic."""
+
+    @staticmethod
+    def _xref_obj(num, off_marker, root_ref, prev=None):
+        payload = zlib.compress(b"\x00\x01\x02")  # xref data itself unused
+        d = b"<< /Type /XRef /Size 32 /W [1 2 1] /Root %d 0 R" % root_ref
+        if prev is not None:
+            d += b" /Prev %d" % prev
+        d += b" /Filter /FlateDecode /Length %d >>" % len(payload)
+        return (
+            b"%d 0 obj\n" % num + d + b"\nstream\n" + payload
+            + b"\nendstream\nendobj\n"
+        )
+
+    def _base_doc(self, catalog_num, content_obj, text):
+        pdf = b"%PDF-1.5\n"
+        pdf += _obj(catalog_num, b"<< /Type /Catalog /Pages 2 0 R >>")
+        pdf += _obj(
+            2,
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        )
+        pdf += _obj(3, _page(content_obj))
+        pdf += _stream_obj(content_obj, _content(text))
+        pdf += _obj(9, _FONT)
+        return pdf
+
+    def test_xref_stream_only_file_resolves_root(self):
+        """No `trailer` keyword anywhere; /Root only in the xref-stream
+        dict.  A decoy '/Root 99 0 R' in page CONTENT must not hijack."""
+        pdf = self._base_doc(1, 5, "true catalog /Root 99 0 R decoy")
+        xref_off = len(pdf)
+        pdf += self._xref_obj(20, xref_off, root_ref=1)
+        pdf += b"startxref\n%d\n%%%%EOF\n" % xref_off
+        assert b"trailer" not in pdf
+        assert extract_pdf_pages(pdf) == ["true catalog /Root 99 0 R decoy"]
+
+    def test_incremental_update_newest_xref_stream_root_wins(self):
+        """An appended update adds catalog 11 -> page 13 and a new xref
+        stream whose /Prev links the original; startxref points at the
+        NEW one, so its /Root must win over the superseded catalog."""
+        pdf = self._base_doc(1, 5, "ORIGINAL page")
+        xref1_off = len(pdf)
+        pdf += self._xref_obj(20, xref1_off, root_ref=1)
+        pdf += b"startxref\n%d\n%%%%EOF\n" % xref1_off
+        # incremental update: new catalog/pages/page/content + xref stream
+        pdf += _obj(11, b"<< /Type /Catalog /Pages 12 0 R >>")
+        pdf += _obj(
+            12,
+            b"<< /Type /Pages /Kids [13 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        )
+        pdf += _obj(
+            13,
+            b"<< /Type /Page /Parent 12 0 R /Contents 15 0 R"
+            b" /Resources << /Font << /F1 9 0 R >> >> >>",
+        )
+        pdf += _stream_obj(15, _content("UPDATED page"))
+        xref2_off = len(pdf)
+        pdf += self._xref_obj(21, xref2_off, root_ref=11, prev=xref1_off)
+        pdf += b"startxref\n%d\n%%%%EOF\n" % xref2_off
+        assert extract_pdf_pages(pdf) == ["UPDATED page"]
+
+    def test_hybrid_file_prefers_startxref_chain(self):
+        """A file with BOTH a stale classic trailer (old /Root) and a
+        newer xref stream: the startxref chain is the active table."""
+        pdf = self._base_doc(1, 5, "old catalog page")
+        pdf += b"trailer\n<< /Size 30 /Root 1 0 R >>\n"
+        pdf += _obj(11, b"<< /Type /Catalog /Pages 12 0 R >>")
+        pdf += _obj(
+            12,
+            b"<< /Type /Pages /Kids [13 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        )
+        pdf += _obj(
+            13,
+            b"<< /Type /Page /Parent 12 0 R /Contents 15 0 R"
+            b" /Resources << /Font << /F1 9 0 R >> >> >>",
+        )
+        pdf += _stream_obj(15, _content("new catalog page"))
+        xref_off = len(pdf)
+        pdf += self._xref_obj(21, xref_off, root_ref=11)
+        pdf += b"startxref\n%d\n%%%%EOF\n" % xref_off
+        assert extract_pdf_pages(pdf) == ["new catalog page"]
+
+    def test_classic_trailer_still_wins_when_startxref_points_at_table(self):
+        """Classic files: startxref aims at an `xref` TABLE (not an object
+        header), so the trailer-keyword path must still resolve /Root."""
+        pdf = self._base_doc(1, 5, "classic file")
+        xref_off = len(pdf)
+        pdf += b"xref\n0 6\n" + b"0000000000 65535 f \n" * 6
+        pdf += b"trailer\n<< /Size 6 /Root 1 0 R >>\n"
+        pdf += b"startxref\n%d\n%%%%EOF\n" % xref_off
+        assert extract_pdf_pages(pdf) == ["classic file"]
