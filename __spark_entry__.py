@@ -558,6 +558,24 @@ def _q_lang_stratified_sample(spark, sf_dir):
     return textstats.language_stratified_sample(_docs(spark, sf_dir), per_lang=15)
 
 
+def _q_domain_quota_sample(spark, sf_dir):
+    """Per-domain document cap (anti-spam corpus balancing): keep the 10
+    smallest-md5 docs per source, a pure function of doc_id."""
+    return textstats.domain_quota_sample(_docs(spark, sf_dir), per_domain=10)
+
+
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition signals: top word-2-gram char fraction +
+    duplicated-3-gram char fraction per document."""
+    return textstats.repetition_signals(_docs(spark, sf_dir))
+
+
+def _q_corpus_length_report(spark, sf_dir):
+    """Per-language length distribution with EXACT median/p90 order
+    statistics (deterministic ranks, never approx_percentile)."""
+    return textstats.corpus_length_report(_docs(spark, sf_dir))
+
+
 def _q_duplicate_spans(spark, sf_dir):
     """Exact substring-duplicate spans (Lee et al. 2022): starts of
     20-gram windows appearing in >= 2 documents."""
@@ -1216,6 +1234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_documents_pipeline": _q_extract_documents_pipeline,
         "extract_block_histogram": _q_extract_block_histogram,
         "extract_synth_summary": _q_extract_synth_summary,
+        # round-4 additions run early for the same reason (driver budget)
+        "domain_quota_sample": _q_domain_quota_sample,
+        "repetition_signals": _q_repetition_signals,
+        "corpus_length_report": _q_corpus_length_report,
         "flagship_doc_stats": _q_flagship_doc_stats,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
@@ -1599,6 +1621,75 @@ ranked AS (
   FROM keyed
 )
 SELECT doc_id, lang, source, sort_key, rank FROM ranked WHERE rank <= 15
+""",
+        "domain_quota_sample": """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         md5('domcap-v1|' || doc_id) AS sort_key
+  FROM documents
+),
+ranked AS (
+  SELECT *, cast(row_number() OVER (
+      PARTITION BY source ORDER BY sort_key, doc_id) AS int) AS rank
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, sort_key, rank FROM ranked WHERE rank <= 10
+""",
+        "repetition_signals": f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+toks AS (SELECT doc_id, t, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
+g2 AS (
+  SELECT doc_id, length(t) AS n_chars_norm,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i+1])) AS gram
+  FROM toks WHERE len(ts) >= 2
+),
+c2 AS (SELECT doc_id, n_chars_norm, gram, count(*) AS cnt
+       FROM g2 GROUP BY 1, 2, 3),
+top2 AS (
+  SELECT doc_id, gram AS top_2gram,
+         floor(cnt * length(gram) / n_chars_norm * 10000) / 10000
+           AS top_2gram_char_frac
+  FROM c2
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) = 1
+),
+g3 AS (
+  SELECT doc_id, length(t) AS n_chars_norm,
+         unnest(list_transform(range(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+           AS gram
+  FROM toks WHERE len(ts) >= 3
+),
+c3 AS (SELECT doc_id, n_chars_norm, gram, count(*) AS cnt
+       FROM g3 GROUP BY 1, 2, 3),
+dup3 AS (
+  SELECT doc_id,
+         floor(cast(sum(cnt * length(gram)) AS bigint)
+               / n_chars_norm * 10000) / 10000 AS dup_3gram_char_frac
+  FROM c3 WHERE cnt > 1 GROUP BY doc_id, n_chars_norm
+)
+SELECT d.doc_id,
+       coalesce(top_2gram, '') AS top_2gram,
+       coalesce(top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+       coalesce(dup_3gram_char_frac, 0.0) AS dup_3gram_char_frac
+FROM documents d
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup3 USING (doc_id)
+""",
+        "corpus_length_report": """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       max(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS median_chars,
+       max(CASE WHEN rn = greatest(1, (cnt * 9) // 10) THEN n_chars END)
+         AS p90_chars
+FROM r GROUP BY lang
 """,
         "duplicate_spans": f"""
 WITH {{aug}},

@@ -487,3 +487,171 @@ def language_stratified_sample(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= per_lang)
     )
+
+
+def domain_quota_sample(
+    df: DataFrame, per_domain: int = 10, salt: str = "domcap-v1"
+) -> DataFrame:
+    """Per-domain document cap — the anti-spam balancing step every
+    crawl-scale corpus applies (a handful of template-heavy hosts
+    otherwise dominate the token budget).
+
+    Keeps the ``per_domain`` docs with the smallest
+    ``md5(salt || doc_id)`` within each ``source`` (the host analogue in
+    this table): a pure function of doc_id, so membership is stable
+    across runs, partitionings, and corpus growth — same determinism
+    contract as :func:`language_stratified_sample`, but capping the
+    per-HOST head instead of balancing languages.
+
+    Scale: one window per source partition over a narrow 3-column
+    projection; Zipf-hot domains are exactly where the rank prunes
+    hardest, and no wide column is touched before the cap.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        df.select("doc_id", "source", "n_chars", key.alias("sort_key"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= per_domain)
+    )
+
+
+def repetition_signals(df: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    character fraction covered by the most frequent word 2-gram, and the
+    character fraction inside word 3-grams that occur more than once.
+
+    Frozen, dialect-portable definitions (documented quirks):
+
+    - fractions are ``count * length(gram) / length(norm_text)`` with
+      overlapping occurrences counted — an upper bound of the paper's
+      char-coverage number, identical in both engines;
+    - the top 2-gram ties break to the lexicographically SMALLEST gram;
+    - docs with fewer than 2 (resp. 3) tokens score 0.0.
+
+    Scale: the gram tables explode to ~n_tokens rows per doc but
+    aggregate with map-side combine on (doc_id, gram); the top-1 window
+    runs over the already-aggregated per-doc gram counts (bounded by
+    distinct grams per doc, never corpus-wide).
+    """
+    from pyspark.sql.window import Window
+
+    d = with_norm(df).select("doc_id", "t").filter(F.col("t") != "")
+    toks = d.withColumn("ts", F.split("t", " "))
+
+    g2 = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.length("t").alias("n_chars_norm"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2),"
+                    " i -> concat(ts[i], ' ', ts[i+1]))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "n_chars_norm", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    top2 = (
+        g2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_2gram"),
+            dtrunc(
+                F.col("cnt") * F.length("gram") / F.col("n_chars_norm"), 4
+            ).alias("top_2gram_char_frac"),
+        )
+    )
+
+    g3 = (
+        toks.filter(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.length("t").alias("n_chars_norm"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 3),"
+                    " i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "n_chars_norm", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dup3 = (
+        g3.filter(F.col("cnt") > 1)
+        .groupBy("doc_id", "n_chars_norm")
+        .agg(F.sum(F.col("cnt") * F.length("gram")).alias("dup_chars"))
+        .select(
+            "doc_id",
+            dtrunc(F.col("dup_chars") / F.col("n_chars_norm"), 4).alias(
+                "dup_3gram_char_frac"
+            ),
+        )
+    )
+
+    return (
+        df.select("doc_id")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_2gram", F.lit("")).alias("top_2gram"),
+            F.coalesce("top_2gram_char_frac", F.lit(0.0)).alias(
+                "top_2gram_char_frac"
+            ),
+            F.coalesce("dup_3gram_char_frac", F.lit(0.0)).alias(
+                "dup_3gram_char_frac"
+            ),
+        )
+    )
+
+
+def corpus_length_report(df: DataFrame) -> DataFrame:
+    """Per-language length distribution with EXACT order statistics —
+    the corpus-balance report curation runs before fixing token budgets.
+
+    Median and p90 are the values at deterministic ranks over
+    ``(n_chars, doc_id)`` order — ``rank = (n+1) div 2`` and
+    ``max(1, (9n) div 10)``, integer arithmetic only, so Spark and the
+    DuckDB oracle agree bit-for-bit (approx_percentile would not).
+
+    Scale: one narrow window per language partition (rank + count), then
+    a hash groupBy; only two columns ever shuffle.  For a corpus where
+    single languages exceed one executor's sort budget, the same ranks
+    are computable from a two-pass histogram — this single-window form
+    is the right call while per-lang rows fit a partition sort.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("lang")
+    r = df.select("lang", "doc_id", "n_chars").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("cnt", F.count("*").over(wc))
+    med_pos = F.expr("(cnt + 1) div 2")
+    p90_pos = F.greatest(F.lit(1), F.expr("(cnt * 9) div 10"))
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.max(F.when(F.col("rn") == med_pos, F.col("n_chars"))).alias(
+                "median_chars"
+            ),
+            F.max(F.when(F.col("rn") == p90_pos, F.col("n_chars"))).alias(
+                "p90_chars"
+            ),
+        )
+    )

@@ -313,3 +313,36 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         ):
             failures.append(f"{name}: unexpected Python tier")
     assert not failures, failures
+
+
+def test_domain_quota_and_length_report_single_exchange(spark):
+    """Both round-4 window operators must shuffle exactly ONCE: the rank
+    window and (for the report) the groupBy reuse one hash partitioning
+    — a second Exchange would double the shuffle at corpus scale."""
+    from deepseek_ocr_customvllm_spark.operators.textstats import (
+        corpus_length_report,
+        domain_quota_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (domain_quota_sample(docs), corpus_length_report(docs)):
+        plan = _formatted(df)
+        assert plan.count("Exchange (") == 1, plan
+
+
+def test_repetition_signals_stays_jvm_side(spark):
+    """The gram explode/count/window pipeline must be pure JVM (no
+    Python tier) and join back on doc_id without a cartesian."""
+    from deepseek_ocr_customvllm_spark.operators.textstats import (
+        repetition_signals,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(repetition_signals(docs))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # the per-doc top-1 window must run over AGGREGATED gram counts —
+    # its ORDER BY key is the count aggregate (cnt), never a raw gram row
+    win_detail = plan[plan.index(") Window") :]
+    win_detail = win_detail[: win_detail.index("\n\n")]
+    assert "cnt#" in win_detail, win_detail
