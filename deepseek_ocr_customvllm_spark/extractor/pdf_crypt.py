@@ -406,11 +406,15 @@ def authenticate(enc_dict: bytes, id0: bytes) -> StandardDecryptor:
 
     if v in (1, 2) or (v == 4 and r <= 4):
         p = _int_of(enc_dict, b"P", -1)
-        length_bits = _int_of(enc_dict, b"Length", 40)
+        # /Length is BITS at the top level but BYTES inside a /CF crypt
+        # filter dict; a flat regex can hit either first.  Bytes values
+        # are <= 16 and bits values >= 40, so the ranges are disjoint:
+        # interpret <= 16 as bytes (pdfminer applies the same rule)
+        length_raw = _int_of(enc_dict, b"Length", 40)
+        length_bits = length_raw * 8 if length_raw <= 16 else length_raw
         n = 5 if v == 1 else max(5, min(16, length_bits // 8))
-        encrypt_metadata = _ENCMETA_RE.search(enc_dict) is None or (
-            _ENCMETA_RE.search(enc_dict).group(1) == b"true"
-        )
+        em = _ENCMETA_RE.search(enc_dict)
+        encrypt_metadata = em is None or em.group(1) == b"true"
         method = "rc4"
         if v == 4:
             # crypt-filter dispatch: /StmF names the filter streams use;

@@ -334,3 +334,25 @@ def test_wrong_password_error_is_not_retried_as_plaintext():
     enc = _build_doc(_Cipher("rc4-128", user_pw=b"secret"))
     with pytest.raises(EncryptedPdfError):
         extract_pdf_pages(enc)
+
+
+def test_aes128_with_cf_level_byte_length_only():
+    """Some writers put /Length only INSIDE /CF (16 = BYTES, not bits);
+    the key must still derive as 128-bit (ranges are disjoint: bytes
+    values <= 16, bits values >= 40)."""
+    cipher = _Cipher("aes-128")
+    assert b" /Length 128 " in cipher.enc_dict
+    cipher.enc_dict = cipher.enc_dict.replace(b" /Length 128 ", b" ", 1)
+    enc = _build_doc(cipher)
+    assert extract_pdf_pages(enc) == ["ABBA rocks", "page two, owner-locked"]
+
+
+def test_rc4_40_explicit_bits_length():
+    """/Length 40 at the top level is BITS (the minimum legal bits value)
+    and must not be misread as bytes."""
+    cipher = _Cipher("rc4-40")
+    cipher.enc_dict = cipher.enc_dict.replace(
+        b" /O <", b" /Length 40 /O <", 1
+    )
+    enc = _build_doc(cipher)
+    assert extract_pdf_pages(enc) == ["ABBA rocks", "page two, owner-locked"]
