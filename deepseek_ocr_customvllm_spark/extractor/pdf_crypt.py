@@ -248,6 +248,11 @@ def _unescape_pdf_string(raw: bytes) -> bytes:
                 out.append(simple[nxt])
                 i += 2
                 continue
+            if nxt in (0x0A, 0x0D):  # backslash-EOL: line continuation,
+                i += 2               # produces NO bytes (spec §7.3.4.2)
+                if nxt == 0x0D and i < n and raw[i] == 0x0A:
+                    i += 1
+                continue
             if 0x30 <= nxt <= 0x37:
                 j = i + 1
                 digits = b""
@@ -287,6 +292,43 @@ def _name_of(section: bytes, name: bytes) -> Optional[str]:
     return m.group(1).decode("latin-1") if m else None
 
 
+def _balanced_dict(data: bytes, open_pos: int) -> Optional[bytes]:
+    """The ``<<...>>`` slice whose ``<<`` starts at ``open_pos``."""
+    depth = 0
+    i = open_pos
+    n = len(data)
+    while i < n - 1:
+        pair = data[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[open_pos:i]
+        else:
+            i += 1
+    return None
+
+
+def _crypt_filter_section(enc_dict: bytes, cf_name: bytes) -> Optional[bytes]:
+    """The sub-dictionary of ``/CF << ... /<cf_name> << ... >> ... >>``
+    that ``/StmF`` names — /CFM and the byte-valued /Length must be read
+    from THERE, not from the first match anywhere (a file may carry
+    several crypt filters, e.g. an extra embedded-file filter, §7.6.5)."""
+    m = re.search(rb"/CF\s*<<", enc_dict)
+    if not m:
+        return None
+    cf_dict = _balanced_dict(enc_dict, m.end() - 2)
+    if cf_dict is None:
+        return None
+    em = re.search(rb"/" + re.escape(cf_name) + rb"\s*<<", cf_dict)
+    if not em:
+        return None
+    return _balanced_dict(cf_dict, em.end() - 2)
+
+
 def _algo2_key(
     password: bytes, o: bytes, p: int, id0: bytes, r: int, n: int,
     encrypt_metadata: bool,
@@ -295,7 +337,10 @@ def _algo2_key(
     h = hashlib.md5()
     h.update((password + _PAD)[:32])
     h.update(o[:32])
-    h.update(struct.pack("<i", p))
+    # /P is signed 32-bit per spec, but real writers emit the unsigned
+    # equivalent (e.g. 4294963392 for -3904); both must hash to the same
+    # 4 little-endian bytes, so mask instead of packing signed
+    h.update(struct.pack("<I", p & 0xFFFFFFFF))
     h.update(id0)
     if r >= 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")
@@ -406,31 +451,40 @@ def authenticate(enc_dict: bytes, id0: bytes) -> StandardDecryptor:
 
     if v in (1, 2) or (v == 4 and r <= 4):
         p = _int_of(enc_dict, b"P", -1)
-        # /Length is BITS at the top level but BYTES inside a /CF crypt
-        # filter dict; a flat regex can hit either first.  Bytes values
-        # are <= 16 and bits values >= 40, so the ranges are disjoint:
-        # interpret <= 16 as bytes (pdfminer applies the same rule)
-        length_raw = _int_of(enc_dict, b"Length", 40)
-        length_bits = length_raw * 8 if length_raw <= 16 else length_raw
-        n = 5 if v == 1 else max(5, min(16, length_bits // 8))
         em = _ENCMETA_RE.search(enc_dict)
         encrypt_metadata = em is None or em.group(1) == b"true"
         method = "rc4"
+        length_scope = enc_dict
         if v == 4:
-            # crypt-filter dispatch: /StmF names the filter streams use;
-            # /Identity means streams are plaintext even in an encrypted file
+            # crypt-filter dispatch: /StmF names the filter streams use
+            # (/Identity means streams are plaintext even in an encrypted
+            # file); /CFM and a byte-valued /Length are read from the
+            # NAMED /CF entry, never the first match anywhere
             stmf = _name_of(enc_dict, b"StmF") or "Identity"
-            cfm = _name_of(enc_dict, b"CFM")
             if stmf == "Identity":
                 method = "identity"
-            elif cfm == "AESV2":
-                method = "aes"
-            elif cfm == "V2":
-                method = "rc4"
             else:
-                raise EncryptedPdfError(
-                    f"encrypted PDF: unsupported crypt filter /{cfm}"
+                cf = _crypt_filter_section(enc_dict, stmf.encode("latin-1"))
+                cfm = _name_of(cf, b"CFM") if cf is not None else _name_of(
+                    enc_dict, b"CFM"
                 )
+                if cfm == "AESV2":
+                    method = "aes"
+                elif cfm == "V2":
+                    method = "rc4"
+                else:
+                    raise EncryptedPdfError(
+                        f"encrypted PDF: unsupported crypt filter /{cfm}"
+                    )
+                if cf is not None and _INT_RE[b"Length"].search(cf):
+                    length_scope = cf
+        # /Length is BITS at the top level but BYTES inside a /CF crypt
+        # filter dict; bytes values are <= 16 and bits values >= 40, so
+        # the ranges are disjoint: interpret <= 16 as bytes (pdfminer
+        # applies the same rule)
+        length_raw = _int_of(length_scope, b"Length", 40)
+        length_bits = length_raw * 8 if length_raw <= 16 else length_raw
+        n = 5 if v == 1 else max(5, min(16, length_bits // 8))
         key = _algo2_key(b"", o, p, id0, r, n, encrypt_metadata)
         if _algo4_5_user_check(key, u, id0, r):
             return StandardDecryptor(key, method)
@@ -480,6 +534,7 @@ def authenticate(enc_dict: bytes, id0: bytes) -> StandardDecryptor:
 
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
 _ID_RE = re.compile(rb"/ID\s*\[\s*(?:<([0-9A-Fa-f\s]*)>|\(((?:[^()\\]|\\.)*)\))")
+_TRAILER_ROOT_RE = re.compile(rb"/Root\s+\d+\s+\d+\s+R")
 
 
 def declares_encrypt(payload: bytes) -> bool:
@@ -507,7 +562,15 @@ def declares_encrypt(payload: bytes) -> bool:
 
 def find_encrypt_ref(trailer_regions: List[bytes]) -> Tuple[Optional[int], bytes]:
     """(encrypt object number, first /ID element) from trailer dicts,
-    newest first.  Returns (None, b"") when no region declares /Encrypt."""
+    newest first.  Returns (None, id0) when the document is not encrypted.
+
+    Encryption is decided by the ACTIVE trailer only — the newest region
+    that is a real trailer dict (carries /Root or /Encrypt).  A
+    superseded trailer whose encryption a later incremental update
+    removed is NOT consulted (the r3 invariant `_is_encrypted_pdf`
+    established); junk regions with neither key are skipped.  /ID is
+    taken from the newest region that has one (the first element is
+    permanent across updates, §14.4)."""
     id0 = b""
     for region in trailer_regions:
         im = _ID_RE.search(region)
@@ -526,4 +589,6 @@ def find_encrypt_ref(trailer_regions: List[bytes]) -> Tuple[Optional[int], bytes
         m = _ENCRYPT_REF_RE.search(region)
         if m:
             return int(m.group(1)), id0
+        if _TRAILER_ROOT_RE.search(region):
+            return None, id0  # active trailer, no /Encrypt: not encrypted
     return None, id0

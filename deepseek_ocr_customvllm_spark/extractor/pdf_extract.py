@@ -61,7 +61,6 @@ from .pdf_crypt import (
     EncryptedPdfError,
     StandardDecryptor,
     authenticate,
-    declares_encrypt,
     find_encrypt_ref,
 )
 
@@ -716,8 +715,11 @@ def _trailer_regions(pdf_bytes: bytes, pos_map: dict) -> List[bytes]:
 
 def _parse_objects(
     pdf_bytes: bytes,
-) -> Tuple[dict, Callable[[int], Optional[bytes]], List[bytes]]:
-    """``(objs, payload_of, trailer_regions)`` for one document.
+) -> Tuple[dict, Callable[[int], Optional[bytes]], List[bytes], bool]:
+    """``(objs, payload_of, trailer_regions, encrypted)`` for one
+    document.  ``encrypted`` reflects the ACTIVE trailer's /Encrypt —
+    the same oracle the decryption setup used, so callers never re-derive
+    the encryption fact with a different heuristic.
 
     ``objs`` maps object number -> body bytes, scanned in byte order
     (stream-extent aware) with last-definition-wins, which absorbs
@@ -774,7 +776,7 @@ def _parse_objects(
             return _stream_payload(body)
         return _stream_payload(body, crypto.stream_decryptor(num, gens[num]))
 
-    return objs, payload_of, trailers
+    return objs, payload_of, trailers, enc_ref is not None
 
 
 def _obj_dict(body: bytes) -> bytes:
@@ -1221,8 +1223,19 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
     """Page texts in page-tree order; None when structure is unusable.
 
     Raises :class:`EncryptedPdfError` (via ``_parse_objects``) for
-    encrypted files the empty password does not open."""
-    objs, payload_of, trailers = _parse_objects(pdf_bytes)
+    encrypted files the empty password does not open, and for encrypted
+    files whose structure is unusable — the byte-order fallback cannot
+    decrypt (per-object keys need object numbers a raw scan lacks), so
+    falling through would re-scan ciphertext and emit an empty SUCCESS
+    row, the exact silent failure the quarantine exists to prevent."""
+    objs, payload_of, trailers, encrypted = _parse_objects(pdf_bytes)
+
+    def _unusable() -> Optional[List[str]]:
+        if encrypted:
+            raise EncryptedPdfError(
+                "encrypted PDF: document structure unusable for decryption"
+            )
+        return None
     # catalog discovery, most-authoritative first: (1) the parsed trailer
     # dicts — classic `trailer` keywords AND xref-stream object dicts,
     # newest first, so uncompressed CONTENT that mentions "/Root N 0 R"
@@ -1238,17 +1251,17 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
     if catalog_num is None:
         roots = _ROOT_RE.findall(pdf_bytes)
         if not roots:
-            return None
+            return _unusable()
         catalog_num = int(roots[-1])  # last definition wins
     if catalog_num not in objs:
-        return None
+        return _unusable()
     pages_num = _ref(_obj_dict(objs[catalog_num]), b"Pages")
     if pages_num is None:
-        return None
+        return _unusable()
     page_nodes: List[dict] = []
     _walk_page_tree(pages_num, objs, {}, page_nodes)
     if not page_nodes:
-        return None
+        return _unusable()
 
     pages: List[str] = []
     fonts_cache: dict = {}
@@ -1264,10 +1277,11 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
                 elif _find_stream_kw(objs[ref], 0) != -1:
                     # a referenced content stream that exists but fails to
                     # decode means the structure parse cannot be trusted
-                    # (mis-sliced extent, unsupported filter): fall back to
-                    # the byte-order scan rather than silently dropping the
-                    # page
-                    return None
+                    # (mis-sliced extent, unsupported filter): fall back
+                    # to the byte-order scan rather than silently dropping
+                    # the page — unless the file is encrypted, where the
+                    # fallback would rescan ciphertext (quarantine instead)
+                    return _unusable()
         # multiple content streams form ONE logical stream (spec §7.8.2)
         data = b"\n".join(payloads)
         if b"BT" not in data:
@@ -1287,7 +1301,7 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
     # correctly decode to nothing) — falling back to the byte-order scan
     # here would re-decode those same streams WITHOUT font information
     # and emit garbage
-    return pages if (pages or decoded_any) else None
+    return pages if (pages or decoded_any) else _unusable()
 
 
 def _pages_via_byte_order(pdf_bytes: bytes) -> List[str]:
@@ -1341,8 +1355,7 @@ def extract_pdf_pages(pdf_bytes: bytes) -> List[str]:
     structured = _pages_via_structure(pdf_bytes)
     if structured is not None:
         return structured
-    if declares_encrypt(pdf_bytes):
-        raise EncryptedPdfError(
-            "encrypted PDF: document structure unusable for decryption"
-        )
+    # _pages_via_structure already raised for encrypted files (it owns
+    # the authoritative trailer parse), so this fallback only ever sees
+    # plaintext documents
     return _pages_via_byte_order(pdf_bytes)

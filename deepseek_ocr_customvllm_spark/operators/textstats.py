@@ -466,27 +466,39 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, idf_scale: int = 10_000) -> DataF
     )
 
 
-def language_stratified_sample(
-    df: DataFrame, per_lang: int = 20, salt: str = "stratify-v1"
+def _hash_quota_sample(
+    df: DataFrame, partition_col: str, cols: list, per: int, salt: str
 ) -> DataFrame:
-    """Deterministic per-language quota sample: the ``per_lang`` docs
-    with the smallest ``md5(salt || doc_id)`` within each language —
-    the balanced-multilingual-subset selection step of corpus curation,
-    reproducible across runs/partitionings (pure function of doc_id).
+    """Shared determinism-critical quota core: keep the ``per`` docs with
+    the smallest ``md5(salt || doc_id)`` within each ``partition_col``
+    group — a pure function of doc_id, so membership is stable across
+    runs, partitionings, and corpus growth.
 
-    One window per language partition over a narrow projection; at
-    corpus scale the rank prunes everything beyond the quota before any
-    wide column is touched.
+    One window per group over a narrow projection; at corpus scale the
+    rank prunes everything beyond the quota before any wide column is
+    touched.  Both quota samplers ride this one implementation so a
+    tie-break or null-ordering fix can never drift between them.
     """
     from pyspark.sql.window import Window
 
     key = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
-    return (
-        df.select("doc_id", "lang", "source", key.alias("sort_key"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= per_lang)
+    w = Window.partitionBy(partition_col).orderBy(
+        key.asc(), F.col("doc_id").asc()
     )
+    return (
+        df.select("doc_id", *cols, key.alias("sort_key"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= per)
+    )
+
+
+def language_stratified_sample(
+    df: DataFrame, per_lang: int = 20, salt: str = "stratify-v1"
+) -> DataFrame:
+    """Deterministic per-language quota sample — the
+    balanced-multilingual-subset selection step of corpus curation
+    (see :func:`_hash_quota_sample` for the determinism contract)."""
+    return _hash_quota_sample(df, "lang", ["lang", "source"], per_lang, salt)
 
 
 def domain_quota_sample(
@@ -494,27 +506,12 @@ def domain_quota_sample(
 ) -> DataFrame:
     """Per-domain document cap — the anti-spam balancing step every
     crawl-scale corpus applies (a handful of template-heavy hosts
-    otherwise dominate the token budget).
-
-    Keeps the ``per_domain`` docs with the smallest
-    ``md5(salt || doc_id)`` within each ``source`` (the host analogue in
-    this table): a pure function of doc_id, so membership is stable
-    across runs, partitionings, and corpus growth — same determinism
-    contract as :func:`language_stratified_sample`, but capping the
-    per-HOST head instead of balancing languages.
-
-    Scale: one window per source partition over a narrow 3-column
-    projection; Zipf-hot domains are exactly where the rank prunes
-    hardest, and no wide column is touched before the cap.
+    otherwise dominate the token budget).  Caps the per-``source`` head
+    with the shared quota core (see :func:`_hash_quota_sample`);
+    Zipf-hot domains are exactly where the rank prunes hardest.
     """
-    from pyspark.sql.window import Window
-
-    key = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
-    return (
-        df.select("doc_id", "source", "n_chars", key.alias("sort_key"))
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= per_domain)
+    return _hash_quota_sample(
+        df, "source", ["source", "n_chars"], per_domain, salt
     )
 
 

@@ -356,3 +356,127 @@ def test_rc4_40_explicit_bits_length():
     )
     enc = _build_doc(cipher)
     assert extract_pdf_pages(enc) == ["ABBA rocks", "page two, owner-locked"]
+
+
+# ---------------------------------------------------------------------------
+# known-answer tests: the primitives against PUBLISHED vectors (the
+# fixture encryptor shares pdf_crypt's primitives, so round-trip tests
+# alone could not catch a self-consistent-but-nonstandard implementation)
+# ---------------------------------------------------------------------------
+
+
+def test_aes_fips197_known_answers():
+    from deepseek_ocr_customvllm_spark.extractor.pdf_crypt import (
+        _decrypt_block,
+        _encrypt_block,
+        _expand_key,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    # FIPS-197 appendix C.1 (AES-128), C.2 (AES-192), C.3 (AES-256)
+    vectors = [
+        (bytes(range(16)), "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        (bytes(range(24)), "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        (bytes(range(32)), "8ea2b7ca516745bfeafc49904b496089"),
+    ]
+    for key, ct_hex in vectors:
+        rks = _expand_key(key)
+        ct = bytes(_encrypt_block(list(pt), rks))
+        assert ct.hex() == ct_hex
+        assert bytes(_decrypt_block(list(ct), rks)) == pt
+
+
+def test_rc4_known_answers():
+    # Published RC4 vectors (RFC 6229 lineage / original Usenet posting)
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+    assert rc4(b"Secret", b"Attack at dawn").hex() == (
+        "45a01f645fc35b383552544b9bf5"
+    )
+
+
+# ---------------------------------------------------------------------------
+# review regressions (round-4 code-review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_unsigned_p_value_authenticates():
+    """Writers commonly emit /P as the unsigned 32-bit equivalent
+    (4294963252 == -4044); key derivation must not crash and must hash
+    the same 4 LE bytes, so the file still opens."""
+    cipher = _Cipher("rc4-128")
+    unsigned = _PERMS & 0xFFFFFFFF
+    cipher.enc_dict = cipher.enc_dict.replace(
+        b"/P %d" % _PERMS, b"/P %d" % unsigned
+    )
+    enc = _build_doc(cipher)
+    assert extract_pdf_pages(enc) == ["ABBA rocks", "page two, owner-locked"]
+
+
+def test_cfm_scoped_to_stmf_named_filter():
+    """A file with TWO crypt filters (an RC4 one listed first, the
+    AESV2 one that /StmF actually names) must dispatch on the NAMED
+    entry, not the first /CFM in the dict."""
+    cipher = _Cipher("aes-128")
+    cipher.enc_dict = cipher.enc_dict.replace(
+        b"/CF << /StdCF",
+        b"/CF << /CryptA << /CFM /V2 /Length 16 >> /StdCF",
+    )
+    enc = _build_doc(cipher)
+    assert extract_pdf_pages(enc) == ["ABBA rocks", "page two, owner-locked"]
+
+
+def test_incremental_update_removing_encryption_wins():
+    """An appended rewrite that supersedes every stream with plaintext
+    and adds a new trailer WITHOUT /Encrypt must extract as plaintext —
+    the stale /Encrypt of the superseded trailer is not consulted."""
+    enc = _build_doc(_Cipher("rc4-128", user_pw=b"secret"))  # locked!
+    update = b""
+    for num, body in (
+        (5, b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (decrypted rewrite) Tj ET"),
+        (6, b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (second page plain) Tj ET"),
+    ):
+        payload = zlib.compress(body)
+        update += (
+            b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+            % (num, len(payload))
+            + payload
+            + b"\nendstream\nendobj\n"
+        )
+    updated = enc + update + (
+        b"trailer\n<< /Size 11 /Root 1 0 R /ID [<%s> <%s>] >>\n"
+        b"startxref\n0\n%%%%EOF\n" % (_ID0.hex().encode(), _ID0.hex().encode())
+    )
+    assert extract_pdf_pages(updated) == [
+        "decrypted rewrite", "second page plain",
+    ]
+
+
+def test_literal_string_line_continuation_unescapes_to_nothing():
+    from deepseek_ocr_customvllm_spark.extractor.pdf_crypt import (
+        _unescape_pdf_string,
+    )
+
+    assert _unescape_pdf_string(b"ab\\\ncd") == b"abcd"
+    assert _unescape_pdf_string(b"ab\\\r\ncd") == b"abcd"
+    assert _unescape_pdf_string(b"ab\\\rcd") == b"abcd"
+
+
+def test_encrypted_with_stray_trailer_bytes_still_quarantines():
+    """A locked file whose structure is unusable must quarantine even if
+    a stray 'trailer' byte-sequence appears later in the file — the
+    encryption decision and the fallback guard share one trailer parse."""
+    cipher = _Cipher("rc4-128", user_pw=b"secret")
+    pdf = b"%PDF-1.5\n"
+    pdf += b"7 0 obj\n" + cipher.enc_dict + b"\nendobj\n"
+    pdf += (
+        b"trailer\n<< /Size 9 /Root 1 0 R /Encrypt 7 0 R"
+        b" /ID [<%s> <%s>] >>\nstartxref\n0\n%%%%EOF\n"
+        % (_ID0.hex().encode(), _ID0.hex().encode())
+    )
+    # stray bytes AFTER the real trailer, mimicking binary that contains
+    # the keyword but no /Encrypt — must not flip the decision
+    pdf += b"garbage trailer garbage\n"
+    r = extract_document("https://ex.org/stray.pdf", pdf)
+    assert r.status == "FAILED"
+    assert "encrypted" in (r.error or "")

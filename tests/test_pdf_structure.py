@@ -418,7 +418,7 @@ class TestGlyphAdvance:
             _parse_objects,
         )
 
-        objs, _payload_of, _trailers = _parse_objects(pdf)
+        objs, _payload_of, _trailers, _encrypted = _parse_objects(pdf)
         fonts = _font_maps(_obj_dict(objs[3]), objs)  # the real page resources
         boxes = _interpret_stream(
             b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (first) Tj (second) Tj ET",
