@@ -168,8 +168,99 @@ def _decrypt_block(state: List[int], rks: List[List[int]]) -> List[int]:
     return s
 
 
+def _load_openssl():
+    """OpenSSL EVP via ctypes, or None.  The pure-Python AES below is
+    exact but ~50 µs/block — a 1 MB AES-encrypted PDF would cost ~3 s,
+    a real throughput cliff for an extraction job that meets encrypted
+    documents at corpus scale.  libcrypto does the same CBC in ~1 ms/MB;
+    equivalence is pinned by a test that runs both paths."""
+    try:
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("crypto") or "libcrypto.so.3"
+        lib = ctypes.CDLL(name)
+        needed = (
+            "EVP_CIPHER_CTX_new", "EVP_CIPHER_CTX_free",
+            "EVP_EncryptInit_ex", "EVP_DecryptInit_ex",
+            "EVP_EncryptUpdate", "EVP_DecryptUpdate",
+            "EVP_CIPHER_CTX_set_padding",
+            "EVP_aes_128_cbc", "EVP_aes_192_cbc", "EVP_aes_256_cbc",
+        )
+        for fn in needed:
+            if not hasattr(lib, fn):
+                return None
+        # restypes matter on 64-bit: the default c_int would truncate
+        # the context/cipher pointers
+        lib.EVP_CIPHER_CTX_new.restype = ctypes.c_void_p
+        for fn in ("EVP_aes_128_cbc", "EVP_aes_192_cbc", "EVP_aes_256_cbc"):
+            getattr(lib, fn).restype = ctypes.c_void_p
+        lib.EVP_CIPHER_CTX_free.argtypes = [ctypes.c_void_p]
+        for fn in ("EVP_EncryptInit_ex", "EVP_DecryptInit_ex"):
+            getattr(lib, fn).argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_char_p, ctypes.c_char_p,
+            ]
+        for fn in ("EVP_EncryptUpdate", "EVP_DecryptUpdate"):
+            getattr(lib, fn).argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_int,
+            ]
+        lib.EVP_CIPHER_CTX_set_padding.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        return lib
+    except Exception:  # noqa: BLE001 — any load failure: pure-Python path
+        return None
+
+
+_OPENSSL = _load_openssl()
+
+
+def _evp_cbc(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> Optional[bytes]:
+    """AES-CBC via OpenSSL EVP, padding off (callers manage PKCS#7).
+    ``data`` must be block-aligned.  Returns None on any EVP failure so
+    the caller falls back to the pure-Python implementation."""
+    if _OPENSSL is None or len(data) % 16:
+        return None
+    import ctypes
+
+    cipher_fn = {
+        16: _OPENSSL.EVP_aes_128_cbc,
+        24: _OPENSSL.EVP_aes_192_cbc,
+        32: _OPENSSL.EVP_aes_256_cbc,
+    }.get(len(key))
+    if cipher_fn is None:
+        return None
+    ctx = _OPENSSL.EVP_CIPHER_CTX_new()
+    if not ctx:
+        return None
+    try:
+        init = (
+            _OPENSSL.EVP_EncryptInit_ex if encrypt
+            else _OPENSSL.EVP_DecryptInit_ex
+        )
+        if init(ctx, cipher_fn(), None, key, iv) != 1:
+            return None
+        _OPENSSL.EVP_CIPHER_CTX_set_padding(ctx, 0)
+        out = ctypes.create_string_buffer(len(data) + 16)
+        outl = ctypes.c_int(0)
+        update = (
+            _OPENSSL.EVP_EncryptUpdate if encrypt
+            else _OPENSSL.EVP_DecryptUpdate
+        )
+        if update(ctx, out, ctypes.byref(outl), data, len(data)) != 1:
+            return None
+        return out.raw[: outl.value]
+    finally:
+        _OPENSSL.EVP_CIPHER_CTX_free(ctx)
+
+
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """No padding — callers supply block-aligned input (the 2.B KDF does)."""
+    fast = _evp_cbc(key, iv, data, encrypt=True)
+    if fast is not None:
+        return fast
     rks = _expand_key(key)
     prev = list(iv)
     out = bytearray()
@@ -182,11 +273,15 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """No padding removal (see :func:`aes_cbc_decrypt_padded`)."""
+    aligned = data[: len(data) - (len(data) % 16)]
+    fast = _evp_cbc(key, iv, aligned, encrypt=False)
+    if fast is not None:
+        return fast
     rks = _expand_key(key)
     prev = list(iv)
     out = bytearray()
-    for base in range(0, len(data) - 15, 16):
-        blk = list(data[base : base + 16])
+    for base in range(0, len(aligned), 16):
+        blk = list(aligned[base : base + 16])
         plain = _decrypt_block(blk, rks)
         out += bytes(p ^ c for p, c in zip(plain, prev))
         prev = blk
