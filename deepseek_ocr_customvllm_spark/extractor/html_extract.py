@@ -143,6 +143,12 @@ class _ContentParser(HTMLParser):
 
     # -- buffer management -------------------------------------------------
     def _flush(self) -> None:
+        if not self._buf:
+            # nothing buffered: an empty join would produce norm == ""
+            # and return below anyway — skip the string work (block tags
+            # call _flush far more often than text actually flows)
+            self._buf_link_chars = 0
+            return
         text = "".join(self._buf)
         self._buf = []
         link_chars = self._buf_link_chars
@@ -321,6 +327,21 @@ def _fast_events(html_text: str):
         pos = m.end()
         tok = m.group()
         if tok[0] == "<" and len(tok) > 1:
+            # attr-less shortcut: '<p>' / '</div>' style tags are the vast
+            # majority; ASCII-alnum names match _SIMPLE_TAG_RE exactly
+            # (leading letter enforced), so the regex is skipped.  The
+            # isascii() guard keeps unicode-alnum names on the regex path,
+            # which rejects them just like the stdlib tokenizer.
+            if tok[1] != "/":
+                body = tok[1:-1]
+                if body.isascii() and body.isalnum() and body[0].isalpha():
+                    events.append((_EV_START, body.lower()))
+                    continue
+            else:
+                name = tok[2:-1]
+                if name.isascii() and name.isalnum() and name[:1].isalpha():
+                    events.append((_EV_END, name.lower()))
+                    continue
             t = _SIMPLE_TAG_RE.fullmatch(tok)
             if t is None:
                 return None
