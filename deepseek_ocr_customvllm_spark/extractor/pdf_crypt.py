@@ -177,9 +177,27 @@ def _load_openssl():
     try:
         import ctypes
         import ctypes.util
+        import sys
 
-        name = ctypes.util.find_library("crypto") or "libcrypto.so.3"
-        lib = ctypes.CDLL(name)
+        # versioned sonames only, tried first: on macOS the UNVERSIONED
+        # /usr/lib/libcrypto.dylib is a system stub that calls abort()
+        # when dlopen'd — a SIGABRT no try/except can catch — so the
+        # find_library fallback is skipped on darwin entirely
+        lib = None
+        for cand in ("libcrypto.so.3", "libcrypto.so.1.1",
+                     "libcrypto.3.dylib", "libcrypto.1.1.dylib"):
+            try:
+                lib = ctypes.CDLL(cand)
+                break
+            except OSError:
+                continue
+        if lib is None:
+            if sys.platform == "darwin":
+                return None
+            name = ctypes.util.find_library("crypto")
+            if not name:
+                return None
+            lib = ctypes.CDLL(name)
         needed = (
             "EVP_CIPHER_CTX_new", "EVP_CIPHER_CTX_free",
             "EVP_EncryptInit_ex", "EVP_DecryptInit_ex",
@@ -359,6 +377,12 @@ def _unescape_pdf_string(raw: bytes) -> bytes:
                 continue
             out.append(nxt)
             i += 2
+            continue
+        if c == 0x0D:  # un-escaped EOL reads as a single LF (§7.3.4.2)
+            out.append(0x0A)
+            i += 1
+            if i < n and raw[i] == 0x0A:
+                i += 1
             continue
         out.append(c)
         i += 1
@@ -653,6 +677,32 @@ def declares_encrypt(payload: bytes) -> bool:
             if 0 <= off < len(payload):
                 return bool(_ENCRYPT_REF_RE.search(payload[off:]))
     return bool(_ENCRYPT_REF_RE.search(payload[-2048:]))
+
+
+def is_trailer_dict(region: bytes) -> bool:
+    """Does this region look like a real trailer dict (/Root or /Encrypt)?"""
+    return bool(
+        _TRAILER_ROOT_RE.search(region) or _ENCRYPT_REF_RE.search(region)
+    )
+
+
+def heuristic_trailer_regions(payload: bytes) -> List[bytes]:
+    """Last-resort trailer regions for files whose startxref chain and
+    ``trailer`` keywords cannot be located (corrupted offsets, prepended
+    capture bytes — common in scraped corpora): the bytes from the last
+    ``startxref`` offset, then the final 2 KiB.  Used only when the
+    parsed regions contain no real trailer dict, so a well-formed file
+    never consults these."""
+    regions: List[bytes] = []
+    sx = payload.rfind(b"startxref")
+    if sx != -1:
+        m = re.match(rb"startxref\s+(\d+)", payload[sx:])
+        if m:
+            off = int(m.group(1))
+            if 0 <= off < len(payload):
+                regions.append(payload[off:])
+    regions.append(payload[-2048:])
+    return regions
 
 
 def find_encrypt_ref(trailer_regions: List[bytes]) -> Tuple[Optional[int], bytes]:

@@ -62,6 +62,8 @@ from .pdf_crypt import (
     StandardDecryptor,
     authenticate,
     find_encrypt_ref,
+    heuristic_trailer_regions,
+    is_trailer_dict,
 )
 
 # 60 px at 144 DPI == 30 pt in PDF user space (image_process.py:34-37).
@@ -136,6 +138,14 @@ def _unescape_literal(raw: bytes) -> bytes:
                 continue
             out.append(nxt)
             i += 2
+            continue
+        if c == 0x0D:
+            # an un-escaped EOL inside a literal string reads as a single
+            # LF byte (spec §7.3.4.2) — CR and CRLF both normalize
+            out.append(0x0A)
+            i += 1
+            if i < n and raw[i] == 0x0A:
+                i += 1
             continue
         out.append(c)
         i += 1
@@ -737,7 +747,14 @@ def _parse_objects(
     entries = _scan_top_level_objects(pdf_bytes)
     pos_map = {pos: body for pos, _num, _gen, body in entries}
     trailers = _trailer_regions(pdf_bytes, pos_map)
-    enc_ref, id0 = find_encrypt_ref(trailers)
+    enc_trailers = trailers
+    if not any(is_trailer_dict(r) for r in trailers):
+        # no parseable trailer at all (corrupt startxref, prepended
+        # capture bytes): consult the heuristic regions so an encrypted
+        # file with a broken chain still QUARANTINES (or decrypts)
+        # instead of silently rescanning ciphertext as plaintext
+        enc_trailers = trailers + heuristic_trailer_regions(pdf_bytes)
+    enc_ref, id0 = find_encrypt_ref(enc_trailers)
     crypto: Optional[StandardDecryptor] = None
     if enc_ref is not None:
         enc_bodies = [b for _p, n, _g, b in entries if n == enc_ref]

@@ -532,3 +532,37 @@ def test_aes_stream_decrypt_throughput_is_not_pure_python_bound():
     t0 = time.time()
     aes_cbc_decrypt(bytes(range(16)), bytes(16), data)
     assert time.time() - t0 < 1.0
+
+
+def test_corrupt_startxref_encrypted_file_still_quarantines():
+    """An encrypted xref-stream-style file (no `trailer` keyword) whose
+    startxref offset is corrupted must still quarantine: the heuristic
+    trailer regions find /Encrypt even when the chain is unparseable."""
+    cipher = _Cipher("rc4-128", user_pw=b"secret")
+    pdf = b"%PDF-1.6\ncapture-prefix garbage\n"
+    pdf += b"7 0 obj\n" + cipher.enc_dict + b"\nendobj\n"
+    # the /Encrypt-bearing dict lives in the tail; startxref points at a
+    # bogus offset that maps to no object header
+    pdf += (
+        b"20 0 obj\n<< /Type /XRef /Size 9 /Root 1 0 R /Encrypt 7 0 R"
+        b" /ID [<%s> <%s>] /Length 3 >>\nstream\nxyz\nendstream\nendobj\n"
+        % (_ID0.hex().encode(), _ID0.hex().encode())
+    )
+    pdf += b"startxref\n5\n%%EOF\n"  # offset 5: mid-header garbage
+    r = extract_document("https://ex.org/corrupt.pdf", pdf)
+    assert r.status == "FAILED"
+    assert "encrypted" in (r.error or "")
+
+
+def test_literal_string_raw_eol_normalizes_to_lf():
+    from deepseek_ocr_customvllm_spark.extractor.pdf_crypt import (
+        _unescape_pdf_string,
+    )
+    from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+        _unescape_literal,
+    )
+
+    for fn in (_unescape_pdf_string, _unescape_literal):
+        assert fn(b"a\r\nb") == b"a\nb"
+        assert fn(b"a\rb") == b"a\nb"
+        assert fn(b"a\nb") == b"a\nb"
