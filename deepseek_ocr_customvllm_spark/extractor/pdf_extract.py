@@ -23,9 +23,11 @@ visited in **page-tree order** (``/Pages`` → ``/Kids`` recursion), so a
 writer that scatters objects through the file in any byte order still
 extracts in logical page order.  ``/MediaBox`` and ``/Resources``
 inherit down the tree per spec §7.7.3.4.  Simple-font ``/Encoding``
-dictionaries with ``/Differences`` remap byte codes through a glyph-name
-table before decoding.  Files without a parseable catalog fall back to
-the original byte-order stream scan.
+handling covers the named base encodings (``/WinAnsiEncoding`` — the
+cp1252 curly-quote/dash range — and ``/MacRomanEncoding``) overlaid
+with ``/Differences`` glyph-name remaps (spec §9.6.5 precedence;
+``/ToUnicode`` wins over both).  Files without a parseable catalog fall
+back to the original byte-order stream scan.
 
 Round 3: object bodies are sliced by verified stream extents (a Flate
 payload containing ``endobj`` or a phantom ``N 0 obj`` can neither
@@ -1053,23 +1055,53 @@ def _parse_tounicode_cmap(data: bytes) -> Tuple[int, dict]:
     return width, cmap
 
 
-def _differences_map(font_dict: bytes, objs: dict) -> Optional[dict]:
-    """``{code: char}`` from the font's /Encoding /Differences, if any."""
+# Base-encoding override tables (spec Appendix D), built from the stdlib
+# codecs: WinAnsiEncoding IS cp1252 (only 0x80-0x9F differs from the
+# latin-1 default decode — curly quotes, dashes, €, ™), MacRomanEncoding
+# remaps all of 0x80-0xFF.  Codes the codec leaves undefined keep the
+# default interpretation.
+_WINANSI_MAP = {}
+for _c in range(0x80, 0xA0):
+    try:
+        _WINANSI_MAP[_c] = bytes([_c]).decode("cp1252")
+    except UnicodeDecodeError:
+        pass
+_MACROMAN_MAP = {_c: bytes([_c]).decode("mac_roman") for _c in range(0x80, 0x100)}
+_BASE_ENCODINGS = {
+    b"WinAnsiEncoding": _WINANSI_MAP,
+    b"MacRomanEncoding": _MACROMAN_MAP,
+}
+_ENC_NAME_RE = re.compile(rb"/Encoding\s*/(\w+)")
+_BASE_ENC_NAME_RE = re.compile(rb"/BaseEncoding\s*/(\w+)")
+
+
+def _encoding_map(font_dict: bytes, objs: dict) -> Optional[dict]:
+    """``{code: char}`` from the font's /Encoding: a named base encoding
+    (``/Encoding /WinAnsiEncoding``, or ``/BaseEncoding`` inside an
+    encoding dict) overlaid with its ``/Differences`` array.  Precedence
+    (spec §9.6.5): Differences override the base encoding; the caller
+    overlays /ToUnicode on top of both."""
     enc_ref = _ref(font_dict, b"Encoding")
     enc_dict = _obj_dict(objs[enc_ref]) if enc_ref in objs else font_dict
+    base_name = None
+    nm = _ENC_NAME_RE.search(font_dict)
+    if nm:
+        base_name = nm.group(1)
+    bm = _BASE_ENC_NAME_RE.search(enc_dict)
+    if bm:
+        base_name = bm.group(1)
+    code_map: dict = dict(_BASE_ENCODINGS.get(base_name or b"", {}))
     m = _DIFFERENCES_RE.search(enc_dict)
-    if not m:
-        return None
-    code_map: dict = {}
-    code = 0
-    for item in _DIFF_ITEM_RE.finditer(m.group(1)):
-        if item.group(1) is not None:
-            code = int(item.group(1))
-        else:
-            ch = _glyph_to_char(item.group(2).decode("latin-1"))
-            if ch is not None:
-                code_map[code] = ch
-            code += 1
+    if m:
+        code = 0
+        for item in _DIFF_ITEM_RE.finditer(m.group(1)):
+            if item.group(1) is not None:
+                code = int(item.group(1))
+            else:
+                ch = _glyph_to_char(item.group(2).decode("latin-1"))
+                if ch is not None:
+                    code_map[code] = ch
+                code += 1
     return code_map or None
 
 
@@ -1190,7 +1222,7 @@ def _font_maps(
         if is_type0 and code_width < 2:
             code_width = 2  # Identity-H/V code space is 2-byte even sans CMap
         if code_width == 1:
-            dm = _differences_map(fd, objs)
+            dm = _encoding_map(fd, objs)
             if dm:
                 merged = dict(dm)
                 merged.update(cmap)  # ToUnicode wins on conflicts

@@ -1007,3 +1007,71 @@ class TestXrefStreamTrailer:
         pdf += b"trailer\n<< /Size 6 /Root 1 0 R >>\n"
         pdf += b"startxref\n%d\n%%%%EOF\n" % xref_off
         assert extract_pdf_pages(pdf) == ["classic file"]
+
+
+class TestBaseEncodings:
+    """Simple-font base encodings (spec Appendix D): /WinAnsiEncoding
+    (cp1252 — curly quotes, dashes, € in 0x80-0x9F) and
+    /MacRomanEncoding (full 0x80-0xFF remap), with /Differences taking
+    precedence over the base and /ToUnicode over both."""
+
+    def _doc(self, font_body, content):
+        pdf = b"%PDF-1.4\n"
+        pdf += _obj(1, _CATALOG)
+        pdf += _obj(
+            2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+        )
+        pdf += _obj(3, _page(5))
+        pdf += _stream_obj(5, content)
+        pdf += _obj(9, font_body)
+        pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+        return pdf
+
+    def test_winansi_curly_quotes_and_dashes(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>"
+        )
+        # 0x93/0x94 curly double quotes, 0x96 en-dash, 0x85 ellipsis
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (\x93quoted\x94 \x96 more\x85) Tj ET"
+        )
+        assert extract_pdf_pages(self._doc(font, content)) == [
+            "“quoted” – more…"
+        ]
+
+    def test_macroman_accents(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /MacRomanEncoding >>"
+        )
+        # MacRoman 0x8E = é, 0xA5 = • (latin-1 would say Ž and ¥)
+        content = b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (caf\x8e \xa5 list) Tj ET"
+        assert extract_pdf_pages(self._doc(font, content)) == ["caf\xe9 • list"]
+
+    def test_base_encoding_dict_with_differences_precedence(self):
+        """/BaseEncoding in an encoding DICT, /Differences overriding one
+        code: the difference wins over the base table."""
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom"
+            b" /Encoding 8 0 R >>"
+        )
+        pdf = self._doc(
+            font,
+            b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (\x93X\x94) Tj ET",
+        ).replace(
+            b"trailer",
+            _obj(
+                8,
+                b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding"
+                b" /Differences [147 /bullet] >>",
+            )
+            + b"trailer",
+        )
+        # 0x93 (147) remapped to bullet by Differences; 0x94 stays cp1252
+        assert extract_pdf_pages(pdf) == ["•X”"]
+
+    def test_unencoded_font_keeps_latin1_default(self):
+        font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        content = b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (plain \xe9) Tj ET"
+        assert extract_pdf_pages(self._doc(font, content)) == ["plain \xe9"]
