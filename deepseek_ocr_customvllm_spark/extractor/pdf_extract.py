@@ -556,6 +556,42 @@ _GLYPH_CHARS = {
     "endash": "–", "emdash": "—", "quoteleft": "‘",
     "quoteright": "’", "quotedblleft": "“",
     "quotedblright": "”",
+    # uppercase accents, remaining latin-1 letters
+    "Aacute": "Á", "Agrave": "À", "Acircumflex": "Â", "Adieresis": "Ä",
+    "Atilde": "Ã", "Aring": "Å", "aring": "å", "atilde": "ã",
+    "Eacute": "É", "Egrave": "È", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Iacute": "Í", "Igrave": "Ì", "Icircumflex": "Î", "Idieresis": "Ï",
+    "igrave": "ì", "icircumflex": "î", "idieresis": "ï",
+    "Oacute": "Ó", "Ograve": "Ò", "Ocircumflex": "Ô", "Odieresis": "Ö",
+    "Otilde": "Õ", "otilde": "õ", "ograve": "ò",
+    "Uacute": "Ú", "Ugrave": "Ù", "Ucircumflex": "Û", "Udieresis": "Ü",
+    "ugrave": "ù", "ucircumflex": "û",
+    "Ntilde": "Ñ", "Ccedilla": "Ç", "Yacute": "Ý", "yacute": "ý",
+    "ydieresis": "ÿ", "Ydieresis": "Ÿ",
+    "AE": "Æ", "OE": "Œ", "oe": "œ", "Oslash": "Ø",
+    "Scaron": "Š", "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
+    "Thorn": "Þ", "thorn": "þ", "Eth": "Ð", "eth": "ð",
+    "dotlessi": "ı",
+    # ligatures and common punctuation/symbols (AGL names)
+    "fi": "ﬁ", "fl": "ﬂ",
+    "dagger": "†", "daggerdbl": "‡", "section": "§", "paragraph": "¶",
+    "copyright": "©", "registered": "®", "trademark": "™",
+    "degree": "°", "plusminus": "±", "multiply": "×", "divide": "÷",
+    "minus": "−", "fraction": "⁄", "periodcentered": "·",
+    "ellipsis": "…", "perthousand": "‰", "brokenbar": "¦",
+    "micro": "µ", "cent": "¢", "sterling": "£", "yen": "¥",
+    "currency": "¤", "florin": "ƒ",
+    "exclamdown": "¡", "questiondown": "¿",
+    "guillemotleft": "«", "guillemotright": "»",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "onehalf": "½", "onequarter": "¼", "threequarters": "¾",
+    "onesuperior": "¹", "twosuperior": "²", "threesuperior": "³",
+    "ordfeminine": "ª", "ordmasculine": "º",
+    "logicalnot": "¬", "macron": "¯", "acute": "´", "cedilla": "¸",
+    "dieresis": "¨", "circumflex": "ˆ", "tilde": "˜", "caron": "ˇ",
+    "breve": "˘", "dotaccent": "˙", "ring": "˚", "ogonek": "˛",
+    "hungarumlaut": "˝",
 }
 
 

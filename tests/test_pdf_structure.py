@@ -1075,3 +1075,25 @@ class TestBaseEncodings:
         font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
         content = b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (plain \xe9) Tj ET"
         assert extract_pdf_pages(self._doc(font, content)) == ["plain \xe9"]
+
+
+def test_expanded_glyph_names_decode():
+    """Round-4 AGL expansion: ligatures, uppercase accents, and common
+    symbol names in a /Differences array decode to their characters."""
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(
+        2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+    )
+    pdf += _obj(3, _page(5))
+    pdf += _stream_obj(5, b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (ABCDE) Tj ET")
+    pdf += _obj(
+        9, b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom /Encoding 8 0 R >>"
+    )
+    pdf += _obj(
+        8,
+        b"<< /Type /Encoding /Differences"
+        b" [65 /fi 66 /Eacute 67 /copyright 68 /onehalf 69 /guillemotleft] >>",
+    )
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf_pages(pdf) == ["ﬁ\xc9\xa9\xbd\xab"]

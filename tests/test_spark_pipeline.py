@@ -1360,3 +1360,46 @@ class TestKmeansModel:
             for r in kmeans_clusters(emb, k=k, n_iter=n_iter).collect()
         }
         assert got == expected
+
+
+class TestEncryptedPdfThroughSparkPath:
+    """Encrypted PDFs ride the full distributed path: the fused
+    mapInPandas extraction stage must transparently decrypt
+    empty-password files (byte-identical rows vs the plaintext twin) and
+    quarantine password-protected ones as FAILED — per-row isolation,
+    never a task death."""
+
+    def test_extract_pages_decrypts_and_quarantines(self, spark):
+        import datetime
+
+        from tests.test_pdf_crypt import _Cipher, _build_doc
+
+        from deepseek_ocr_customvllm_spark.operators.extract import (
+            extract_pages,
+        )
+
+        plain = _build_doc()
+        ts = datetime.datetime(2024, 1, 1)
+        rows = [
+            ("https://ex.org/plain.pdf", ts, plain),
+            ("https://ex.org/rc4.pdf", ts, _build_doc(_Cipher("rc4-128"))),
+            ("https://ex.org/aes.pdf", ts, _build_doc(_Cipher("aes-128"))),
+            ("https://ex.org/locked.pdf", ts,
+             _build_doc(_Cipher("aes-128", user_pw=b"secret"))),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary"
+        )
+        out = {
+            r["url"]: r
+            for r in extract_pages(df, num_partitions=2).collect()
+        }
+        ref = out["https://ex.org/plain.pdf"]
+        assert ref["status"] == "SUCCESS" and ref["n_pages"] == 2
+        for u in ("https://ex.org/rc4.pdf", "https://ex.org/aes.pdf"):
+            assert out[u]["status"] == "SUCCESS"
+            assert out[u]["markdown_raw"] == ref["markdown_raw"]
+            assert out[u]["markdown"] == ref["markdown"]
+        locked = out["https://ex.org/locked.pdf"]
+        assert locked["status"] == "FAILED"
+        assert "encrypted" in (locked["error"] or "")
