@@ -566,3 +566,63 @@ def test_literal_string_raw_eol_normalizes_to_lf():
         assert fn(b"a\r\nb") == b"a\nb"
         assert fn(b"a\rb") == b"a\nb"
         assert fn(b"a\nb") == b"a\nb"
+
+
+def test_unescape_implementations_agree_under_fuzz():
+    """pdf_crypt._unescape_pdf_string and pdf_extract._unescape_literal
+    implement the same spec clause (§7.3.4.2) independently — any
+    divergence on arbitrary bytes is a bug in one of them."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deepseek_ocr_customvllm_spark.extractor.pdf_crypt import (
+        _unescape_pdf_string,
+    )
+    from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+        _unescape_literal,
+    )
+
+    @given(
+        st.binary(max_size=120).map(
+            # bias toward the interesting alphabet: escapes, EOLs, octal
+            lambda b: bytes(x % 0x90 for x in b)
+        )
+    )
+    @settings(max_examples=400, deadline=None)
+    def check(raw):
+        assert _unescape_pdf_string(raw) == _unescape_literal(raw)
+
+    check()
+
+
+def test_nonzero_generation_number_object_key():
+    """A content stream defined as `5 1 obj` must decrypt with gen=1 in
+    its per-object key (Algorithm 1 hashes the generation number too)."""
+    cipher = _Cipher("rc4-128")
+    body = b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (gen one) Tj ET"
+    payload = cipher.encrypt_stream(zlib.compress(body), 5, 1)
+    pdf = b"%PDF-1.5\n"
+    pdf += b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pdf += (
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        b" /MediaBox [0 0 612 792] >>\nendobj\n"
+    )
+    pdf += (
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 1 R"
+        b" /Resources << /Font << /F1 9 0 R >> >> >>\nendobj\n"
+    )
+    pdf += (
+        b"5 1 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n"
+        % len(payload) + payload + b"\nendstream\nendobj\n"
+    )
+    pdf += (
+        b"9 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        b"\nendobj\n"
+    )
+    pdf += b"7 0 obj\n" + cipher.enc_dict + b"\nendobj\n"
+    pdf += (
+        b"trailer\n<< /Size 10 /Root 1 0 R /Encrypt 7 0 R"
+        b" /ID [<%s> <%s>] >>\nstartxref\n0\n%%%%EOF\n"
+        % (_ID0.hex().encode(), _ID0.hex().encode())
+    )
+    assert extract_pdf_pages(pdf) == ["gen one"]
