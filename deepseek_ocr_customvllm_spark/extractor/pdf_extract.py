@@ -523,6 +523,7 @@ def _assemble_page(
 # ---------------------------------------------------------------------------
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_ROTATE_RE = re.compile(rb"/Rotate\s+(-?\d+)\b")
 # direct /Length only — `/Length 5 0 R` (indirect) must NOT match
 _LENGTH_DIRECT_RE = re.compile(rb"/Length\s+(\d+)(?![0-9]|\s+\d+\s+R)")
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
@@ -1293,6 +1294,9 @@ def _walk_page_tree(node_num: int, objs: dict, inherited: dict, out: List[dict],
     mb = _MEDIABOX_RE.search(d)
     if mb:
         ctx["mediabox"] = tuple(float(v) for v in mb.groups())
+    rot = _ROTATE_RE.search(d)
+    if rot:
+        ctx["rotate"] = int(rot.group(1)) % 360  # inheritable, §7.7.3.4
     res = re.search(rb"/Resources\s*<<", d)
     if res:
         ctx["resources"] = d[res.start():]
@@ -1302,6 +1306,37 @@ def _walk_page_tree(node_num: int, objs: dict, inherited: dict, out: List[dict],
             _walk_page_tree(int(r.group(1)), objs, ctx, out, visited)
     elif re.search(rb"/Type\s*/Page\b", d):
         out.append({"dict": d, **ctx})
+
+
+def _apply_rotation(
+    boxes: List[TextBox],
+    mediabox: Tuple[float, float, float, float],
+    rotate: int,
+) -> Tuple[List[TextBox], Tuple[float, float, float, float]]:
+    """Map content coordinates to DISPLAY coordinates for ``/Rotate``
+    pages (page-dict entry, inheritable; 90 = clockwise), so the margin
+    filter and reading-order sort operate on what a viewer shows —
+    landscape tables and rotated scans otherwise sort in a nonsense
+    order.  Corner check for 90 CW: content bottom-left (0,0) lands at
+    display top-left (0, W); content top-left (0,H) at display
+    top-right (H, W)."""
+    if rotate not in (90, 180, 270):
+        return boxes, mediabox
+    x0, y0, x1, y1 = mediabox
+    w, h = x1 - x0, y1 - y0
+    out = []
+    for b in boxes:
+        x, y = b.x - x0, b.y - y0
+        if rotate == 90:
+            nx, ny = y, w - x
+        elif rotate == 180:
+            nx, ny = w - x, h - y
+        else:  # 270 (counter-clockwise)
+            nx, ny = h - y, x
+        out.append(TextBox(nx, ny, b.seq, b.text))
+    if rotate in (90, 270):
+        return out, (0.0, 0.0, h, w)
+    return out, (0.0, 0.0, w, h)
 
 
 def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
@@ -1378,9 +1413,12 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
         boxes = _interpret_stream(data, font_maps=fonts or None)
         if not boxes:
             continue
-        pages.append(
-            _assemble_page(boxes, node.get("mediabox", DEFAULT_MEDIABOX))
+        boxes, page_box = _apply_rotation(
+            boxes,
+            node.get("mediabox", DEFAULT_MEDIABOX),
+            node.get("rotate", 0),
         )
+        pages.append(_assemble_page(boxes, page_box))
     # a fully-decoded structure is AUTHORITATIVE even when it yields no
     # text (e.g. image-only pages, or CID fonts without ToUnicode that
     # correctly decode to nothing) — falling back to the byte-order scan

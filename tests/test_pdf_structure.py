@@ -1097,3 +1097,65 @@ def test_expanded_glyph_names_decode():
     )
     pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
     assert extract_pdf_pages(pdf) == ["ﬁ\xc9\xa9\xbd\xab"]
+
+
+class TestPageRotation:
+    """/Rotate (inheritable, 90 = clockwise): the margin filter and
+    reading-order sort run in DISPLAY coordinates, so rotated landscape
+    pages come out in visual reading order."""
+
+    def _rot_doc(self, rotate_on, rotate_val=90):
+        # two lines written in ROTATED content coords: for a /Rotate 90
+        # page the writer puts visual-top text at LOW x (content coords),
+        # visual-left at HIGH y.  display: dx = y, dy = W - x.
+        # line A (visual top): content x=100 -> dy = 612-100 = 512
+        # line B (visual lower): content x=200 -> dy = 412
+        # both centered-ish: y in [100, 500] -> dx spread (same line order)
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 200 450 Tm (line B) Tj"
+            b" 1 0 0 1 100 100 Tm (second on A) Tj"
+            b" 1 0 0 1 100 440 Tm (first on A) Tj ET"
+        )
+        page_extra = b" /Rotate %d" % rotate_val if rotate_on == "page" else b""
+        pages_extra = b" /Rotate %d" % rotate_val if rotate_on == "tree" else b""
+        pdf = b"%PDF-1.4\n"
+        pdf += _obj(1, _CATALOG)
+        pdf += _obj(
+            2,
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+            b" /MediaBox [0 0 612 792]" + pages_extra + b" >>",
+        )
+        pdf += _obj(3, _page(5, extra=page_extra))
+        pdf += _stream_obj(5, content)
+        pdf += _obj(9, _FONT)
+        pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+        return pdf
+
+    def test_rotate_90_reading_order(self):
+        # display coords: A-line boxes at dy=512 (content x=100), dx 440
+        # and 100 -> visual order "first on A" after "second on A"?  No:
+        # same display row sorts by dx ASC -> (100,512)="second on A"
+        # wait: content y=440 -> dx=440 ("first on A"), y=100 -> dx=100
+        # ("second on A"); row dy=512 reads left-to-right by dx:
+        # "second on A" (dx=100) then "first on A" (dx=440);
+        # then line B at dy=412.
+        pages = extract_pdf_pages(self._rot_doc("page"))
+        assert pages == ["second on A first on A\n\nline B"]
+
+    def test_rotate_inherited_from_pages_node(self):
+        assert extract_pdf_pages(self._rot_doc("tree")) == extract_pdf_pages(
+            self._rot_doc("page")
+        )
+
+    def test_rotate_0_unchanged(self):
+        """No /Rotate: content coords are display coords; the same
+        content sorts by raw y DESC."""
+        pages = extract_pdf_pages(self._rot_doc("none"))
+        # y=450 and y=440 are distinct baselines in the same paragraph
+        # (gap 10 < PARA_GAP_PT); the drop to y=100 is a paragraph break
+        assert pages == ["line B\nfirst on A\n\nsecond on A"]
+
+    def test_rotate_180(self):
+        pages = extract_pdf_pages(self._rot_doc("page", rotate_val=180))
+        # 180: dy = H - y -> content y=100 is display TOP (dy=692)
+        assert pages[0].startswith("second on A")
