@@ -79,14 +79,14 @@ def suppress_repeated_ngrams(
     offs = list(accumulate((len(t) + 1 for t in toks), initial=0))
     seen_w = set()
     add_w = seen_w.add
-    dup = False
+    first_dup = -1  # start index of the FIRST repeated window's 2nd copy
     for i in range(n_stream - n + 1):
         w = joined[offs[i] : offs[i + n] - 1]
         if w in seen_w:
-            dup = True
+            first_dup = i
             break
         add_w(w)
-    if not dup:
+    if first_dup < 0:
         return text
 
     lines = text.split("\n")
@@ -152,7 +152,18 @@ def suppress_repeated_ngrams(
             acc = (acc * BASE + tok_h[k]) % MOD
         return acc
 
-    i = 0
+    # No drop can occur before ``first_dup`` (a drop at i needs an
+    # identical earlier window, and the fast scan found the FIRST such
+    # pair), so the prefix bulk-emits with zero bookkeeping; only the
+    # trailing (window + n - 1) tokens before it need the rolling
+    # structures warmed so every gram that could still be in the live
+    # window at first_dup is registered.
+    warm0 = max(0, first_dup - window_size - n + 1)
+    emitted.extend(toks[:warm0])
+    for t in toks[warm0:first_dup]:
+        _emit(t)
+
+    i = first_dup
     in_roll = -1  # rolling hash of toks[i:i+n]; -1 = needs recompute
     while i < n_stream:
         exempt = exempt_flags[i]
