@@ -314,6 +314,13 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
     stack: List[object] = []  # operand stack (numbers / strings / arrays)
     lx = ly = 0.0  # line start
     cx = cy = 0.0  # current position
+    # text-matrix 2x2 (a b c d): line moves travel along (c, d), glyph
+    # advances along (a, b).  Identity reduces every update below to the
+    # plain scalar arithmetic the fixtures were built on; a rotated Tm
+    # ([0 1 -1 0] — how /Rotate pages usually write their text) makes the
+    # collected boxes TRUE content coordinates, which _apply_rotation
+    # then maps to display space
+    ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
     leading = 0.0
     font_size = 0.0  # advance is zero until a Tf sets the size, per spec
     char_spacing = 0.0  # Tc
@@ -375,9 +382,11 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
         ) * hscale
 
     def show(raw: bytes) -> None:
-        nonlocal cx
+        nonlocal cx, cy
         emit(decode(raw))
-        cx += advance_pts(raw)
+        adv = advance_pts(raw)
+        cx += adv * ma
+        cy += adv * mb
 
     for kind, val in _tokenize(data):
         if kind in ("num", "str", "arr", "name"):
@@ -388,6 +397,7 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
             if op == "BT":
                 in_text = True
                 lx = ly = cx = cy = 0.0
+                ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
             elif op == "ET":
                 in_text = False
             elif op == "Tf" and len(stack) >= 2:
@@ -397,21 +407,28 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
                 if stack[-1][0] == "num":
                     font_size = float(stack[-1][1])  # type: ignore[arg-type]
             elif op == "Td" and len(stack) >= 2:
-                ty = stack[-1][1]
-                tx = stack[-2][1]
-                lx += float(tx)  # type: ignore[arg-type]
-                ly += float(ty)  # type: ignore[arg-type]
+                ty = float(stack[-1][1])  # type: ignore[arg-type]
+                tx = float(stack[-2][1])  # type: ignore[arg-type]
+                lx += tx * ma + ty * mc
+                ly += tx * mb + ty * md
                 cx, cy = lx, ly
             elif op == "TD" and len(stack) >= 2:
                 ty = float(stack[-1][1])  # type: ignore[arg-type]
                 tx = float(stack[-2][1])  # type: ignore[arg-type]
                 leading = -ty
-                lx += tx
-                ly += ty
+                lx += tx * ma + ty * mc
+                ly += tx * mb + ty * md
                 cx, cy = lx, ly
             elif op == "Tm" and len(stack) >= 6:
                 f = float(stack[-1][1])  # type: ignore[arg-type]
                 e = float(stack[-2][1])  # type: ignore[arg-type]
+                try:
+                    ma = float(stack[-6][1])  # type: ignore[arg-type]
+                    mb = float(stack[-5][1])  # type: ignore[arg-type]
+                    mc = float(stack[-4][1])  # type: ignore[arg-type]
+                    md = float(stack[-3][1])  # type: ignore[arg-type]
+                except (TypeError, ValueError):
+                    ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
                 lx, ly = e, f
                 cx, cy = e, f
             elif op == "TL" and len(stack) >= 1:
@@ -423,7 +440,8 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
             elif op == "Tz" and len(stack) >= 1:
                 hscale = float(stack[-1][1]) / 100.0  # type: ignore[arg-type]
             elif op == "T*":
-                ly -= leading
+                lx -= leading * mc
+                ly -= leading * md
                 cx, cy = lx, ly
             elif op == "Tj" and stack and in_text:
                 k, s = stack[-1]
@@ -460,9 +478,11 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
                     if parts and parts[-1] == " ":
                         parts.pop()
                     emit("".join(parts))
-                    cx += pts
+                    cx += pts * ma
+                    cy += pts * mb
             elif op == "'" and stack and in_text:
-                ly -= leading
+                lx -= leading * mc
+                ly -= leading * md
                 cx, cy = lx, ly
                 k, s = stack[-1]
                 if k == "str":
@@ -473,7 +493,8 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
                         word_spacing = float(stack[-3][1])  # type: ignore[arg-type]
                     if stack[-2][0] == "num":
                         char_spacing = float(stack[-2][1])  # type: ignore[arg-type]
-                ly -= leading
+                lx -= leading * mc
+                ly -= leading * md
                 cx, cy = lx, ly
                 k, s = stack[-1]
                 if k == "str":
@@ -1104,6 +1125,12 @@ for _c in range(0x80, 0xA0):
     except UnicodeDecodeError:
         pass
 _MACROMAN_MAP = {_c: bytes([_c]).decode("mac_roman") for _c in range(0x80, 0x100)}
+# Appendix D deviations from the (post-1998) mac_roman codec: 0xDB is
+# /currency in the PDF table (the codec says €), and 0xF0 is the Apple
+# logo — a Private Use Area char that would inject tofu into extracted
+# text, so it falls back to the default decode instead.
+_MACROMAN_MAP[0xDB] = "¤"
+del _MACROMAN_MAP[0xF0]
 _BASE_ENCODINGS = {
     b"WinAnsiEncoding": _WINANSI_MAP,
     b"MacRomanEncoding": _MACROMAN_MAP,

@@ -1132,13 +1132,10 @@ class TestPageRotation:
         return pdf
 
     def test_rotate_90_reading_order(self):
-        # display coords: A-line boxes at dy=512 (content x=100), dx 440
-        # and 100 -> visual order "first on A" after "second on A"?  No:
-        # same display row sorts by dx ASC -> (100,512)="second on A"
-        # wait: content y=440 -> dx=440 ("first on A"), y=100 -> dx=100
-        # ("second on A"); row dy=512 reads left-to-right by dx:
-        # "second on A" (dx=100) then "first on A" (dx=440);
-        # then line B at dy=412.
+        # display mapping (90 CW): dx = y, dy = W - x.  Content x=100
+        # boxes land on display row dy=512: ("second on A", y=100 ->
+        # dx=100) then ("first on A", y=440 -> dx=440), left-to-right.
+        # Content x=200 ("line B") lands below at dy=412.
         pages = extract_pdf_pages(self._rot_doc("page"))
         assert pages == ["second on A first on A\n\nline B"]
 
@@ -1159,3 +1156,53 @@ class TestPageRotation:
         pages = extract_pdf_pages(self._rot_doc("page", rotate_val=180))
         # 180: dy = H - y -> content y=100 is display TOP (dy=692)
         assert pages[0].startswith("second on A")
+
+
+def test_rotated_tm_with_relative_advance_on_rotated_page():
+    """The dominant real-world /Rotate 90 pattern: text written under a
+    rotated text matrix ([0 1 -1 0]) with T* line advance.  The
+    interpreter tracks the matrix (line moves along (c,d), glyph
+    advances along (a,b)), so boxes are TRUE content coordinates and the
+    display remap restores visual reading order."""
+    content = (
+        b"BT /F1 12 Tf 14 TL 0 1 -1 0 500 100 Tm"
+        b" (line one) Tj T* (line two) Tj T* (line three) Tj ET"
+    )
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(
+        2,
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+        b" /MediaBox [0 0 612 792] >>",
+    )
+    pdf += _obj(3, _page(5, extra=b" /Rotate 90"))
+    pdf += _stream_obj(5, content)
+    pdf += _obj(9, _FONT)
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf_pages(pdf) == ["line one\nline two\nline three"]
+    # WITHOUT /Rotate the same content is sideways text on a portrait
+    # page: the three columns share one display height (y=100) and read
+    # as a single row left-to-right — geometrically correct either way
+    plain = pdf.replace(b" /Rotate 90", b"")
+    assert extract_pdf_pages(plain) == ["line one line two line three"]
+
+
+def test_macroman_appendix_d_deviations():
+    """0xDB decodes per Appendix D (/currency), and the Apple-logo code
+    0xF0 must NOT inject a Private-Use-Area character."""
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /MacRomanEncoding >>"
+    )
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(
+        2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+    )
+    pdf += _obj(3, _page(5))
+    pdf += _stream_obj(5, b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (\xdbX\xf0Y) Tj ET")
+    pdf += _obj(9, font)
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    out = extract_pdf_pages(pdf)
+    assert out[0].startswith("\xa4X")  # currency sign, not euro
+    assert "" not in out[0]  # no Apple-logo PUA char
