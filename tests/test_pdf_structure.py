@@ -1206,3 +1206,54 @@ def test_macroman_appendix_d_deviations():
     out = extract_pdf_pages(pdf)
     assert out[0].startswith("\xa4X")  # currency sign, not euro
     assert "" not in out[0]  # no Apple-logo PUA char
+
+
+def test_ts_superscript_stays_on_its_line():
+    """Text rise (Ts, §9.3.7) is a rendering offset — the tracked
+    baseline ignores it, so a superscript shown with Ts groups with its
+    line instead of splitting past LINE_TOL_PT."""
+    content = (
+        b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (E=mc) Tj"
+        b" 5 Ts (2) Tj 0 Ts (done) Tj ET"
+    )
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(
+        2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+    )
+    pdf += _obj(3, _page(5))
+    pdf += _stream_obj(5, content)
+    pdf += _obj(9, _FONT)
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    pages = extract_pdf_pages(pdf)
+    assert len(pages) == 1 and "\n" not in pages[0]
+    assert pages[0] == "E=mc 2 done"  # three boxes joined by single spaces
+
+
+def test_rotation_composition_property():
+    """Applying the 90-degree display map twice equals the 180 map —
+    pinned over a deterministic box grid (the transform algebra cannot
+    drift per-angle)."""
+    from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+        TextBox,
+        _apply_rotation,
+    )
+
+    mb = (0.0, 0.0, 612.0, 792.0)
+    boxes = [
+        TextBox(30.0 * i + 7, 40.0 * j + 11, i * 10 + j, f"b{i}{j}")
+        for i in range(5)
+        for j in range(5)
+    ]
+    once, mb90 = _apply_rotation(boxes, mb, 90)
+    twice, mb2 = _apply_rotation(once, mb90, 90)
+    direct, mb180 = _apply_rotation(boxes, mb, 180)
+    assert mb2 == mb180
+    for a, b in zip(twice, direct):
+        assert abs(a.x - b.x) < 1e-9 and abs(a.y - b.y) < 1e-9
+        assert a.text == b.text
+    # and 90 then 270 is the identity
+    back, mb_id = _apply_rotation(once, mb90, 270)
+    assert mb_id == mb
+    for a, b in zip(back, boxes):
+        assert abs(a.x - b.x) < 1e-9 and abs(a.y - b.y) < 1e-9
