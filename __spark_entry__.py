@@ -582,6 +582,13 @@ def _q_duplicate_spans(spark, sf_dir):
     return dedup.duplicate_spans(_augmented_docs(_docs(spark, sf_dir)), n=20)
 
 
+def _q_dedup_spans_apply(spark, sf_dir):
+    """Exact substring dedup APPLIED: min-doc_id keeps each duplicated
+    20-gram span, every other document drops the covered tokens; the
+    rebuilt corpus is the output a training pipeline feeds downstream."""
+    return dedup.dedup_spans_apply(_augmented_docs(_docs(spark, sf_dir)), n=20)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Eval-set decontamination: training docs sharing word 3-grams with
     the held-out slice (doc_id % 97 == 0 plays the eval set; the planted
@@ -1226,11 +1233,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exactly the first 50 entries (r01 recorded 32/32, r02 43/43 — the
     # truncation appeared only once the registry passed 50).  The five
     # queries that missed an r03 row run FIRST this round, the three
-    # round-4 additions right after; with 58 entries everything from
+    # round-4 additions right after; with 59 entries everything from
     # position 51 on is expected to lose its driver row —
-    # multimodal_inspect / image_features / audio_features (51-53,
+    # multimodal_inspect / image_features / audio_features (52-54,
     # r03-driver-green, the two biggest VALUES oracles) and the five
-    # triple-green unit-covered queries at 54-58.  See NOTES.md
+    # triple-green unit-covered queries at 55-59.  See NOTES.md
     # "driver query budget".
     return {
         "events_asof_join": _q_events_asof_join,
@@ -1242,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota_sample": _q_domain_quota_sample,
         "repetition_signals": _q_repetition_signals,
         "corpus_length_report": _q_corpus_length_report,
+        "dedup_spans_apply": _q_dedup_spans_apply,
         "flagship_doc_stats": _q_flagship_doc_stats,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
@@ -1287,7 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_inspect": _q_multimodal_inspect,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
-        # tail positions (54-58): triple-green since r01/r02, cheapest
+        # tail positions (55-59): triple-green since r01/r02, cheapest
         # oracles, each additionally unit-covered — the least evidence is
         # lost when the driver's ~50-query budget truncates here
         "lineitem_rollup": _q_lineitem_rollup,
@@ -1710,6 +1718,55 @@ hot AS (
 )
 SELECT g.doc_id, g.start_tok, g.span_hash
 FROM grams g JOIN hot USING (span_hash)
+""".replace("{aug}", aug),
+        "dedup_spans_apply": f"""
+WITH {{aug}},
+norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM aug),
+toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
+big AS (SELECT doc_id, ts FROM toks WHERE len(ts) >= 20),
+grams AS (
+  SELECT doc_id, cast(i AS int) AS start_tok,
+         md5(array_to_string(list_slice(ts, i + 1, i + 20), ' ')) AS span_hash
+  FROM big, LATERAL (SELECT unnest(range(0, len(ts) - 20 + 1)) AS i) r
+),
+hot AS (
+  SELECT span_hash FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+spans AS (SELECT g.* FROM grams g JOIN hot USING (span_hash)),
+keeper AS (SELECT span_hash, min(doc_id) AS keep_doc FROM spans GROUP BY 1),
+drops AS (
+  SELECT s.doc_id, s.start_tok FROM spans s JOIN keeper USING (span_hash)
+  WHERE s.doc_id <> keeper.keep_doc
+),
+cover AS (
+  SELECT DISTINCT doc_id, start_tok + unnest(range(0, 20)) AS pos FROM drops
+),
+tokpos AS (
+  SELECT tk.doc_id, generate_subscripts(tk.ts, 1) - 1 AS pos, unnest(tk.ts) AS tok
+  FROM toks tk JOIN (SELECT DISTINCT doc_id FROM cover) td USING (doc_id)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp LEFT JOIN cover c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS _text,
+         count(*) AS _n_kept
+  FROM kept GROUP BY doc_id
+),
+nd AS (SELECT doc_id, count(*) AS _n_dropped FROM cover GROUP BY doc_id)
+SELECT n.doc_id,
+       CASE WHEN nd._n_dropped IS NOT NULL THEN coalesce(reb._text, '')
+            ELSE n.t END AS text,
+       cast(CASE WHEN nd._n_dropped IS NOT NULL THEN coalesce(reb._n_kept, 0)
+                 ELSE CASE WHEN n.t = '' THEN 0
+                      ELSE len(string_split(n.t, ' ')) END
+            END AS bigint) AS n_kept,
+       cast(coalesce(nd._n_dropped, 0) AS bigint) AS n_dropped
+FROM norm n
+LEFT JOIN reb USING (doc_id)
+LEFT JOIN nd USING (doc_id)
 """.replace("{aug}", aug),
         "decontaminate": f"""
 WITH {{aug}},

@@ -606,3 +606,73 @@ def duplicate_spans(docs: DataFrame, n: int = 20, min_docs: int = 2) -> DataFram
         .select("span_hash")
     )
     return grams.join(hot, "span_hash").select("doc_id", "start_tok", "span_hash")
+
+
+def dedup_spans_apply(docs: DataFrame, n: int = 20, min_docs: int = 2) -> DataFrame:
+    """Exact substring dedup APPLIED (Lee et al. 2022): for every
+    duplicated ``n``-gram span, the lowest doc_id keeps its occurrences
+    and every other document drops the covered tokens; returns the
+    rebuilt corpus ``(doc_id, text, n_kept, n_dropped)``.
+
+    Deterministic keeper rule (frozen): ``min(doc_id)`` per span hash.
+    Scale shape: only TOUCHED documents ever explode to token rows — the
+    span detection is hash-only (see :func:`duplicate_spans`), coverage
+    expands ``n`` positions per dropped span start, and the rebuild is a
+    single (doc_id)-keyed aggregation with an ordered ``collect_list``
+    (bounded by document length, the same bound the extractor already
+    holds per row).  Untouched documents pass through as their
+    normalized text with zero shuffled token rows.
+    """
+    d = docs.select("doc_id", norm_text("text").alias("t"))
+    spans = duplicate_spans(docs, n=n, min_docs=min_docs)
+    keeper = spans.groupBy("span_hash").agg(F.min("doc_id").alias("keep_doc"))
+    drops = (
+        spans.join(keeper, "span_hash")
+        .filter(F.col("doc_id") != F.col("keep_doc"))
+        .select("doc_id", "start_tok")
+    )
+    cover = drops.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(start_tok, start_tok + {n - 1})")
+        ).alias("pos"),
+    ).distinct()
+    touched = cover.select("doc_id").distinct()
+    toks = d.join(touched, "doc_id").select(
+        "doc_id", F.posexplode(F.split("t", " ")).alias("pos", "tok")
+    )
+    kept = toks.join(cover, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tok))),"
+                " x -> x.tok)"
+            ),
+        ).alias("_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    ndrop = cover.groupBy("doc_id").agg(F.count("*").alias("_n_dropped"))
+    n_toks = F.when(F.col("t") == "", F.lit(0)).otherwise(
+        F.size(F.split("t", " "))
+    )
+    return (
+        d.join(rebuilt, "doc_id", "left")
+        .join(ndrop, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_n_dropped").isNotNull(),
+                F.coalesce("_text", F.lit("")),
+            )
+            .otherwise(F.col("t"))
+            .alias("text"),
+            F.when(
+                F.col("_n_dropped").isNotNull(), F.coalesce("_n_kept", F.lit(0))
+            )
+            .otherwise(n_toks)
+            .cast("bigint")
+            .alias("n_kept"),
+            F.coalesce("_n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+        )
+    )

@@ -1403,3 +1403,29 @@ class TestEncryptedPdfThroughSparkPath:
         locked = out["https://ex.org/locked.pdf"]
         assert locked["status"] == "FAILED"
         assert "encrypted" in (locked["error"] or "")
+
+
+class TestDedupSpansApply:
+    def test_keeper_keeps_others_lose_covered_tokens(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.dedup import (
+            dedup_spans_apply,
+        )
+
+        shared = " ".join(f"w{i}" for i in range(20))
+        rows = [
+            (1, f"alpha {shared} omega"),
+            (2, f"intro {shared} outro tail"),
+            (3, "totally unrelated text"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup_spans_apply(df).collect()}
+        # doc 1 (min doc_id) keeps everything
+        assert out[1]["text"] == f"alpha {shared} omega"
+        assert out[1]["n_dropped"] == 0
+        # doc 2 loses exactly the 20 covered tokens, keeps its frame
+        assert out[2]["text"] == "intro outro tail"
+        assert out[2]["n_dropped"] == 20
+        assert out[2]["n_kept"] == 3
+        # untouched doc passes through normalized
+        assert out[3]["text"] == "totally unrelated text"
+        assert out[3]["n_dropped"] == 0
