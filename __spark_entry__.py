@@ -1235,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries that missed an r03 row run FIRST this round, the three
     # round-4 additions right after; with 59 entries everything from
     # position 51 on is expected to lose its driver row —
+    # events_funnel (51, r02+r03-driver-green, unit-covered),
     # multimodal_inspect / image_features / audio_features (52-54,
     # r03-driver-green, the two biggest VALUES oracles) and the five
     # triple-green unit-covered queries at 55-59.  See NOTES.md

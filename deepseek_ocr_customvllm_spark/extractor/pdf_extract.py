@@ -420,17 +420,17 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
                 ly += tx * mb + ty * md
                 cx, cy = lx, ly
             elif op == "Tm" and len(stack) >= 6:
-                f = float(stack[-1][1])  # type: ignore[arg-type]
-                e = float(stack[-2][1])  # type: ignore[arg-type]
+                # malformed operands (e.g. strings where numbers belong)
+                # skip the op wholesale — degrading ONE matrix set must
+                # not fail the whole document's extraction
                 try:
-                    ma = float(stack[-6][1])  # type: ignore[arg-type]
-                    mb = float(stack[-5][1])  # type: ignore[arg-type]
-                    mc = float(stack[-4][1])  # type: ignore[arg-type]
-                    md = float(stack[-3][1])  # type: ignore[arg-type]
+                    vals = [float(stack[k][1]) for k in range(-6, 0)]  # type: ignore[arg-type]
                 except (TypeError, ValueError):
-                    ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
-                lx, ly = e, f
-                cx, cy = e, f
+                    vals = None
+                if vals is not None:
+                    ma, mb, mc, md, e, f = vals
+                    lx, ly = e, f
+                    cx, cy = e, f
             elif op == "TL" and len(stack) >= 1:
                 leading = float(stack[-1][1])  # type: ignore[arg-type]
             elif op == "Tc" and len(stack) >= 1:

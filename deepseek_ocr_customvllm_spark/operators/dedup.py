@@ -608,7 +608,9 @@ def duplicate_spans(docs: DataFrame, n: int = 20, min_docs: int = 2) -> DataFram
     return grams.join(hot, "span_hash").select("doc_id", "start_tok", "span_hash")
 
 
-def dedup_spans_apply(docs: DataFrame, n: int = 20, min_docs: int = 2) -> DataFrame:
+def dedup_spans_apply(
+    docs: DataFrame, n: int = 20, min_docs: int = 2, persist: bool = False
+) -> DataFrame:
     """Exact substring dedup APPLIED (Lee et al. 2022): for every
     duplicated ``n``-gram span, the lowest doc_id keeps its occurrences
     and every other document drops the covered tokens; returns the
@@ -622,9 +624,20 @@ def dedup_spans_apply(docs: DataFrame, n: int = 20, min_docs: int = 2) -> DataFr
     (bounded by document length, the same bound the extractor already
     holds per row).  Untouched documents pass through as their
     normalized text with zero shuffled token rows.
+
+    ``spans`` feeds two consumers (keeper + drops) and ``cover`` three
+    (touched, anti-join, drop counts): Catalyst recomputes DataFrame
+    lineage per branch, so the n-gram explode runs up to twice and the
+    coverage expansion up to three times.  Measured cheap at sandbox SF
+    (both frames are small relative to the corpus); ``persist=True``
+    eagerly localCheckpoints both — the same trade the MinHash path
+    documents at :func:`minhash_lsh_duplicates` — which is the right
+    call at cluster scale.
     """
     d = docs.select("doc_id", norm_text("text").alias("t"))
     spans = duplicate_spans(docs, n=n, min_docs=min_docs)
+    if persist:
+        spans = spans.localCheckpoint()
     keeper = spans.groupBy("span_hash").agg(F.min("doc_id").alias("keep_doc"))
     drops = (
         spans.join(keeper, "span_hash")
@@ -637,6 +650,8 @@ def dedup_spans_apply(docs: DataFrame, n: int = 20, min_docs: int = 2) -> DataFr
             F.expr(f"sequence(start_tok, start_tok + {n - 1})")
         ).alias("pos"),
     ).distinct()
+    if persist:
+        cover = cover.localCheckpoint()
     touched = cover.select("doc_id").distinct()
     toks = d.join(touched, "doc_id").select(
         "doc_id", F.posexplode(F.split("t", " ")).alias("pos", "tok")

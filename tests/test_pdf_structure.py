@@ -1257,3 +1257,24 @@ def test_rotation_composition_property():
     assert mb_id == mb
     for a, b in zip(back, boxes):
         assert abs(a.x - b.x) < 1e-9 and abs(a.y - b.y) < 1e-9
+
+
+def test_malformed_tm_operands_skip_the_op():
+    """Garbage operands in a Tm (strings where numbers belong, in ANY of
+    the six slots) must skip the op, not fail the document."""
+    content = (
+        b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (before) Tj"
+        b" 1 0 0 1 (x) (y) Tm (after) Tj ET"
+    )
+    pdf = b"%PDF-1.4\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(
+        2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"
+    )
+    pdf += _obj(3, _page(5))
+    pdf += _stream_obj(5, content)
+    pdf += _obj(9, _FONT)
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    pages = extract_pdf_pages(pdf)
+    assert len(pages) == 1
+    assert "before" in pages[0] and "after" in pages[0]
