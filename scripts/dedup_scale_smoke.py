@@ -158,6 +158,27 @@ def main() -> None:
 
     assert n_survivors < n_docs, "dedup removed nothing on a 40%-dup corpus"
     assert n_survivors == n_unique_survivors, "survivor doc_ids not unique"
+
+    # --- exact substring span removal at the same scale ----------------
+    # 5% member mutations leave plenty of exact 20-gram runs shared
+    # across cluster members; cover is bounded by n_docs * positions, so
+    # the stage must finish without blowup and conserve tokens exactly
+    t3 = time.time()
+    applied = dedup.dedup_spans_apply(docs, persist=True)
+    rebuilt_toks = F.when(F.col("text") == "", F.lit(0)).otherwise(
+        F.size(F.split("text", " "))
+    )
+    span_stats = applied.select(
+        F.sum("n_dropped").alias("dropped"),
+        F.sum(
+            F.when(F.col("n_kept") != rebuilt_toks, 1).otherwise(0)
+        ).alias("inconsistent"),
+    ).collect()[0]
+    t_spans_apply = round(time.time() - t3, 2)
+    assert span_stats["inconsistent"] == 0, (
+        "rebuilt text token count disagrees with n_kept"
+    )
+    assert span_stats["dropped"] > 0, "no spans removed on a cloned corpus"
     # production wall: the full pipeline (signatures -> candidates ->
     # verify, all inside minhash_lsh_duplicates) plus components+apply;
     # the separate candidate/uncapped counts are diagnostics, not path
@@ -182,6 +203,8 @@ def main() -> None:
                 "t_candidates_s": t_candidates,
                 "t_pairs_s": t_pairs,
                 "t_components_apply_s": t_apply,
+                "t_spans_apply_s": t_spans_apply,
+                "span_tokens_dropped": int(span_stats["dropped"]),
                 "wall_s": wall,
                 "docs_per_sec_end_to_end": round(n_docs / wall, 1),
                 "driver_peak_rss_mb": round(
