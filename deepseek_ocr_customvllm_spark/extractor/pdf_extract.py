@@ -45,6 +45,10 @@ Scope (documented limitations, deterministic by construction):
   None and trigger the byte-order fallback for the page
 - Type0/CID fonts without a ``/ToUnicode`` CMap decode to nothing
   (CIDs are glyph ids, not characters); with one, they decode exactly
+- Form XObjects execute for real (``Do`` under the tracked CTM with the
+  form's ``/Matrix`` and own ``/Resources``, depth-capped recursion);
+  image XObjects are ignored by construction (their payloads fail the
+  ``/Subtype /Form`` gate)
 - glyph advances ARE modelled (``/Widths``, CID ``/W``/``/DW``, default
   em/2, plus the ``Tc``/``Tw``/``Tz`` spacing parameters and the
   ``\"`` operator's spacing operands): successive show ops land at their
@@ -292,7 +296,17 @@ TJ_SPACE_UNITS = -180.0
 DEFAULT_GLYPH_W = 500.0  # em/2: the classic simple-font fallback advance
 
 
-def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[TextBox]:
+_IDENTITY_CTM = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _interpret_stream(
+    data: bytes,
+    font_maps: Optional[dict] = None,
+    ctm0: Tuple[float, ...] = _IDENTITY_CTM,
+    form_resolver=None,
+    _boxes: Optional[List[TextBox]] = None,
+    _depth: int = 0,
+) -> List[TextBox]:
     """Run the text operators of one content stream, collecting boxes.
 
     ``font_maps`` maps resource font names (e.g. ``"F1"``) to dicts
@@ -309,9 +323,22 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
     it back — adjustments beyond :data:`TJ_SPACE_UNITS` decode as spaces.
     Successive show ops without explicit repositioning therefore land at
     their true x order.
+
+    The graphics state's CTM is tracked (``cm`` concatenation, ``q/Q``
+    save/restore): box positions are CTM-mapped user-space points, so
+    content positioned via ``cm`` translations and Form-XObject
+    invocations (``Do`` — resolved through ``form_resolver(name) ->
+    (payload, fonts, matrix, resolver')``) land where a viewer shows
+    them.  With the identity CTM every emit reduces to the raw text-space
+    point, which is what the golden fixtures pinned.  Advance DIRECTIONS
+    stay in text space (exact for translation CTMs — the common case;
+    a scaled/rotated ``cm`` still places boxes correctly but inter-glyph
+    advances keep their text-space scale, documented approximation).
     """
-    boxes: List[TextBox] = []
+    boxes: List[TextBox] = [] if _boxes is None else _boxes
     stack: List[object] = []  # operand stack (numbers / strings / arrays)
+    ctm = tuple(ctm0)
+    gs_stack: List[tuple] = []  # q/Q save-restore (CTM only; text state is per-BT)
     lx = ly = 0.0  # line start
     cx = cy = 0.0  # current position
     # text-matrix 2x2 (a b c d): line moves travel along (c, d), glyph
@@ -326,7 +353,7 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
     char_spacing = 0.0  # Tc
     word_spacing = 0.0  # Tw (applies to single-byte code 32 only, §9.3.3)
     hscale = 1.0  # Tz / 100
-    seq = 0
+    seq = len(boxes)
     in_text = False
     cur_font: Optional[dict] = None
 
@@ -365,7 +392,10 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
     def emit(text: str) -> None:
         nonlocal seq
         if text:
-            boxes.append(TextBox(cx, cy, seq, text))
+            a, b, c, d, e, f_ = ctm
+            boxes.append(
+                TextBox(cx * a + cy * c + e, cx * b + cy * d + f_, seq, text)
+            )
             seq += 1
 
     def advance_pts(raw: bytes) -> float:
@@ -487,6 +517,55 @@ def _interpret_stream(data: bytes, font_maps: Optional[dict] = None) -> List[Tex
                 k, s = stack[-1]
                 if k == "str":
                     show(s)  # type: ignore[arg-type]
+            elif op == "q":
+                gs_stack.append(ctm)
+            elif op == "Q":
+                if gs_stack:
+                    ctm = gs_stack.pop()
+            elif op == "cm" and len(stack) >= 6:
+                try:
+                    m = [float(stack[k][1]) for k in range(-6, 0)]  # type: ignore[arg-type]
+                except (TypeError, ValueError):
+                    m = None
+                if m is not None:
+                    a2, b2, c2, d2, e2, f2 = ctm
+                    ctm = (
+                        m[0] * a2 + m[1] * c2,
+                        m[0] * b2 + m[1] * d2,
+                        m[2] * a2 + m[3] * c2,
+                        m[2] * b2 + m[3] * d2,
+                        m[4] * a2 + m[5] * c2 + e2,
+                        m[4] * b2 + m[5] * d2 + f2,
+                    )
+            elif op == "Do" and stack and form_resolver is not None:
+                k, name = stack[-1]
+                if k == "name" and _depth < 8:
+                    form = form_resolver(name)
+                    if form is not None:
+                        fdata, ffonts, fmatrix, fresolver = form
+                        fm = fmatrix or _IDENTITY_CTM
+                        a2, b2, c2, d2, e2, f2 = ctm
+                        sub_ctm = (
+                            fm[0] * a2 + fm[1] * c2,
+                            fm[0] * b2 + fm[1] * d2,
+                            fm[2] * a2 + fm[3] * c2,
+                            fm[2] * b2 + fm[3] * d2,
+                            fm[4] * a2 + fm[5] * c2 + e2,
+                            fm[4] * b2 + fm[5] * d2 + f2,
+                        )
+                        # forms paint with an implicitly saved/restored
+                        # graphics state (spec 8.10.2); text state resets
+                        # at their own BT, so a fresh interpretation over
+                        # the SHARED box list preserves document order
+                        _interpret_stream(
+                            fdata,
+                            font_maps=ffonts,
+                            ctm0=sub_ctm,
+                            form_resolver=fresolver,
+                            _boxes=boxes,
+                            _depth=_depth + 1,
+                        )
+                        seq = len(boxes)
             elif op == '"' and stack and in_text:
                 if len(stack) >= 3:  # aw ac string " (sets Tw and Tc)
                     if stack[-3][0] == "num":
@@ -1309,6 +1388,71 @@ def _font_maps(
     return maps
 
 
+_XOBJECT_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
+_FORM_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Form\b")
+_MATRIX_RE = re.compile(rb"/Matrix\s*\[([^\]]*)\]")
+
+
+def _form_resolver_for(
+    resources: bytes,
+    objs: dict,
+    payload_of,
+    fonts_cache: dict,
+    resolver_cache: dict,
+):
+    """``name -> (payload, fonts, matrix, sub_resolver)`` for the
+    ``/XObject`` entries of one resource dict, or None when there are
+    none.  Form XObjects (spec §8.10) carry reusable content — some
+    generators put letterheads or even ALL page text in them — executed
+    by the ``Do`` operator under the current CTM composed with the
+    form's ``/Matrix``.  Results are memoized per object number (the
+    same form is typically invoked on every page)."""
+    m = _XOBJECT_DICT_RE.search(resources)
+    if not m:
+        return None
+    entries = {
+        e.group(1).decode("latin-1"): int(e.group(2))
+        for e in _FONT_ENTRY_RE.finditer(m.group(1))
+    }
+    if not entries:
+        return None
+    memo: dict = {}
+
+    def resolver(name: str):
+        ref = entries.get(name)
+        if ref is None or ref not in objs:
+            return None
+        if ref in memo:
+            return memo[ref]
+        d = _obj_dict(objs[ref])
+        out = None
+        if _FORM_SUBTYPE_RE.search(d):
+            data = payload_of(ref)
+            if data is not None:
+                matrix = None
+                mm = _MATRIX_RE.search(d)
+                if mm:
+                    nums = _NUM_RE.findall(mm.group(1))
+                    if len(nums) == 6:
+                        matrix = tuple(float(v) for v in nums)
+                # the form's own /Resources win; absent, the invoking
+                # context's resources are inherited (pre-PDF-2.0 usage)
+                rm = re.search(rb"/Resources\s*<<", d)
+                form_res = d[rm.start():] if rm else resources
+                if form_res not in fonts_cache:
+                    fonts_cache[form_res] = _font_maps(form_res, objs, payload_of)
+                fonts = fonts_cache[form_res] or None
+                if form_res not in resolver_cache:
+                    resolver_cache[form_res] = _form_resolver_for(
+                        form_res, objs, payload_of, fonts_cache, resolver_cache
+                    )
+                out = (data, fonts, matrix, resolver_cache[form_res])
+        memo[ref] = out
+        return out
+
+    return resolver
+
+
 def _walk_page_tree(node_num: int, objs: dict, inherited: dict, out: List[dict],
                     visited: Optional[set] = None) -> None:
     if visited is None:
@@ -1412,6 +1556,7 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
 
     pages: List[str] = []
     fonts_cache: dict = {}
+    resolver_cache: dict = {}
     decoded_any = False
     for node in page_nodes:
         payloads = []
@@ -1429,15 +1574,23 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
                     # the page — unless the file is encrypted, where the
                     # fallback would rescan ciphertext (quarantine instead)
                     return _unusable()
-        # multiple content streams form ONE logical stream (spec §7.8.2)
+        # multiple content streams form ONE logical stream (spec §7.8.2);
+        # a page whose text lives entirely in Form XObjects has no BT of
+        # its own — only a Do — so both gate the interpreter
         data = b"\n".join(payloads)
-        if b"BT" not in data:
+        if b"BT" not in data and b"Do" not in data:
             continue
         res = node.get("resources", b"")
         if res not in fonts_cache:  # shared Resources parse ONCE per doc
             fonts_cache[res] = _font_maps(res, objs, payload_of)
+        if res not in resolver_cache:
+            resolver_cache[res] = _form_resolver_for(
+                res, objs, payload_of, fonts_cache, resolver_cache
+            )
         fonts = fonts_cache[res]
-        boxes = _interpret_stream(data, font_maps=fonts or None)
+        boxes = _interpret_stream(
+            data, font_maps=fonts or None, form_resolver=resolver_cache[res]
+        )
         if not boxes:
             continue
         boxes, page_box = _apply_rotation(

@@ -1278,3 +1278,109 @@ def test_malformed_tm_operands_skip_the_op():
     pages = extract_pdf_pages(pdf)
     assert len(pages) == 1
     assert "before" in pages[0] and "after" in pages[0]
+
+
+class TestFormXObjectsAndCTM:
+    """Form XObjects (/Do, spec 8.10) and graphics-state CTM tracking
+    (cm + q/Q): reusable content — letterheads, or ALL the page text in
+    some generators — must extract at its viewer-visible position."""
+
+    def _form_obj(self, num, body, extra=b""):
+        return (
+            b"%d 0 obj\n<< /Type /XObject /Subtype /Form /Length %d%s >>"
+            b"\nstream\n" % (num, len(body), extra)
+            + body
+            + b"\nendstream\nendobj\n"
+        )
+
+    def _doc(self, page_content, extra_objs=b"", xobjects=b""):
+        pdf = b"%PDF-1.4\n"
+        pdf += _obj(1, _CATALOG)
+        pdf += _obj(
+            2,
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+            b" /MediaBox [0 0 612 792] >>",
+        )
+        pdf += _obj(
+            3,
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R"
+            b" /Resources << /Font << /F1 9 0 R >>" + xobjects + b" >> >>",
+        )
+        pdf += _stream_obj(5, page_content)
+        pdf += _obj(9, _FONT)
+        pdf += extra_objs
+        pdf += b"trailer\n<< /Size 20 /Root 1 0 R >>\n%%EOF\n"
+        return pdf
+
+    def test_form_text_extracts_in_document_order(self):
+        form = self._form_obj(
+            7, b"BT /F1 12 Tf 1 0 0 1 100 650 Tm (from the form) Tj ET"
+        )
+        page = (
+            b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (page text) Tj ET /Fm1 Do"
+        )
+        pdf = self._doc(page, form, b" /XObject << /Fm1 7 0 R >>")
+        assert extract_pdf_pages(pdf) == ["page text\n\nfrom the form"]
+
+    def test_cm_translation_positions_form_text(self):
+        """The form draws at y=0 (margin filter would drop it); the cm
+        translation must lift it into the page body."""
+        form = self._form_obj(
+            7, b"BT /F1 12 Tf 1 0 0 1 100 0 Tm (lifted by cm) Tj ET"
+        )
+        page = b"q 1 0 0 1 0 400 cm /Fm1 Do Q"
+        pdf = self._doc(page, form, b" /XObject << /Fm1 7 0 R >>")
+        assert extract_pdf_pages(pdf) == ["lifted by cm"]
+
+    def test_q_restores_ctm_after_form(self):
+        """A cm inside q..Q must not leak into later page text."""
+        form = self._form_obj(
+            7, b"BT /F1 12 Tf 1 0 0 1 100 0 Tm (shifted) Tj ET"
+        )
+        page = (
+            b"q 1 0 0 1 0 600 cm /Fm1 Do Q"
+            b" BT /F1 12 Tf 1 0 0 1 100 700 Tm (unshifted after Q) Tj ET"
+        )
+        pdf = self._doc(page, form, b" /XObject << /Fm1 7 0 R >>")
+        # unshifted text at y=700 sorts ABOVE the form text at y=600
+        assert extract_pdf_pages(pdf) == ["unshifted after Q\n\nshifted"]
+
+    def test_form_matrix_applies(self):
+        form = self._form_obj(
+            7,
+            b"BT /F1 12 Tf 1 0 0 1 100 0 Tm (via matrix) Tj ET",
+            b" /Matrix [1 0 0 1 0 500]",
+        )
+        page = b"/Fm1 Do"
+        pdf = self._doc(page, form, b" /XObject << /Fm1 7 0 R >>")
+        assert extract_pdf_pages(pdf) == ["via matrix"]
+
+    def test_form_only_page_with_own_font_resources(self):
+        """No BT in the page stream at all; the form carries its own
+        /Resources with a /Differences font that must apply."""
+        form = self._form_obj(
+            7,
+            b"BT /F2 12 Tf 1 0 0 1 100 700 Tm (AZ) Tj ET",
+            b" /Resources << /Font << /F2 11 0 R >> >>",
+        )
+        font2 = _obj(
+            11,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom"
+            b" /Encoding 12 0 R >>",
+        ) + _obj(12, b"<< /Type /Encoding /Differences [65 /bullet] >>")
+        pdf = self._doc(b"/Fm1 Do", form + font2, b" /XObject << /Fm1 7 0 R >>")
+        assert extract_pdf_pages(pdf) == ["•Z"]
+
+    def test_recursive_form_terminates(self):
+        """A form that invokes itself must hit the depth guard, not
+        recurse forever."""
+        form = self._form_obj(
+            7,
+            b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (once) Tj ET /Fm1 Do",
+            b" /Resources << /Font << /F1 9 0 R >>"
+            b" /XObject << /Fm1 7 0 R >> >>",
+        )
+        pdf = self._doc(b"/Fm1 Do", form, b" /XObject << /Fm1 7 0 R >>")
+        pages = extract_pdf_pages(pdf)
+        assert len(pages) == 1
+        assert pages[0].count("once") == 8  # depth guard: bounded
