@@ -298,6 +298,24 @@ DEFAULT_GLYPH_W = 500.0  # em/2: the classic simple-font fallback advance
 
 _IDENTITY_CTM = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
+# Per-page budget of Do invocations: recursion depth alone cannot bound
+# the WORK (a 12-form chain invoking each other k times amplifies to
+# k^depth interpretations from a few KB of input — a billion-laughs
+# shape); the shared counter caps total form executions per page.
+_DO_BUDGET = 256
+
+
+def _mat_mul(m: Tuple[float, ...], n: Tuple[float, ...]) -> Tuple[float, ...]:
+    """Affine 2x3 composition: apply ``m``, then ``n``."""
+    return (
+        m[0] * n[0] + m[1] * n[2],
+        m[0] * n[1] + m[1] * n[3],
+        m[2] * n[0] + m[3] * n[2],
+        m[2] * n[1] + m[3] * n[3],
+        m[4] * n[0] + m[5] * n[2] + n[4],
+        m[4] * n[1] + m[5] * n[3] + n[5],
+    )
+
 
 def _interpret_stream(
     data: bytes,
@@ -306,6 +324,8 @@ def _interpret_stream(
     form_resolver=None,
     _boxes: Optional[List[TextBox]] = None,
     _depth: int = 0,
+    _budget: Optional[List[int]] = None,
+    _text_state: Optional[tuple] = None,
 ) -> List[TextBox]:
     """Run the text operators of one content stream, collecting boxes.
 
@@ -336,9 +356,13 @@ def _interpret_stream(
     advances keep their text-space scale, documented approximation).
     """
     boxes: List[TextBox] = [] if _boxes is None else _boxes
+    budget = [_DO_BUDGET] if _budget is None else _budget
     stack: List[object] = []  # operand stack (numbers / strings / arrays)
     ctm = tuple(ctm0)
-    gs_stack: List[tuple] = []  # q/Q save-restore (CTM only; text state is per-BT)
+    # q/Q save-restore: the spec's graphics state includes the text-state
+    # parameters (Tf font+size, Tc, Tw, Tz, TL — spec 9.3.1), not just
+    # the CTM, and Do preserves it into the invoked form (8.10.2)
+    gs_stack: List[tuple] = []
     lx = ly = 0.0  # line start
     cx = cy = 0.0  # current position
     # text-matrix 2x2 (a b c d): line moves travel along (c, d), glyph
@@ -348,14 +372,19 @@ def _interpret_stream(
     # collected boxes TRUE content coordinates, which _apply_rotation
     # then maps to display space
     ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
-    leading = 0.0
-    font_size = 0.0  # advance is zero until a Tf sets the size, per spec
-    char_spacing = 0.0  # Tc
-    word_spacing = 0.0  # Tw (applies to single-byte code 32 only, §9.3.3)
-    hscale = 1.0  # Tz / 100
     seq = len(boxes)
     in_text = False
-    cur_font: Optional[dict] = None
+    if _text_state is not None:  # inherited from the invoking context (Do)
+        cur_font, font_size, char_spacing, word_spacing, hscale, leading = (
+            _text_state
+        )
+    else:
+        leading = 0.0
+        font_size = 0.0  # advance is zero until a Tf sets the size, per spec
+        char_spacing = 0.0  # Tc
+        word_spacing = 0.0  # Tw (single-byte code 32 only, §9.3.3)
+        hscale = 1.0  # Tz / 100
+        cur_font = None
 
     def _codes(raw: bytes, w: int) -> List[int]:
         if w == 1:
@@ -518,53 +547,71 @@ def _interpret_stream(
                 if k == "str":
                     show(s)  # type: ignore[arg-type]
             elif op == "q":
-                gs_stack.append(ctm)
+                gs_stack.append(
+                    (ctm, cur_font, font_size, char_spacing,
+                     word_spacing, hscale, leading)
+                )
             elif op == "Q":
                 if gs_stack:
-                    ctm = gs_stack.pop()
+                    (ctm, cur_font, font_size, char_spacing,
+                     word_spacing, hscale, leading) = gs_stack.pop()
             elif op == "cm" and len(stack) >= 6:
                 try:
-                    m = [float(stack[k][1]) for k in range(-6, 0)]  # type: ignore[arg-type]
+                    m = tuple(float(stack[k][1]) for k in range(-6, 0))  # type: ignore[arg-type]
                 except (TypeError, ValueError):
                     m = None
                 if m is not None:
-                    a2, b2, c2, d2, e2, f2 = ctm
-                    ctm = (
-                        m[0] * a2 + m[1] * c2,
-                        m[0] * b2 + m[1] * d2,
-                        m[2] * a2 + m[3] * c2,
-                        m[2] * b2 + m[3] * d2,
-                        m[4] * a2 + m[5] * c2 + e2,
-                        m[4] * b2 + m[5] * d2 + f2,
-                    )
+                    ctm = _mat_mul(m, ctm)
             elif op == "Do" and stack and form_resolver is not None:
                 k, name = stack[-1]
-                if k == "name" and _depth < 8:
+                if k == "name" and _depth < 8 and budget[0] > 0:
                     form = form_resolver(name)
                     if form is not None:
-                        fdata, ffonts, fmatrix, fresolver = form
-                        fm = fmatrix or _IDENTITY_CTM
-                        a2, b2, c2, d2, e2, f2 = ctm
-                        sub_ctm = (
-                            fm[0] * a2 + fm[1] * c2,
-                            fm[0] * b2 + fm[1] * d2,
-                            fm[2] * a2 + fm[3] * c2,
-                            fm[2] * b2 + fm[3] * d2,
-                            fm[4] * a2 + fm[5] * c2 + e2,
-                            fm[4] * b2 + fm[5] * d2 + f2,
-                        )
+                        budget[0] -= 1
+                        fdata, ffonts, fmatrix, fbbox, fresolver = form
+                        sub_ctm = _mat_mul(fmatrix or _IDENTITY_CTM, ctm)
                         # forms paint with an implicitly saved/restored
-                        # graphics state (spec 8.10.2); text state resets
-                        # at their own BT, so a fresh interpretation over
-                        # the SHARED box list preserves document order
+                        # graphics state (spec 8.10.2), INHERITING the
+                        # invoker's text-state parameters; the shared box
+                        # list preserves document order.  The form's own
+                        # fonts win when it has them.
+                        start = len(boxes)
                         _interpret_stream(
                             fdata,
-                            font_maps=ffonts,
+                            font_maps=ffonts if ffonts else font_maps,
                             ctm0=sub_ctm,
                             form_resolver=fresolver,
                             _boxes=boxes,
                             _depth=_depth + 1,
+                            _budget=budget,
+                            _text_state=(
+                                cur_font, font_size, char_spacing,
+                                word_spacing, hscale, leading,
+                            ),
                         )
+                        if fbbox is not None:
+                            # /BBox clips form content (spec 8.10.1):
+                            # drop boxes whose origin lands outside the
+                            # transformed (axis-aligned hull) bbox
+                            x0, y0, x1, y1 = fbbox
+                            corners = [
+                                (
+                                    px * sub_ctm[0] + py * sub_ctm[2] + sub_ctm[4],
+                                    px * sub_ctm[1] + py * sub_ctm[3] + sub_ctm[5],
+                                )
+                                for px, py in (
+                                    (x0, y0), (x0, y1), (x1, y0), (x1, y1),
+                                )
+                            ]
+                            bx0 = min(c[0] for c in corners) - 1e-6
+                            bx1 = max(c[0] for c in corners) + 1e-6
+                            by0 = min(c[1] for c in corners) - 1e-6
+                            by1 = max(c[1] for c in corners) + 1e-6
+                            boxes[start:] = [
+                                b
+                                for b in boxes[start:]
+                                if bx0 <= b.x <= bx1 and by0 <= b.y <= by1
+                            ]
                         seq = len(boxes)
             elif op == '"' and stack and in_text:
                 if len(stack) >= 3:  # aw ac string " (sets Tw and Tc)
@@ -1391,6 +1438,10 @@ def _font_maps(
 _XOBJECT_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
 _FORM_SUBTYPE_RE = re.compile(rb"/Subtype\s*/Form\b")
 _MATRIX_RE = re.compile(rb"/Matrix\s*\[([^\]]*)\]")
+_BBOX_RE = re.compile(rb"/BBox\s*\[([^\]]*)\]")
+# PDF names may contain '-', '.', '+' etc. (anything but delimiters) —
+# the \w+-only font regex would silently miss '/Fm-1 7 0 R'
+_RES_ENTRY_RE = re.compile(rb"/([^\s\[\]<>()/]+)\s+(\d+)\s+\d+\s+R")
 
 
 def _form_resolver_for(
@@ -1400,23 +1451,32 @@ def _form_resolver_for(
     fonts_cache: dict,
     resolver_cache: dict,
 ):
-    """``name -> (payload, fonts, matrix, sub_resolver)`` for the
+    """``name -> (payload, fonts, matrix, bbox, sub_resolver)`` for the
     ``/XObject`` entries of one resource dict, or None when there are
     none.  Form XObjects (spec §8.10) carry reusable content — some
     generators put letterheads or even ALL page text in them — executed
     by the ``Do`` operator under the current CTM composed with the
-    form's ``/Matrix``.  Results are memoized per object number (the
-    same form is typically invoked on every page)."""
+    form's ``/Matrix`` and clipped by its ``/BBox``.  Results are
+    memoized per object number (the same form is typically invoked on
+    every page)."""
     m = _XOBJECT_DICT_RE.search(resources)
     if not m:
         return None
     entries = {
         e.group(1).decode("latin-1"): int(e.group(2))
-        for e in _FONT_ENTRY_RE.finditer(m.group(1))
+        for e in _RES_ENTRY_RE.finditer(m.group(1))
     }
     if not entries:
         return None
     memo: dict = {}
+
+    def _nums_of(regex, d, n_vals):
+        mm = regex.search(d)
+        if mm:
+            nums = _NUM_RE.findall(mm.group(1))
+            if len(nums) == n_vals:
+                return tuple(float(v) for v in nums)
+        return None
 
     def resolver(name: str):
         ref = entries.get(name)
@@ -1429,16 +1489,25 @@ def _form_resolver_for(
         if _FORM_SUBTYPE_RE.search(d):
             data = payload_of(ref)
             if data is not None:
-                matrix = None
-                mm = _MATRIX_RE.search(d)
-                if mm:
-                    nums = _NUM_RE.findall(mm.group(1))
-                    if len(nums) == 6:
-                        matrix = tuple(float(v) for v in nums)
-                # the form's own /Resources win; absent, the invoking
-                # context's resources are inherited (pre-PDF-2.0 usage)
+                matrix = _nums_of(_MATRIX_RE, d, 6)
+                bbox = _nums_of(_BBOX_RE, d, 4)
+                if bbox is not None:  # normalize corner order
+                    bbox = (
+                        min(bbox[0], bbox[2]), min(bbox[1], bbox[3]),
+                        max(bbox[0], bbox[2]), max(bbox[1], bbox[3]),
+                    )
+                # the form's own /Resources win (direct dict OR indirect
+                # ref); absent, the invoking context's resources are
+                # inherited (pre-PDF-2.0 usage)
                 rm = re.search(rb"/Resources\s*<<", d)
-                form_res = d[rm.start():] if rm else resources
+                if rm:
+                    form_res = d[rm.start():]
+                else:
+                    rref = _ref(d, b"Resources")
+                    if rref is not None and rref in objs:
+                        form_res = _obj_dict(objs[rref])
+                    else:
+                        form_res = resources
                 if form_res not in fonts_cache:
                     fonts_cache[form_res] = _font_maps(form_res, objs, payload_of)
                 fonts = fonts_cache[form_res] or None
@@ -1446,7 +1515,7 @@ def _form_resolver_for(
                     resolver_cache[form_res] = _form_resolver_for(
                         form_res, objs, payload_of, fonts_cache, resolver_cache
                     )
-                out = (data, fonts, matrix, resolver_cache[form_res])
+                out = (data, fonts, matrix, bbox, resolver_cache[form_res])
         memo[ref] = out
         return out
 
@@ -1578,15 +1647,21 @@ def _pages_via_structure(pdf_bytes: bytes) -> Optional[List[str]]:
         # a page whose text lives entirely in Form XObjects has no BT of
         # its own — only a Do — so both gate the interpreter
         data = b"\n".join(payloads)
-        if b"BT" not in data and b"Do" not in data:
+        has_bt = b"BT" in data
+        if not has_bt and b"Do" not in data:
             continue
         res = node.get("resources", b"")
-        if res not in fonts_cache:  # shared Resources parse ONCE per doc
-            fonts_cache[res] = _font_maps(res, objs, payload_of)
         if res not in resolver_cache:
             resolver_cache[res] = _form_resolver_for(
                 res, objs, payload_of, fonts_cache, resolver_cache
             )
+        if not has_bt and resolver_cache[res] is None:
+            # Do without any /XObject resources — or the dominant
+            # scanned-corpus shape once images resolve to None — has
+            # nothing to interpret; skip the font parse + token walk
+            continue
+        if res not in fonts_cache:  # shared Resources parse ONCE per doc
+            fonts_cache[res] = _font_maps(res, objs, payload_of)
         fonts = fonts_cache[res]
         boxes = _interpret_stream(
             data, font_maps=fonts or None, form_resolver=resolver_cache[res]

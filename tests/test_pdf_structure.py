@@ -1384,3 +1384,118 @@ class TestFormXObjectsAndCTM:
         pages = extract_pdf_pages(pdf)
         assert len(pages) == 1
         assert pages[0].count("once") == 8  # depth guard: bounded
+
+
+class TestFormReviewRegressions:
+    """Fifth review pass on the forms/CTM diff: work budget, indirect
+    /Resources, PDF-name chars, text-state inheritance, /BBox clipping,
+    and full q/Q graphics-state restore."""
+
+    _F = TestFormXObjectsAndCTM()
+
+    def test_exponential_form_chain_is_work_capped(self):
+        """A chain of forms each invoking the next 6 times is k^depth
+        interpretations under a depth-only cap; the per-page Do budget
+        must bound total work from a few-KB hostile file."""
+        import time
+
+        chain = b""
+        for level in range(12):
+            if level == 11:
+                body = b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (leaf) Tj ET"
+            else:
+                body = b" ".join(b"/Fm%d Do" % (level + 1) for _ in range(6))
+            chain += self._F._form_obj(
+                20 + level, body,
+                b" /Resources << /Font << /F1 9 0 R >> /XObject <<"
+                + b" ".join(
+                    b"/Fm%d %d 0 R" % (n, 20 + n) for n in range(12)
+                )
+                + b" >> >>",
+            )
+        pdf = self._F._doc(
+            b"/Fm0 Do", chain,
+            b" /XObject << /Fm0 20 0 R >>",
+        )
+        t0 = time.time()
+        pages = extract_pdf_pages(pdf)
+        assert time.time() - t0 < 5, "form amplification not bounded"
+        # bounded output: at most the Do budget worth of leaves
+        assert sum(p.count("leaf") for p in pages) <= 256
+
+    def test_indirect_form_resources_win(self):
+        """/Resources as an INDIRECT ref on the form must still beat the
+        page's fonts (the /Differences bullet proves which map won)."""
+        form = self._F._form_obj(
+            7,
+            b"BT /F2 12 Tf 1 0 0 1 100 700 Tm (AZ) Tj ET",
+            b" /Resources 10 0 R",
+        )
+        extra = form + _obj(
+            10, b"<< /Font << /F2 11 0 R >> >>"
+        ) + _obj(
+            11,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom"
+            b" /Encoding 12 0 R >>",
+        ) + _obj(12, b"<< /Type /Encoding /Differences [65 /bullet] >>")
+        pdf = self._F._doc(b"/Fm1 Do", extra, b" /XObject << /Fm1 7 0 R >>")
+        assert extract_pdf_pages(pdf) == ["•Z"]
+
+    def test_xobject_name_with_hyphen_resolves(self):
+        form = self._F._form_obj(
+            7, b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (dashed name) Tj ET"
+        )
+        pdf = self._F._doc(b"/Fm-1 Do", form, b" /XObject << /Fm-1 7 0 R >>")
+        assert extract_pdf_pages(pdf) == ["dashed name"]
+
+    def test_form_inherits_invoker_text_state(self):
+        """Tf set on the PAGE carries into a form that sets none (Do
+        preserves the graphics state, spec 8.10.2): the page font's
+        /Differences map must decode the form's string."""
+        form = self._F._form_obj(
+            7, b"BT 1 0 0 1 100 650 Tm (AZ) Tj ET"  # no Tf of its own
+        )
+        extra = form + _obj(
+            12, b"<< /Type /Encoding /Differences [65 /bullet] >>"
+        )
+        pdf = self._F._doc(
+            b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (top) Tj ET /Fm1 Do",
+            extra,
+            b" /XObject << /Fm1 7 0 R >>",
+        ).replace(
+            _FONT,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom"
+            b" /Encoding 12 0 R >>",
+        )
+        assert extract_pdf_pages(pdf) == ["top\n\n•Z"]
+
+    def test_bbox_clips_form_text(self):
+        """Text a viewer clips away (outside /BBox) must not leak into
+        the corpus; in-bbox text survives."""
+        form = self._F._form_obj(
+            7,
+            b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (inside) Tj"
+            b" 1 0 0 1 100 100 Tm (outside) Tj ET",
+            b" /BBox [0 600 612 792]",
+        )
+        pdf = self._F._doc(b"/Fm1 Do", form, b" /XObject << /Fm1 7 0 R >>")
+        assert extract_pdf_pages(pdf) == ["inside"]
+
+    def test_q_restores_font_state(self):
+        """q/Q save the TEXT state too (Tf persists across BT/ET and is
+        restored by Q, spec 8.4.2): F2's /Differences map must not leak
+        past the Q."""
+        extra = _obj(
+            11,
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom"
+            b" /Encoding 12 0 R >>",
+        ) + _obj(12, b"<< /Type /Encoding /Differences [65 /bullet] >>")
+        page = (
+            b"q BT /F2 12 Tf 1 0 0 1 100 700 Tm (A) Tj ET Q"
+            b" BT /F1 12 Tf 1 0 0 1 100 600 Tm (A plain) Tj ET"
+        )
+        pdf = self._F._doc(page, extra, b"")
+        pdf = pdf.replace(
+            b"/Font << /F1 9 0 R >>", b"/Font << /F1 9 0 R /F2 11 0 R >>"
+        )
+        assert extract_pdf_pages(pdf) == ["•\n\nA plain"]
