@@ -857,6 +857,12 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk_neighbors(load_table(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_recall_report(spark, sf_dir):
+    """Recall@k of the LSH and IVF tiers vs the exact tier — the
+    metric that justifies turning brute force off at corpus scale."""
+    return similarity.ann_recall_report(load_table(spark, sf_dir, "embeddings"))
+
+
 def _q_source_quality_report(spark, sf_dir):
     return textstats.source_quality_report(_docs(spark, sf_dir))
 
@@ -1233,12 +1239,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exactly the first 50 entries (r01 recorded 32/32, r02 43/43 — the
     # truncation appeared only once the registry passed 50).  The five
     # queries that missed an r03 row run FIRST this round, the three
-    # round-4 additions right after; with 59 entries everything from
+    # round-4 additions right after; with 60 entries everything from
     # position 51 on is expected to lose its driver row —
-    # events_funnel (51, r02+r03-driver-green, unit-covered),
-    # multimodal_inspect / image_features / audio_features (52-54,
+    # events_sessionize / events_funnel (51-52, r02+r03-driver-green,
+    # unit-covered),
+    # multimodal_inspect / image_features / audio_features (53-55,
     # r03-driver-green, the two biggest VALUES oracles) and the five
-    # triple-green unit-covered queries at 55-59.  See NOTES.md
+    # triple-green unit-covered queries at 56-60.  See NOTES.md
     # "driver query budget".
     return {
         "events_asof_join": _q_events_asof_join,
@@ -1251,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "corpus_length_report": _q_corpus_length_report,
         "dedup_spans_apply": _q_dedup_spans_apply,
+        "ann_recall_report": _q_ann_recall_report,
         "flagship_doc_stats": _q_flagship_doc_stats,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
@@ -1296,7 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_inspect": _q_multimodal_inspect,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
-        # tail positions (55-59): triple-green since r01/r02, cheapest
+        # tail positions (56-60): triple-green since r01/r02, cheapest
         # oracles, each additionally unit-covered — the least evidence is
         # lost when the driver's ~50-query budget truncates here
         "lineitem_rollup": _q_lineitem_rollup,
@@ -1453,6 +1461,91 @@ ranked AS (
   FROM pairs
 )
 SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {similarity.TOP_K}
+"""
+
+
+def _oracle_ann_recall() -> str:
+    """Exact + LSH + IVF tiers as CTE blocks, then recall@k per method.
+    Division order mirrors Spark's dtrunc(n_hits / n_exact, 4)."""
+    planes = similarity.hyperplanes()
+    bucket_terms = " + ".join(
+        f"(case when cast(list_dot_product(qe, {plane}) as bigint) > 0 then {2 ** k} else 0 end)"
+        for k, plane in enumerate(planes)
+    )
+    k, qm, cm = similarity.TOP_K, similarity.QUERY_MOD, similarity.CENTROID_MOD
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(x * {similarity.QUANT}) as bigint)) AS qe
+  FROM embeddings
+),
+vec AS (SELECT vec_id, qe, cast({bucket_terms} as bigint) AS bucket FROM q),
+exq AS (SELECT vec_id AS query_id, qe AS qv FROM q WHERE vec_id % {qm} = 0),
+expairs AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         cast(list_dot_product(qv, qe) as bigint) AS dot
+  FROM exq CROSS JOIN q WHERE vec_id <> query_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+    FROM expairs
+  ) WHERE rank <= {k}
+),
+lqs AS (SELECT vec_id AS query_id, qe AS qv, bucket AS qb FROM vec WHERE vec_id % {qm} = 0),
+lpairs AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         cast(list_dot_product(qv, qe) as bigint) AS dot
+  FROM lqs JOIN vec ON vec.bucket = lqs.qb AND vec.vec_id <> lqs.query_id
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+    FROM lpairs
+  ) WHERE rank <= {k}
+),
+cent AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id % {cm} = 1),
+cscored AS (
+  SELECT q.vec_id, q.qe, cent.cid,
+         cast(list_dot_product(q.qe, cent.ce) as bigint) AS cdot
+  FROM q CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, qe, cid FROM (
+    SELECT vec_id, qe, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS r
+    FROM cscored
+  ) WHERE r = 1
+),
+iqs AS (SELECT vec_id AS query_id, qe AS qv, cid FROM assigned WHERE vec_id % {qm} = 0),
+ipairs AS (
+  SELECT iqs.query_id, a.vec_id AS neighbor_id,
+         cast(list_dot_product(iqs.qv, a.qe) as bigint) AS dot
+  FROM iqs JOIN assigned a ON a.cid = iqs.cid AND a.vec_id <> iqs.query_id
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+    FROM ipairs
+  ) WHERE rank <= {k}
+),
+ex_stats AS (
+  SELECT count(DISTINCT query_id) AS n_queries, count(*) AS n_exact FROM exact
+)
+SELECT 'ivf' AS method, n_queries, n_exact,
+       (SELECT count(*) FROM exact e JOIN ivf USING (query_id, neighbor_id)) AS n_hits,
+       floor((SELECT count(*) FROM exact e JOIN ivf USING (query_id, neighbor_id))
+             / n_exact * 10000) / 10000 AS recall
+FROM ex_stats
+UNION ALL
+SELECT 'lsh' AS method, n_queries, n_exact,
+       (SELECT count(*) FROM exact e JOIN lsh USING (query_id, neighbor_id)) AS n_hits,
+       floor((SELECT count(*) FROM exact e JOIN lsh USING (query_id, neighbor_id))
+             / n_exact * 10000) / 10000 AS recall
+FROM ex_stats
 """
 
 
@@ -2050,6 +2143,7 @@ SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {similarity.TO
 """,
         "ann_lsh_bucket": _oracle_ann_lsh_bucket(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
+        "ann_recall_report": _oracle_ann_recall(),
         "ann_ivf_topk": f"""
 WITH q AS (
   SELECT vec_id,

@@ -351,3 +351,47 @@ def kmeans_clusters(
         )
     finally:
         q.unpersist()
+
+
+def ann_recall_report(
+    emb: DataFrame, top_k: int = TOP_K, query_mod: int = QUERY_MOD
+) -> DataFrame:
+    """Recall@k of the approximate ANN tiers against the exact tier —
+    the acceptance metric every ANN deployment publishes before turning
+    off brute force.  One row per method:
+    ``(method, n_queries, n_exact, n_hits, recall)``.
+
+    Scale: the exact tier is the expensive input, but it runs over the
+    QUERY SUBSET only (that is the whole point of the exact/approx
+    layering) and each comparison is a (query_id, neighbor_id) left-semi
+    join of two top-k tables — k rows per query, trivially shuffled.
+    The single-row aggregates combine via broadcast, never a shuffle.
+    """
+    from ..functions.columns import dtrunc
+
+    exact = topk_dot_neighbors(emb, top_k, query_mod).select(
+        "query_id", "neighbor_id"
+    )
+    rows = []
+    for method, approx in (
+        ("ivf", ivf_topk_neighbors(emb, top_k, query_mod)),
+        ("lsh", lsh_topk_neighbors(emb, top_k, query_mod)),
+    ):
+        ap = approx.select("query_id", "neighbor_id")
+        base = exact.agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+        )
+        hits = exact.join(
+            ap, ["query_id", "neighbor_id"], "left_semi"
+        ).agg(F.count("*").alias("n_hits"))
+        rows.append(
+            base.join(F.broadcast(hits)).select(
+                F.lit(method).alias("method"),
+                "n_queries",
+                "n_exact",
+                "n_hits",
+                dtrunc(F.col("n_hits") / F.col("n_exact"), 4).alias("recall"),
+            )
+        )
+    return rows[0].unionByName(rows[1])

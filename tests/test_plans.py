@@ -297,6 +297,7 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "compression_quality",                # scalar pandas_udf (zlib)
         "corpus_filter",                      # fuses the zlib signal too
         "ann_ivf_topk",                       # grouped-map on bounded clusters
+        "ann_recall_report",                  # embeds the IVF tier above
     }
     failures = []
     for name, fn in em.queries().items():
