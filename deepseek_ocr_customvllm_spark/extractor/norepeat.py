@@ -134,7 +134,13 @@ def suppress_repeated_ngrams(
             emit_roll = (emit_roll - old * BPOW) % MOD
         emit_roll = (emit_roll * BASE + h) % MOD if len(emit_hashes) > 1 else h % MOD
         j = len(emitted)
-        if j >= n:
+        # Register only when emit_roll covers a FULL n tokens.  After the
+        # bulk prefix extend, the first n-1 _emit calls have j >= n but a
+        # partial emit_hashes; their grams span the bulk boundary and are
+        # already outside the live window by the first check at first_dup
+        # (warm0 = first_dup - window_size - n + 1), so never registering
+        # them is exact — and no longer an implicit floor-prune invariant.
+        if len(emit_hashes) == n:
             s = j - n
             starts.setdefault(emit_roll, deque()).append(s)
             live.append((s, emit_roll))

@@ -412,11 +412,17 @@ def _name_of(section: bytes, name: bytes) -> Optional[str]:
 
 
 def _balanced_dict(data: bytes, open_pos: int) -> Optional[bytes]:
-    """The ``<<...>>`` slice whose ``<<`` starts at ``open_pos``."""
+    """The ``<<...>>`` slice whose ``<<`` starts at ``open_pos``.
+
+    Hex strings ``<...>`` and literal strings ``(...)`` are skipped
+    wholesale: a hex string whose closing ``>`` abuts the dict close
+    (``/X <AB>>>``) must not decrement depth early, and a literal
+    string may contain ``<<``/``>>`` bytes that are data, not
+    delimiters (§7.3.4-7.3.5)."""
     depth = 0
     i = open_pos
     n = len(data)
-    while i < n - 1:
+    while i < n:
         pair = data[i : i + 2]
         if pair == b"<<":
             depth += 1
@@ -426,6 +432,26 @@ def _balanced_dict(data: bytes, open_pos: int) -> Optional[bytes]:
             i += 2
             if depth == 0:
                 return data[open_pos:i]
+        elif data[i : i + 1] == b"<":  # hex string: skip to its '>'
+            end = data.find(b">", i + 1)
+            if end < 0:
+                return None
+            i = end + 1
+        elif data[i : i + 1] == b"(":  # literal string: balanced + escapes
+            pdepth = 1
+            i += 1
+            while i < n and pdepth:
+                c = data[i : i + 1]
+                if c == b"\\":
+                    i += 2
+                    continue
+                if c == b"(":
+                    pdepth += 1
+                elif c == b")":
+                    pdepth -= 1
+                i += 1
+            if pdepth:
+                return None
         else:
             i += 1
     return None
@@ -528,8 +554,10 @@ class StandardDecryptor:
     def _object_key(self, num: int, gen: int) -> bytes:
         h = hashlib.md5()
         h.update(self.key)
-        h.update(num.to_bytes(3, "little"))
-        h.update(gen.to_bytes(2, "little"))
+        # Algorithm 1 uses the LOW-ORDER 3 / 2 bytes, so object numbers
+        # >= 2^24 (or generations >= 2^16) must wrap, not overflow
+        h.update((num & 0xFFFFFF).to_bytes(3, "little"))
+        h.update((gen & 0xFFFF).to_bytes(2, "little"))
         if self.method == "aes":
             h.update(b"sAlT")
         return h.digest()[: min(len(self.key) + 5, 16)]

@@ -612,7 +612,15 @@ def _interpret_stream(
                                 for b in boxes[start:]
                                 if bx0 <= b.x <= bx1 and by0 <= b.y <= by1
                             ]
-                        seq = len(boxes)
+                        # seq must never reuse a retained box's value:
+                        # after the BBox filter len(boxes) can fall below
+                        # a kept box's seq, and a duplicate would leave
+                        # the (y, x, seq) reading-order tiebreak to list
+                        # order
+                        seq = (
+                            max(b.seq for b in boxes) + 1 if boxes
+                            else 0
+                        )
             elif op == '"' and stack and in_text:
                 if len(stack) >= 3:  # aw ac string " (sets Tw and Tc)
                     if stack[-3][0] == "num":

@@ -570,3 +570,111 @@ class TestEncryptedDetectionScope:
         r = extract_document("u", pdf)
         assert r.status == "SUCCESS"
         assert "Encrypt" in r.markdown_raw
+
+
+class TestNoRepeatWarmBoundary:
+    """Round-5 ADVICE regression: after the bulk prefix extend, grams
+    whose rolling hash covers fewer than n tokens must never be
+    registered.  Differential vs a direct O(n*window) scan, with the
+    first duplicate placed far enough in that the bulk fast path and the
+    warm-up boundary (warm0 > 0) are both exercised."""
+
+    @staticmethod
+    def _direct(text, n, window):
+        from deepseek_ocr_customvllm_spark.extractor.norepeat import (
+            _is_exempt_line,
+        )
+        lines = text.split("\n")
+        stream = []
+        for li, line in enumerate(lines):
+            ex = _is_exempt_line(line)
+            for tok in line.split():
+                stream.append((li, tok, ex))
+        if len(stream) < n:
+            return text
+        toks = [t for _, t, _ in stream]
+        flags = [e for _, _, e in stream]
+        emitted, dropped = [], set()
+        i = 0
+        while i < len(stream):
+            if (
+                not flags[i]
+                and i + n <= len(stream)
+                and not any(flags[i:i + n])
+            ):
+                w = toks[i:i + n]
+                lo = max(0, len(emitted) - window)
+                if any(
+                    emitted[s:s + n] == w
+                    for s in range(lo, len(emitted) - n + 1)
+                ):
+                    dropped.update(range(i, i + n))
+                    i += n
+                    continue
+            emitted.append(toks[i])
+            i += 1
+        if not dropped:
+            return text
+        touched = {stream[j][0] for j in dropped}
+        keep = {}
+        for idx, (li, tok, _) in enumerate(stream):
+            if li in touched and idx not in dropped:
+                keep.setdefault(li, []).append(tok)
+        out = []
+        for li, line in enumerate(lines):
+            if li not in touched:
+                out.append(line)
+            elif keep.get(li):
+                out.append(" ".join(keep[li]))
+        return "\n".join(out)
+
+    def test_duplicate_right_after_warm_boundary(self):
+        # n=4, window=10: warm0 = first_dup - 13.  A long unique prefix
+        # pushes first_dup deep so the bulk extend covers most of it.
+        n, window = 4, 10
+        prefix = [f"u{i}" for i in range(60)]
+        dup = ["a", "b", "c", "d"]
+        toks = prefix + dup + ["x1", "x2"] + dup + ["tail"]
+        text = " ".join(toks)
+        got = suppress_repeated_ngrams(text, n, window)
+        want = self._direct(text, n, window)
+        assert got == want
+        assert got.split().count("a") == 1  # the repeat was dropped
+
+    def test_boundary_spanning_gram_is_stale_not_matchable(self):
+        # A gram whose tokens span the bulk/warm boundary is outside the
+        # live window by first_dup; a later identical window must NOT
+        # match it (it must match only grams inside the window).
+        n, window = 3, 6
+        # first_dup is at the "p q r" repeat; the earlier "p q r" sits
+        # outside the window by then
+        toks = (
+            ["p", "q", "r"]
+            + [f"f{i}" for i in range(20)]
+            + ["p", "q", "r"]
+        )
+        text = " ".join(toks)
+        got = suppress_repeated_ngrams(text, n, window)
+        want = self._direct(text, n, window)
+        assert got == want == text  # out of window: nothing dropped
+
+    def test_differential_sweep(self):
+        import itertools
+        import random
+        rng = random.Random(7)
+        alphabet = ["a", "b", "c", "d"]
+        for trial in range(200):
+            n = rng.choice([2, 3, 4])
+            window = rng.choice([4, 6, 10])
+            n_toks = rng.randrange(0, 40)
+            toks = [rng.choice(alphabet) for _ in range(n_toks)]
+            # occasional newlines and exempt-ish table rows
+            parts = []
+            for t in toks:
+                parts.append(t)
+                if rng.random() < 0.1:
+                    parts.append("\n")
+            text = " ".join(parts).replace(" \n ", "\n")
+            got = suppress_repeated_ngrams(text, n, window)
+            want = self._direct(text, n, window)
+            assert got == want, (n, window, text)

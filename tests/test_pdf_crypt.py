@@ -626,3 +626,80 @@ def test_nonzero_generation_number_object_key():
         % (_ID0.hex().encode(), _ID0.hex().encode())
     )
     assert extract_pdf_pages(pdf) == ["gen one"]
+
+
+# ---------------------------------------------------------------------------
+# round-5 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+class TestBalancedDictStrings:
+    """_balanced_dict must treat <...> hex and (...) literal strings as
+    opaque: their bytes are data, not dict delimiters (§7.3.4-7.3.5)."""
+
+    def test_hex_string_abutting_dict_close(self):
+        from deepseek_ocr_customvllm_spark.extractor.pdf_crypt import (
+            _balanced_dict,
+        )
+        data = b"<< /X <AB>>>"
+        assert _balanced_dict(data, 0) == data
+
+    def test_nested_dict_with_abutting_hex(self):
+        from deepseek_ocr_customvllm_spark.extractor.pdf_crypt import (
+            _balanced_dict,
+        )
+        data = b"<< /StdCF << /X <AB>>>>>"
+        assert _balanced_dict(data, 0) == data
+        inner = _balanced_dict(data, data.index(b"<<", 2))
+        assert inner == b"<< /X <AB>>>"
+
+    def test_literal_string_with_delimiter_bytes(self):
+        from deepseek_ocr_customvllm_spark.extractor.pdf_crypt import (
+            _balanced_dict,
+        )
+        data = b"<< /S (a>>b<<c) /K 1 >>"
+        assert _balanced_dict(data, 0) == data
+
+    def test_literal_string_escaped_paren(self):
+        from deepseek_ocr_customvllm_spark.extractor.pdf_crypt import (
+            _balanced_dict,
+        )
+        data = rb"<< /S (x\)>>y) /K 1 >>"
+        assert _balanced_dict(data, 0) == data
+
+    def test_unterminated_hex_returns_none(self):
+        from deepseek_ocr_customvllm_spark.extractor.pdf_crypt import (
+            _balanced_dict,
+        )
+        assert _balanced_dict(b"<< /X <AB", 0) is None
+
+    def test_cfm_read_through_abutting_hex(self):
+        """/CFM must resolve from a /CF whose StdCF entry carries a hex
+        value whose '>' abuts the subdict close."""
+        from deepseek_ocr_customvllm_spark.extractor.pdf_crypt import (
+            _crypt_filter_section,
+            _name_of,
+        )
+        enc = (
+            b"<< /Filter /Standard /V 4 /R 4"
+            b" /CF << /StdCF << /CFM /AESV2 /Length 16 /X <AB>>>>>"
+            b" /StmF /StdCF /StrF /StdCF >>"
+        )
+        section = _crypt_filter_section(enc, b"StdCF")
+        assert section == b"<< /CFM /AESV2 /Length 16 /X <AB>>>"
+        assert _name_of(section, b"CFM") == "AESV2"
+
+
+def test_object_key_uses_low_order_bytes():
+    """Algorithm 1 hashes the LOW-ORDER 3/2 bytes of num/gen: object
+    numbers >= 2^24 must wrap, never raise OverflowError."""
+    from deepseek_ocr_customvllm_spark.extractor.pdf_crypt import (
+        StandardDecryptor,
+    )
+    d = StandardDecryptor(bytes(range(16)), "rc4")
+    big = d._object_key((1 << 24) + 5, (1 << 16) + 7)
+    small = d._object_key(5, 7)
+    assert big == small
+    # and the decrypt path round-trips through the wrapped key
+    from deepseek_ocr_customvllm_spark.extractor.pdf_crypt import rc4
+    ct = rc4(small, b"payload bytes")
+    assert d.decrypt_stream(ct, (1 << 24) + 5, (1 << 16) + 7) == b"payload bytes"

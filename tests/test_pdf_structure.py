@@ -1499,3 +1499,57 @@ class TestFormReviewRegressions:
             b"/Font << /F1 9 0 R >>", b"/Font << /F1 9 0 R /F2 11 0 R >>"
         )
         assert extract_pdf_pages(pdf) == ["•\n\nA plain"]
+
+
+class TestSeqAfterBBoxFilter:
+    """Round-5 ADVICE regression: after the /BBox filter removes boxes,
+    subsequent emits must not reuse a RETAINED box's seq (the (y, x, seq)
+    reading-order tiebreak must never fall back to list order)."""
+
+    _F = TestFormXObjectsAndCTM()
+
+    def test_seqs_unique_after_bbox_filter(self):
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _interpret_stream,
+        )
+        # the form emits a clipped box FIRST (inner seq 0), then a kept
+        # one (inner seq 1); after the filter len(boxes)=1 < kept.seq+1
+        form_body = (
+            b"BT /F1 12 Tf 1 0 0 1 100 100 Tm (clipped) Tj"
+            b" 1 0 0 1 100 700 Tm (kept) Tj ET"
+        )
+
+        def resolver(name):
+            if name == "Fm1":
+                return (form_body, {}, None, (0, 600, 612, 792), resolver)
+            return None
+
+        page = (
+            b"/Fm1 Do"
+            b" BT /F1 12 Tf 1 0 0 1 100 700 Tm (after) Tj ET"
+        )
+        boxes = _interpret_stream(page, form_resolver=resolver)
+        texts = [b.text for b in boxes]
+        assert texts == ["kept", "after"]
+        seqs = [b.seq for b in boxes]
+        assert len(set(seqs)) == len(seqs), seqs
+        # document order must survive an equal-(y, x) tiebreak
+        assert seqs[0] < seqs[1]
+
+    def test_bbox_clip_end_to_end_order_preserved(self):
+        """Same shape through the public API: form text kept by the BBox
+        and page text at the SAME position must stay in document order."""
+        form = self._F._form_obj(
+            7,
+            b"BT /F1 12 Tf 1 0 0 1 100 100 Tm (clipped) Tj"
+            b" 1 0 0 1 100 700 Tm (kept) Tj ET",
+            b" /BBox [0 600 612 792]",
+        )
+        page = (
+            b"/Fm1 Do BT /F1 12 Tf 1 0 0 1 100 700 Tm (after) Tj ET"
+        )
+        pdf = self._F._doc(page, form, b" /XObject << /Fm1 7 0 R >>")
+        pages = extract_pdf_pages(pdf)
+        assert len(pages) == 1
+        assert pages[0].index("kept") < pages[0].index("after")
+        assert "clipped" not in pages[0]
