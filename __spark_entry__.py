@@ -570,6 +570,32 @@ def _q_repetition_signals(spark, sf_dir):
     return textstats.repetition_signals(_docs(spark, sf_dir))
 
 
+_LENGTH_REPORT_SQL = """
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       max(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS median_chars,
+       max(CASE WHEN rn = greatest(1, (cnt * 9) // 10) THEN n_chars END)
+         AS p90_chars
+FROM r GROUP BY lang
+"""
+
+
+def _q_corpus_length_report_hist(spark, sf_dir):
+    """The two-pass histogram strategy for the SAME length report — the
+    scale escape when a single language's rows exceed one partition
+    sort.  Same oracle as corpus_length_report: the result is
+    bit-identical by construction (rank values depend only on the
+    n_chars multiset)."""
+    return textstats.corpus_length_report(_docs(spark, sf_dir), mode="histogram")
+
+
 def _q_corpus_length_report(spark, sf_dir):
     """Per-language length distribution with EXACT median/p90 order
     statistics (deterministic ranks, never approx_percentile)."""
@@ -861,6 +887,18 @@ def _q_ann_recall_report(spark, sf_dir):
     """Recall@k of the LSH and IVF tiers vs the exact tier — the
     metric that justifies turning brute force off at corpus scale."""
     return similarity.ann_recall_report(load_table(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_recall_clustered(spark, sf_dir):
+    """Recall@k of the approximate tiers on a CLUSTERED corpus — the
+    regime real embedding corpora live in and the evidence that the
+    LSH/IVF tier design is usable (measured: IVF 1.0, LSH 0.8 at
+    sf0.01, vs 0.22/0.02 on the raw random vectors, which are locality
+    hashing's worst case).  The corpus is derived deterministically
+    from the embeddings table (integer center lattice + truncating-div
+    noise), so the DuckDB oracle reproduces it bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_recall_report(similarity.clustered_embeddings(emb))
 
 
 def _q_source_quality_report(spark, sf_dir):
@@ -1235,31 +1273,36 @@ def _q_extract_synth_summary(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry ORDER is deliberate: the round-3 driver artifact recorded
-    # exactly the first 50 entries (r01 recorded 32/32, r02 43/43 — the
-    # truncation appeared only once the registry passed 50).  The five
-    # queries that missed an r03 row run FIRST this round, the three
-    # round-4 additions right after; with 60 entries everything from
-    # position 51 on is expected to lose its driver row —
-    # events_sessionize / events_funnel (51-52, r02+r03-driver-green,
-    # unit-covered),
-    # multimodal_inspect / image_features / audio_features (53-55,
-    # r03-driver-green, the two biggest VALUES oracles) and the five
-    # triple-green unit-covered queries at 56-60.  See NOTES.md
-    # "driver query budget".
+    # Registry ORDER is deliberate — the driver records ~the first 50
+    # entries per round (r01 32/32, r02 43/43, r03 50/55, r04 50/60:
+    # always exactly the registry-order prefix).  STANDING ROTATION RULE
+    # (NOTES.md "driver query budget"): every entry WITHOUT a row in
+    # round N runs in the first 50 of round N+1, so no entry's driver
+    # row is ever more than one round stale.  Round 5 order:
+    # 1-10   the ten entries without an r04 row (all r03-green);
+    # 11-13  the round-5 additions + dedup_spans_apply (its persist
+    #        default changed this round — fresh row wanted);
+    # 14-50  r04-green entries;
+    # 51-62  the r04 front group + three triple-green cheap-oracle
+    #        queries — the freshest evidence, so a truncation here
+    #        loses the least (they rotate forward in round 6).
     return {
-        "events_asof_join": _q_events_asof_join,
-        "customer_running_revenue": _q_customer_running_revenue,
-        "extract_documents_pipeline": _q_extract_documents_pipeline,
-        "extract_block_histogram": _q_extract_block_histogram,
-        "extract_synth_summary": _q_extract_synth_summary,
-        # round-4 additions run early for the same reason (driver budget)
-        "domain_quota_sample": _q_domain_quota_sample,
-        "repetition_signals": _q_repetition_signals,
-        "corpus_length_report": _q_corpus_length_report,
+        # --- 1-10: r04-stale, must get an r05 row ---
+        "events_sessionize": _q_events_sessionize,
+        "events_funnel": _q_events_funnel,
+        "multimodal_inspect": _q_multimodal_inspect,
+        "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "events_pivot": _q_events_pivot,
+        "lineage_rollup": _q_lineage_rollup,
+        "status_counts": _q_status_counts,
+        "quarantine_oversize": _q_quarantine_oversize,
+        # --- 11-13: round-5 additions + this round's changed operator ---
+        "ann_recall_clustered": _q_ann_recall_clustered,
+        "corpus_length_report_hist": _q_corpus_length_report_hist,
         "dedup_spans_apply": _q_dedup_spans_apply,
-        "ann_recall_report": _q_ann_recall_report,
-        "flagship_doc_stats": _q_flagship_doc_stats,
+        # --- 14-50: r04-green ---
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
         "lang_id_multi": _q_lang_id_multi,
@@ -1297,21 +1340,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_report": _q_source_quality_report,
         "embedding_norm_stats": _q_embedding_norm_stats,
         "resume_anti_join": _q_resume_anti_join,
+        # --- 51-62: freshest r04 evidence; rotate forward in round 6 ---
+        "events_asof_join": _q_events_asof_join,
+        "customer_running_revenue": _q_customer_running_revenue,
+        "extract_documents_pipeline": _q_extract_documents_pipeline,
+        "extract_block_histogram": _q_extract_block_histogram,
+        "extract_synth_summary": _q_extract_synth_summary,
+        "domain_quota_sample": _q_domain_quota_sample,
+        "repetition_signals": _q_repetition_signals,
+        "corpus_length_report": _q_corpus_length_report,
+        "ann_recall_report": _q_ann_recall_report,
+        "flagship_doc_stats": _q_flagship_doc_stats,
         "tpch_q1": _q_tpch_q1,
         "top_customers_per_region": _q_top_customers_per_region,
-        "events_sessionize": _q_events_sessionize,
-        "events_funnel": _q_events_funnel,
-        "multimodal_inspect": _q_multimodal_inspect,
-        "image_features": _q_image_features,
-        "audio_features": _q_audio_features,
-        # tail positions (56-60): triple-green since r01/r02, cheapest
-        # oracles, each additionally unit-covered — the least evidence is
-        # lost when the driver's ~50-query budget truncates here
-        "lineitem_rollup": _q_lineitem_rollup,
-        "events_pivot": _q_events_pivot,
-        "lineage_rollup": _q_lineage_rollup,
-        "status_counts": _q_status_counts,
-        "quarantine_oversize": _q_quarantine_oversize,
     }
 
 
@@ -1464,9 +1505,32 @@ SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {similarity.TO
 """
 
 
-def _oracle_ann_recall() -> str:
+def _clustered_cte() -> str:
+    """DuckDB twin of similarity.clustered_embeddings: same bigint
+    center + truncating-div noise arithmetic (DuckDB // and Spark div
+    both truncate toward zero — verified for negatives), 1-based lambda
+    index aligned to Spark's 0-based via (i - 1)."""
+    nc, step, nd, qq = (
+        similarity.SYNTH_CLUSTERS,
+        similarity.CENTER_STEP,
+        similarity.NOISE_DIV,
+        similarity.QUANT,
+    )
+    return f"""cl AS (
+  SELECT vec_id,
+         list_transform(embedding, (x, i) ->
+           cast((((vec_id % {nc}) * 37 + (i - 1) * 101) % 13 - 6) * {step}
+                + (cast(round(x * {qq}) as bigint) // {nd}) as double) / {qq}
+         ) AS embedding
+  FROM embeddings
+)"""
+
+
+def _oracle_ann_recall(source: str = "embeddings", prefix_cte: str = "") -> str:
     """Exact + LSH + IVF tiers as CTE blocks, then recall@k per method.
-    Division order mirrors Spark's dtrunc(n_hits / n_exact, 4)."""
+    Division order mirrors Spark's dtrunc(n_hits / n_exact, 4).
+    ``source``/``prefix_cte`` let the clustered-corpus variant reuse the
+    identical tier SQL over the derived table."""
     planes = similarity.hyperplanes()
     bucket_terms = " + ".join(
         f"(case when cast(list_dot_product(qe, {plane}) as bigint) > 0 then {2 ** k} else 0 end)"
@@ -1474,10 +1538,10 @@ def _oracle_ann_recall() -> str:
     )
     k, qm, cm = similarity.TOP_K, similarity.QUERY_MOD, similarity.CENTROID_MOD
     return f"""
-WITH q AS (
+WITH {prefix_cte}q AS (
   SELECT vec_id,
          list_transform(embedding, x -> cast(round(x * {similarity.QUANT}) as bigint)) AS qe
-  FROM embeddings
+  FROM {source}
 ),
 vec AS (SELECT vec_id, qe, cast({bucket_terms} as bigint) AS bucket FROM q),
 exq AS (SELECT vec_id AS query_id, qe AS qv FROM q WHERE vec_id % {qm} = 0),
@@ -1782,21 +1846,10 @@ FROM documents d
 LEFT JOIN top2 USING (doc_id)
 LEFT JOIN dup3 USING (doc_id)
 """,
-        "corpus_length_report": """
-WITH r AS (
-  SELECT lang, doc_id, n_chars,
-         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
-         count(*) OVER (PARTITION BY lang) AS cnt
-  FROM documents
-)
-SELECT lang, count(*) AS n_docs,
-       min(n_chars) AS min_chars,
-       max(n_chars) AS max_chars,
-       max(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS median_chars,
-       max(CASE WHEN rn = greatest(1, (cnt * 9) // 10) THEN n_chars END)
-         AS p90_chars
-FROM r GROUP BY lang
-""",
+        "corpus_length_report": _LENGTH_REPORT_SQL,
+        # the histogram path must produce the IDENTICAL report: same
+        # oracle, bit-for-bit
+        "corpus_length_report_hist": _LENGTH_REPORT_SQL,
         "duplicate_spans": f"""
 WITH {{aug}},
 norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM aug),
@@ -2144,6 +2197,9 @@ SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {similarity.TO
         "ann_lsh_bucket": _oracle_ann_lsh_bucket(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_recall_report": _oracle_ann_recall(),
+        "ann_recall_clustered": _oracle_ann_recall(
+            source="cl", prefix_cte=_clustered_cte() + ",\n"
+        ),
         "ann_ivf_topk": f"""
 WITH q AS (
   SELECT vec_id,

@@ -609,7 +609,7 @@ def duplicate_spans(docs: DataFrame, n: int = 20, min_docs: int = 2) -> DataFram
 
 
 def dedup_spans_apply(
-    docs: DataFrame, n: int = 20, min_docs: int = 2, persist: bool = False
+    docs: DataFrame, n: int = 20, min_docs: int = 2, persist: bool = True
 ) -> DataFrame:
     """Exact substring dedup APPLIED (Lee et al. 2022): for every
     duplicated ``n``-gram span, the lowest doc_id keeps its occurrences
@@ -627,12 +627,14 @@ def dedup_spans_apply(
 
     ``spans`` feeds two consumers (keeper + drops) and ``cover`` three
     (touched, anti-join, drop counts): Catalyst recomputes DataFrame
-    lineage per branch, so the n-gram explode runs up to twice and the
-    coverage expansion up to three times.  Measured cheap at sandbox SF
-    (both frames are small relative to the corpus); ``persist=True``
-    eagerly localCheckpoints both — the same trade the MinHash path
-    documents at :func:`minhash_lsh_duplicates` — which is the right
-    call at cluster scale.
+    lineage per branch, so without persistence the n-gram explode runs
+    up to twice and the coverage expansion up to three times.
+    ``persist=True`` (the DEFAULT — the checkpoints are tiny relative to
+    the recompute, so this is the right call at every scale) eagerly
+    localCheckpoints both; ``tests/test_plans.py`` pins that the gram
+    md5 expression then appears exactly once across the job's plans.
+    ``persist=False`` keeps the operator a pure lazy DataFrame for
+    callers composing larger plans.
     """
     d = docs.select("doc_id", norm_text("text").alias("t"))
     spans = duplicate_spans(docs, n=n, min_docs=min_docs)

@@ -353,6 +353,52 @@ def kmeans_clusters(
         q.unpersist()
 
 
+# deterministic clustered corpus (a mixture of well-separated blobs)
+# derived from the random embeddings table.  Random vectors are LSH's
+# WORST case (recall ~0.02 measured round 4); real embedding corpora are
+# clustered, which is the regime the approximate tiers are built for —
+# this derivation gives the recall report its realistic arm without any
+# external data.  All integer math (center + quantized-noise div) so the
+# DuckDB oracle reproduces the corpus bit-for-bit; the /QUANT rescale
+# keeps the column a plain double embedding that round-trips exactly
+# through quantized() in both engines.
+SYNTH_CLUSTERS = 10
+# centers +-2400 vs full-strength noise +-~3000: a deliberately
+# OVERLAPPING regime (not degenerate blobs) — measured at sf0.01:
+# IVF recall 1.0, LSH 0.8, vs 0.22/0.02 on the raw random corpus.
+# Tighter steps (>=500) push both tiers to a trivial 1.0.
+CENTER_STEP = 400
+NOISE_DIV = 1
+
+
+def clustered_embeddings(
+    emb: DataFrame,
+    n_clusters: int = SYNTH_CLUSTERS,
+    center_step: int = CENTER_STEP,
+    noise_div: int = NOISE_DIV,
+) -> DataFrame:
+    """Derive a deterministic clustered corpus from random embeddings.
+
+    Cluster of row = ``vec_id % n_clusters``; center component ``j`` of
+    cluster ``c`` = ``((c*37 + j*101) % 13 - 6) * center_step`` (a frozen
+    pseudo-uniform lattice in [-6, 6]*step); the row's own quantized
+    embedding, shrunk by ``noise_div``, is the intra-cluster noise.
+    Everything is bigint arithmetic — Spark and DuckDB agree exactly —
+    and ``div`` truncates toward zero in BOTH engines (verified for
+    negatives), so the derived corpus is oracle-reproducible.
+    """
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, (x, j) -> "
+            f"cast((((vec_id % {n_clusters}) * 37 + j * 101) % 13 - 6)"
+            f" * {center_step}"
+            f" + (cast(round(x * {QUANT}) as bigint) div {noise_div})"
+            f" as double) / {QUANT})"
+        ).alias("embedding"),
+    )
+
+
 def ann_recall_report(
     emb: DataFrame, top_k: int = TOP_K, query_mod: int = QUERY_MOD
 ) -> DataFrame:

@@ -612,7 +612,13 @@ def repetition_signals(df: DataFrame) -> DataFrame:
     )
 
 
-def corpus_length_report(df: DataFrame) -> DataFrame:
+# above this many input rows, corpus_length_report(mode="auto") switches
+# to the histogram path: a single language's rows no longer fit one
+# executor's partition sort comfortably past the low millions
+LENGTH_REPORT_HIST_THRESHOLD = 5_000_000
+
+
+def corpus_length_report(df: DataFrame, mode: str = "auto") -> DataFrame:
     """Per-language length distribution with EXACT order statistics —
     the corpus-balance report curation runs before fixing token budgets.
 
@@ -621,14 +627,63 @@ def corpus_length_report(df: DataFrame) -> DataFrame:
     ``max(1, (9n) div 10)``, integer arithmetic only, so Spark and the
     DuckDB oracle agree bit-for-bit (approx_percentile would not).
 
-    Scale: one narrow window per language partition (rank + count), then
-    a hash groupBy; only two columns ever shuffle.  For a corpus where
-    single languages exceed one executor's sort budget, the same ranks
-    are computable from a two-pass histogram — this single-window form
-    is the right call while per-lang rows fit a partition sort.
+    Two physical strategies computing the IDENTICAL result
+    (property-tested equal in ``tests/test_spark_pipeline.py``):
+
+    - ``mode="window"``: one narrow window per language partition
+      (rank + count), then a hash groupBy; only two columns ever
+      shuffle.  Limit: a single language's rows must fit one
+      partition sort.
+    - ``mode="histogram"``: the scale escape — the value at rank r in
+      ``(n_chars, doc_id)`` order depends only on the n_chars multiset
+      (the doc_id tiebreak never changes the VALUE at a rank), so a
+      ``groupBy(lang, n_chars)`` histogram (map-side combined) followed
+      by a cumulative window over DISTINCT LENGTHS gives the same
+      ranks.  The per-lang sort now touches one row per distinct
+      length — bounded by the value domain, not the corpus.
+    - ``mode="auto"``: histogram above
+      :data:`LENGTH_REPORT_HIST_THRESHOLD` input rows (one cheap
+      count against parquet metadata), window below.
     """
     from pyspark.sql.window import Window
 
+    if mode == "auto":
+        mode = (
+            "histogram"
+            if df.count() > LENGTH_REPORT_HIST_THRESHOLD
+            else "window"
+        )
+    if mode == "histogram":
+        hist = (
+            df.select("lang", "n_chars")
+            .groupBy("lang", "n_chars")
+            .agg(F.count("*").alias("c"))
+        )
+        wl = Window.partitionBy("lang").orderBy(F.col("n_chars").asc())
+        wtot = Window.partitionBy("lang")
+        h = hist.withColumn("cum", F.sum("c").over(wl)).withColumn(
+            "cnt", F.sum("c").over(wtot)
+        )
+        med_pos = F.expr("(cnt + 1) div 2")
+        p90_pos = F.greatest(F.lit(1), F.expr("(cnt * 9) div 10"))
+        return (
+            h.groupBy("lang")
+            .agg(
+                F.sum("c").alias("n_docs"),
+                F.min("n_chars").alias("min_chars"),
+                F.max("n_chars").alias("max_chars"),
+                # value at rank r = smallest length whose cumulative
+                # count reaches r
+                F.min(
+                    F.when(F.col("cum") >= med_pos, F.col("n_chars"))
+                ).alias("median_chars"),
+                F.min(
+                    F.when(F.col("cum") >= p90_pos, F.col("n_chars"))
+                ).alias("p90_chars"),
+            )
+        )
+    if mode != "window":
+        raise ValueError(f"unknown mode: {mode!r}")
     w = Window.partitionBy("lang").orderBy(
         F.col("n_chars").asc(), F.col("doc_id").asc()
     )

@@ -298,6 +298,7 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "corpus_filter",                      # fuses the zlib signal too
         "ann_ivf_topk",                       # grouped-map on bounded clusters
         "ann_recall_report",                  # embeds the IVF tier above
+        "ann_recall_clustered",               # same tiers, clustered corpus
     }
     failures = []
     for name, fn in em.queries().items():
@@ -347,3 +348,30 @@ def test_repetition_signals_stays_jvm_side(spark):
     win_detail = plan[plan.index(") Window") :]
     win_detail = win_detail[: win_detail.index("\n\n")]
     assert "cnt#" in win_detail, win_detail
+
+
+def test_dedup_spans_apply_explodes_grams_once(spark):
+    """The span n-gram explode is the most expensive stage of substring
+    dedup; `spans` feeds two consumers and `cover` three, so WITHOUT the
+    default localCheckpoint Catalyst re-runs the explode per branch.
+    Pin: the default (persist=True) plan contains ZERO gram-md5
+    expressions (they ran exactly once, inside the checkpoint job) while
+    the lazy variant demonstrably repeats them."""
+    from deepseek_ocr_customvllm_spark.operators.dedup import (
+        dedup_spans_apply,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    plan_default = _formatted(dedup_spans_apply(docs, n=5))
+    # the gram hash (md5 over array_join of the token slice) ran inside
+    # the checkpoint jobs; the final plan reads the cover checkpoint
+    # (its three consumers) and never re-derives a gram
+    assert "array_join" not in plan_default
+    assert plan_default.count("Scan ExistingRDD") >= 3  # cover x3 consumers
+
+    plan_lazy = _formatted(dedup_spans_apply(docs, n=5, persist=False))
+    # formatted explain prints each expression twice (tree + detail):
+    # >= 4 printed occurrences == the explode exists in >= 2 branches
+    assert plan_lazy.count("array_join") >= 4

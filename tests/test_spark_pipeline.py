@@ -1429,3 +1429,107 @@ class TestDedupSpansApply:
         # untouched doc passes through normalized
         assert out[3]["text"] == "totally unrelated text"
         assert out[3]["n_dropped"] == 0
+
+
+class TestLengthReportStrategies:
+    """Round-5: the histogram path must compute the IDENTICAL report as
+    the window path — same exact ranks — including ties, singleton
+    languages, and n where (n+1) div 2 == (9n) div 10."""
+
+    def _compare(self, spark, rows):
+        from deepseek_ocr_customvllm_spark.operators.textstats import (
+            corpus_length_report,
+        )
+
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, n_chars long"
+        )
+        key = lambda r: r["lang"]
+        a = sorted(
+            corpus_length_report(df, mode="window").collect(), key=key
+        )
+        b = sorted(
+            corpus_length_report(df, mode="histogram").collect(), key=key
+        )
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+        return a
+
+    def test_equal_on_real_table(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.textstats import (
+            corpus_length_report,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        key = lambda r: r["lang"]
+        a = sorted(corpus_length_report(docs, mode="window").collect(), key=key)
+        b = sorted(
+            corpus_length_report(docs, mode="histogram").collect(), key=key
+        )
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+    def test_equal_on_adversarial_shapes(self, spark):
+        rows = []
+        # heavy ties: 30 docs all length 7
+        rows += [(i, "aa", 7) for i in range(30)]
+        # singleton language
+        rows += [(100, "bb", 42)]
+        # two docs (median rank 1, p90 rank 1)
+        rows += [(200, "cc", 5), (201, "cc", 9)]
+        # spread with duplicates at the rank boundaries
+        rows += [(300 + i, "dd", v) for i, v in enumerate(
+            [1, 1, 2, 2, 2, 3, 9, 9, 10, 10]
+        )]
+        got = {r["lang"]: r for r in self._compare(spark, rows)}
+        assert got["aa"]["median_chars"] == 7 and got["aa"]["p90_chars"] == 7
+        assert got["bb"]["median_chars"] == 42
+        assert got["cc"]["median_chars"] == 5  # rank (2+1) div 2 = 1
+        assert got["dd"]["median_chars"] == 2  # rank 5 of 10
+        assert got["dd"]["p90_chars"] == 10  # rank 9 of 10
+
+    def test_equal_randomized(self, spark):
+        import random
+
+        rng = random.Random(5)
+        for trial in range(5):
+            rows = [
+                (i, f"l{rng.randrange(4)}", rng.randrange(1, 30))
+                for i in range(rng.randrange(1, 120))
+            ]
+            self._compare(spark, rows)
+
+
+class TestClusteredAnnRecall:
+    """Round-5: the clustered corpus is the regime the approximate ANN
+    tiers are built for — recall must clear the deployment bar there
+    (IVF >= 0.8), while the random corpus stays the honest worst case."""
+
+    def test_clustered_recall_clears_bar(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cl = similarity.clustered_embeddings(emb)
+        rep = {
+            r["method"]: r for r in similarity.ann_recall_report(cl).collect()
+        }
+        assert float(rep["ivf"]["recall"]) >= 0.8
+        assert float(rep["lsh"]["recall"]) >= 0.5
+        # and the derived corpus kept every vector
+        assert cl.count() == emb.count()
+
+    def test_clustered_embeddings_deterministic_and_typed(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = similarity.clustered_embeddings(emb).orderBy("vec_id").limit(5).collect()
+        b = similarity.clustered_embeddings(emb).orderBy("vec_id").limit(5).collect()
+        assert [r["embedding"] for r in a] == [r["embedding"] for r in b]
+        # quantization round-trips exactly (values are k/1000 doubles)
+        from pyspark.sql import functions as F
+        q = similarity.quantized(similarity.clustered_embeddings(emb))
+        bad = q.filter(
+            F.expr(
+                "exists(zip_with(embedding, qe, (x, y) ->"
+                " abs(x * 1000 - y) > 1e-6), b -> b)"
+            )
+        ).count()
+        assert bad == 0
