@@ -55,6 +55,15 @@ Scope (documented limitations, deterministic by construction):
   true x positions, and TJ kerning beyond ``TJ_SPACE_UNITS`` decodes as
   an inter-word space; inline images (``BI..ID..EI``) are skipped
   wholesale so raster bytes cannot desync the operand stream
+- Type3 fonts scale advances through their ``/FontMatrix`` (§9.6.5;
+  decoding goes through ``/Differences`` like any simple font); the
+  advance scale is the matrix ``a`` component — full per-glyph matrix
+  transforms (rare rotated-glyph fonts) are approximated by ``|b|``
+- vertical writing (``WMode 1`` via Identity-V / predefined ``-V``
+  CMaps, §9.7.5.2) advances DOWN the line using CID ``/W2``/``/DW2``
+  vertical metrics, so columns read top-to-bottom; the position vector
+  (v1x, v1y) of /W2 is ignored (origin shift, not line flow), and
+  right-to-left COLUMN ordering is out of scope for the line assembler
 """
 
 from __future__ import annotations
@@ -239,6 +248,21 @@ def _tokenize(data: bytes):
                         k += 1
                     elems.append(("str", _unescape_literal(bytes(buf))))
                     j = k
+                    continue
+                if sub == b"<":  # hex string (CID TJ arrays kern these)
+                    k = data.find(b">", j)
+                    if k == -1:
+                        break
+                    hexs = re.sub(rb"\s", b"", data[j + 1 : k])
+                    if len(hexs) % 2:
+                        hexs += b"0"
+                    try:
+                        elems.append(
+                            ("str", bytes.fromhex(hexs.decode("ascii")))
+                        )
+                    except ValueError:
+                        pass
+                    j = k + 1
                     continue
                 m = _NUM_RE.match(data, j)
                 if m:
@@ -430,22 +454,54 @@ def _interpret_stream(
     def advance_pts(raw: bytes) -> float:
         """Full advance of one shown string in points (spec §9.4.4):
         glyph widths scaled by size, plus Tc per glyph and Tw per
-        single-byte space, all scaled by Tz."""
+        single-byte space, all scaled by Tz.  Type3 fonts map glyph
+        space through /FontMatrix instead of the standard 1/1000
+        (``unit_scale``, §9.6.5); the standard case keeps the exact
+        ``/ 1000.0`` arithmetic the fixtures were built on."""
         cw = cur_font["code_width"] if cur_font else 1
         n_glyphs = len(raw) // cw
         n_spaces = raw.count(b" ") if cw == 1 else 0
+        us = cur_font.get("unit_scale") if cur_font else None
+        base = (
+            advance_units(raw) * us if us is not None
+            else advance_units(raw) / 1000.0
+        )
         return (
-            advance_units(raw) / 1000.0 * font_size
+            base * font_size
             + n_glyphs * char_spacing
             + n_spaces * word_spacing
         ) * hscale
 
+    def v_advance_pts(raw: bytes) -> float:
+        """Vertical advance magnitude (WMode 1, spec §9.7.4.3): per-CID
+        /W2 displacement (default /DW2, normally 1000/1000 em), plus Tc
+        per glyph.  Tz and Tw are HORIZONTAL-only parameters (§9.3.2-3)
+        and do not apply."""
+        if cur_font is None:
+            return 0.0
+        cw = cur_font["code_width"]
+        vw = cur_font.get("v_widths") or {}
+        vd = cur_font.get("v_default", 1000.0)
+        units = sum(vw.get(c, vd) for c in _codes(raw, cw))
+        n_glyphs = len(raw) // cw
+        return units / 1000.0 * font_size + n_glyphs * char_spacing
+
+    def _wmode() -> int:
+        return cur_font.get("wmode", 0) if cur_font else 0
+
     def show(raw: bytes) -> None:
         nonlocal cx, cy
         emit(decode(raw))
-        adv = advance_pts(raw)
-        cx += adv * ma
-        cy += adv * mb
+        if _wmode():
+            # vertical writing: displacement (0, -v) in text space,
+            # mapped through the Tm 2x2 — the line flows DOWN
+            adv = v_advance_pts(raw)
+            cx -= adv * mc
+            cy -= adv * md
+        else:
+            adv = advance_pts(raw)
+            cx += adv * ma
+            cy += adv * mb
 
     for kind, val in _tokenize(data):
         if kind in ("num", "str", "arr", "name"):
@@ -514,6 +570,7 @@ def _interpret_stream(
                     # word-sized negative kern decodes as a space
                     parts: List[str] = []
                     pts = 0.0
+                    vertical = bool(_wmode())
                     for ek, v in arr:  # type: ignore[union-attr]
                         if ek == "str":
                             dv = decode(v)
@@ -522,9 +579,15 @@ def _interpret_stream(
                             if dv.startswith(" ") and parts and parts[-1] == " ":
                                 parts.pop()
                             parts.append(dv)
-                            pts += advance_pts(v)
+                            pts += (
+                                v_advance_pts(v) if vertical
+                                else advance_pts(v)
+                            )
                         else:  # num
-                            pts -= float(v) / 1000.0 * font_size * hscale  # type: ignore[arg-type]
+                            # Tz scales horizontal displacement only
+                            pts -= float(v) / 1000.0 * font_size * (  # type: ignore[arg-type]
+                                1.0 if vertical else hscale
+                            )
                             # only BETWEEN glyphs (a kern before the first
                             # or after the last string is positioning),
                             # and not after a trailing decoded space
@@ -537,8 +600,12 @@ def _interpret_stream(
                     if parts and parts[-1] == " ":
                         parts.pop()
                     emit("".join(parts))
-                    cx += pts * ma
-                    cy += pts * mb
+                    if vertical:
+                        cx -= pts * mc
+                        cy -= pts * md
+                    else:
+                        cx += pts * ma
+                        cy += pts * mb
             elif op == "'" and stack and in_text:
                 lx -= leading * mc
                 ly -= leading * md
@@ -1344,8 +1411,57 @@ def _simple_widths(fd: bytes, objs: dict) -> dict:
     }
 
 
-def _cid_widths(fd: bytes, objs: dict) -> Tuple[dict, float]:
-    """Descendant CIDFont ``/W`` + ``/DW`` -> ({cid: units}, default).
+def _cid_vertical(cid_dict: bytes, objs: dict) -> Tuple[dict, float]:
+    """Descendant CIDFont ``/W2`` + ``/DW2`` -> ({cid: v units}, default).
+
+    Vertical metrics (spec §9.7.4.3): ``/DW2 [vy w1y]`` defaults the
+    per-glyph vertical displacement to ``w1y`` (normally -1000; the
+    ADVANCE magnitude is ``-w1y``); ``/W2`` assigns per-CID triples
+    ``c [w1y v1x v1y ...]`` or ranges ``c_first c_last w1y v1x v1y``.
+    Only the displacement magnitude matters for reading order — the
+    position vector (v1x, v1y) shifts the glyph origin, not the line
+    flow, and is ignored."""
+    v_default = 1000.0
+    dw2 = _named_array(cid_dict, b"DW2", objs)
+    if dw2 is not None:
+        nums = _NUM_RE.findall(dw2[1:-1])
+        if len(nums) >= 2:
+            v_default = abs(float(nums[1]))
+    v_widths: dict = {}
+    w2 = _named_array(cid_dict, b"W2", objs)
+    if w2 is not None:
+        toks = re.findall(rb"\[[^\]]*\]|[-+]?(?:\d+\.?\d*|\.\d+)", w2[1:-1])
+        k = 0
+        while k < len(toks):
+            t = toks[k]
+            if t.startswith(b"["):
+                k += 1
+                continue
+            if k + 1 < len(toks) and toks[k + 1].startswith(b"["):
+                c = int(float(t))
+                triple = _NUM_RE.findall(toks[k + 1])
+                for j in range(0, len(triple) - 2, 3):
+                    v_widths[c + j // 3] = abs(float(triple[j]))
+                k += 2
+            elif k + 4 < len(toks) and not any(
+                toks[k + i].startswith(b"[") for i in range(1, 5)
+            ):
+                c1, c2 = int(float(t)), int(float(toks[k + 1]))
+                w1y = abs(float(toks[k + 2]))
+                if 0 <= c2 - c1 <= 65535:
+                    for c in range(c1, c2 + 1):
+                        v_widths[c] = w1y
+                k += 5
+            else:
+                k += 1
+    return v_widths, v_default
+
+
+def _cid_widths(
+    fd: bytes, objs: dict
+) -> Tuple[dict, float, dict, float]:
+    """Descendant CIDFont ``/W`` + ``/DW`` -> ({cid: units}, default,
+    {cid: v units}, v default).
 
     ``/W`` grammar (spec §9.7.4.3): ``c [w1 w2 ...]`` assigns
     consecutively from ``c``; ``c_first c_last w`` assigns a range."""
@@ -1356,7 +1472,7 @@ def _cid_widths(fd: bytes, objs: dict) -> Tuple[dict, float]:
         if rm and int(rm.group(1)) in objs:
             cid_dict = _obj_dict(objs[int(rm.group(1))])
     if cid_dict is None:
-        return {}, 1000.0
+        return {}, 1000.0, {}, 1000.0
     dwm = re.search(rb"/DW\s+([\d.]+)", cid_dict)
     default_w = float(dwm.group(1)) if dwm else 1000.0
     w_arr = _named_array(cid_dict, b"W", objs)
@@ -1382,7 +1498,30 @@ def _cid_widths(fd: bytes, objs: dict) -> Tuple[dict, float]:
                 k += 3
             else:
                 k += 1
-    return widths, default_w
+    v_widths, v_default = _cid_vertical(cid_dict, objs)
+    return widths, default_w, v_widths, v_default
+
+
+_FONT_MATRIX_RE = re.compile(rb"/FontMatrix\s*\[([^\]]*)\]")
+
+
+def _type3_unit_scale(fd: bytes) -> Optional[float]:
+    """Type3 glyph-space scale from ``/FontMatrix`` (spec §9.6.5):
+    glyph widths map through the font matrix instead of the standard
+    1/1000.  The horizontal advance scale is the matrix ``a`` component
+    (``|b|`` when ``a`` is 0 — rotated-glyph fonts); missing or
+    unparsable matrices fall back to the common 0.001."""
+    m = _FONT_MATRIX_RE.search(fd)
+    if not m:
+        return 0.001
+    nums = _NUM_RE.findall(m.group(1))
+    if len(nums) < 4:
+        return 0.001
+    try:
+        a, b = float(nums[0]), float(nums[1])
+    except ValueError:
+        return 0.001
+    return a if a != 0.0 else abs(b) or 0.001
 
 
 def _font_maps(
@@ -1425,10 +1564,21 @@ def _font_maps(
                 merged = dict(dm)
                 merged.update(cmap)  # ToUnicode wins on conflicts
                 cmap = merged
+        v_widths: dict = {}
+        v_default = 1000.0
+        wmode = 0
+        unit_scale = None  # None = the standard 1/1000 glyph space
         if is_type0:
-            widths, default_w = _cid_widths(fd, objs)
+            widths, default_w, v_widths, v_default = _cid_widths(fd, objs)
+            # vertical writing: /Encoding /Identity-V or any predefined
+            # -V CMap name selects WMode 1 (spec §9.7.5.2); glyphs then
+            # advance along the NEGATIVE text-space y axis
+            if re.search(rb"/Encoding\s*/[0-9A-Za-z-]+-V\b", fd):
+                wmode = 1
         else:
             widths, default_w = _simple_widths(fd, objs), DEFAULT_GLYPH_W
+            if re.search(rb"/Subtype\s*/Type3\b", fd):
+                unit_scale = _type3_unit_scale(fd)
         if cmap or widths or is_type0:
             # Type0 stays mapped even with neither cmap nor widths:
             # falling through to the default byte decode would emit its
@@ -1439,6 +1589,10 @@ def _font_maps(
                 "cmap": cmap or None,
                 "widths": widths,
                 "default_w": default_w,
+                "v_widths": v_widths,
+                "v_default": v_default,
+                "wmode": wmode,
+                "unit_scale": unit_scale,
             }
     return maps
 

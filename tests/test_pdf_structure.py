@@ -448,7 +448,7 @@ class TestGlyphAdvance:
                b" /W [1 [500 600 700] 10 12 250] >>",
         }
         fd = b"<< /Subtype /Type0 /DescendantFonts [7 0 R] >>"
-        widths, dw = _cid_widths(fd, objs)
+        widths, dw, _vw, _vd = _cid_widths(fd, objs)
         assert dw == 750.0
         assert widths == {1: 500.0, 2: 600.0, 3: 700.0,
                           10: 250.0, 11: 250.0, 12: 250.0}
@@ -1553,3 +1553,201 @@ class TestSeqAfterBBoxFilter:
         assert len(pages) == 1
         assert pages[0].index("kept") < pages[0].index("after")
         assert "clipped" not in pages[0]
+
+
+class TestType3Fonts:
+    """Type3 fonts define their own glyph space via /FontMatrix
+    (spec §9.6.5): advances must scale through the matrix, not the
+    standard 1/1000 — TJ-gap spacing and x reading order are wrong
+    otherwise.  The reference sidesteps Type3 by rasterizing
+    (app/utils/utils.py:70-102); the text-layer graft models it."""
+
+    def _doc(self, content, font_extra=b""):
+        pdf = b"%PDF-1.4\n"
+        pdf += _obj(1, _CATALOG)
+        pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+                       b" /MediaBox [0 0 612 792] >>")
+        pdf += _obj(3, _page(5))
+        pdf += _stream_obj(5, content)
+        pdf += _obj(
+            9,
+            b"<< /Type /Font /Subtype /Type3"
+            b" /FontMatrix [0.048 0 0 0.048 0 0]"
+            b" /FirstChar 65 /LastChar 67 /Widths [500 500 500]"
+            b" /CharProcs << >>" + font_extra + b" >>",
+        )
+        pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+        return pdf
+
+    def test_fontmatrix_scales_advances(self):
+        """Advance per glyph = 500 * 0.048 * 10pt = 240pt: the second
+        show op must land RIGHT of the explicitly positioned box at
+        x=200 (the standard 1/1000 scaling would put it at x=105)."""
+        content = (
+            b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (A) Tj (B) Tj"
+            b" 1 0 0 1 200 700 Tm (M) Tj ET"
+        )
+        assert extract_pdf_pages(self._doc(content)) == ["A M B"]
+
+    def test_default_like_matrix_keeps_standard_arithmetic(self):
+        """A Type3 font whose matrix IS the standard 0.001 scale must
+        behave exactly like a simple font."""
+        content = (
+            b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (A) Tj (B) Tj"
+            b" 1 0 0 1 200 700 Tm (M) Tj ET"
+        )
+        pdf = self._doc(content).replace(
+            b"[0.048 0 0 0.048 0 0]", b"[0.001 0 0 0.001 0 0]"
+        )
+        # A at 100, B at 105, M at 200
+        assert extract_pdf_pages(pdf) == ["A B M"]
+
+    def test_differences_decode_still_applies(self):
+        """Type3 glyph names decode via /Encoding /Differences as for
+        any simple font — the FontMatrix only changes metrics."""
+        content = b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (A) Tj ET"
+        pdf = self._doc(content, b" /Encoding 7 0 R")
+        pdf = pdf.replace(
+            b"trailer",
+            _obj(7, b"<< /Type /Encoding /Differences [65 /bullet] >>")
+            + b"trailer",
+        )
+        assert extract_pdf_pages(pdf) == ["•"]
+
+    def test_rotated_glyph_matrix_uses_b_component(self):
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _type3_unit_scale,
+        )
+        assert _type3_unit_scale(
+            b"<< /FontMatrix [0 0.02 -0.02 0 0 0] >>"
+        ) == 0.02
+        assert _type3_unit_scale(b"<< >>") == 0.001
+        assert _type3_unit_scale(b"<< /FontMatrix [garbage] >>") == 0.001
+
+
+class TestVerticalWriting:
+    """WMode 1 (Identity-V / predefined -V CMaps, spec §9.7.5.2):
+    glyphs advance DOWN the page — successive show ops must stack
+    vertically in reading order, not run off to the right."""
+
+    _CMAP = (
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar <0001> <0041> <0002> <0042> endbfchar\n"
+    )
+
+    def _doc(self, content, encoding=b"/Identity-V", desc=b""):
+        pdf = b"%PDF-1.5\n"
+        pdf += _obj(1, _CATALOG)
+        pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+                       b" /MediaBox [0 0 612 792] >>")
+        pdf += _obj(3, _page(5))
+        pdf += _stream_obj(5, content)
+        pdf += _obj(
+            9,
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding "
+            + encoding + b" /ToUnicode 8 0 R" + desc + b" >>",
+        )
+        pdf += _stream_obj(8, self._CMAP, compress=True)
+        pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+        return pdf
+
+    def test_identity_v_stacks_downward(self):
+        """Default vertical advance (DW2 absent -> 1000/1000 em = 12pt
+        at size 12): the two shows form two lines, top-down."""
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 300 700 Tm <0001> Tj <0002> Tj ET"
+        )
+        assert extract_pdf_pages(self._doc(content)) == ["A\nB"]
+
+    def test_identity_h_is_unaffected(self):
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 300 700 Tm <0001> Tj <0002> Tj ET"
+        )
+        pages = extract_pdf_pages(self._doc(content, encoding=b"/Identity-H"))
+        assert pages == ["A B"]
+
+    def test_dw2_scales_vertical_advance(self):
+        """/DW2 [880 -2000] doubles the default drop: 24pt exceeds the
+        paragraph gap, so the shows become separate paragraphs."""
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 300 700 Tm <0001> Tj <0002> Tj ET"
+        )
+        pdf = self._doc(
+            content,
+            desc=b" /DescendantFonts [7 0 R]",
+        ).replace(
+            b"trailer",
+            _obj(7, b"<< /Type /Font /Subtype /CIDFontType2"
+                    b" /DW2 [880 -2000] >>") + b"trailer",
+        )
+        assert extract_pdf_pages(pdf) == ["A\n\nB"]
+
+    def test_w2_per_cid_triples(self):
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _cid_widths,
+        )
+        objs = {
+            7: b"<< /Type /Font /Subtype /CIDFontType0 /DW2 [880 -1000]"
+               b" /W2 [1 [-1200 500 880] 5 8 -900 600 880] >>",
+        }
+        fd = b"<< /Subtype /Type0 /DescendantFonts [7 0 R] >>"
+        _w, _dw, vw, vd = _cid_widths(fd, objs)
+        assert vd == 1000.0
+        assert vw == {1: 1200.0, 5: 900.0, 6: 900.0, 7: 900.0, 8: 900.0}
+
+    def test_vertical_tj_numbers_move_vertically(self):
+        """TJ numeric adjustments in WMode 1 displace along the line
+        (downward), unscaled by Tz — a -1000 kern adds a full em drop."""
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 300 700 Tm"
+            b" [<0001> -1000 <0002>] TJ ET"
+        )
+        # 12pt glyph drop + 12pt kern drop = 24pt... but TJ emits ONE
+        # box; the next show confirms the position carried
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 300 700 Tm"
+            b" [<0001> -1000] TJ <0002> Tj ET"
+        )
+        assert extract_pdf_pages(self._doc(content)) == ["A\n\nB"]
+
+
+def test_tj_array_hex_strings_tokenize():
+    """Hex strings inside TJ arrays (how CID text is normally kerned)
+    must tokenize as strings — they previously parsed as numbers and
+    the shown text was silently lost."""
+    from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+        _tokenize,
+    )
+    toks = list(_tokenize(b"[<0048> -120 (mix) <0065>] TJ"))
+    assert toks[0][0] == "arr"
+    assert toks[0][1] == [
+        ("str", b"\x00H"), ("num", -120.0), ("str", b"mix"),
+        ("str", b"\x00e"),
+    ]
+    assert toks[1] == ("op", "TJ")
+
+
+def test_cid_tj_array_kerning_extracts():
+    """End-to-end: a Type0 font shown entirely through a TJ array with
+    hex strings and kerns extracts its text with the word gap."""
+    cmap = (
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar <0001> <0048> <0002> <0069> endbfchar\n"
+    )
+    pdf = b"%PDF-1.5\n"
+    pdf += _obj(1, _CATALOG)
+    pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+                   b" /MediaBox [0 0 612 792] >>")
+    pdf += _obj(3, _page(5))
+    pdf += _stream_obj(
+        5, b"BT /F1 12 Tf 1 0 0 1 100 700 Tm"
+           b" [<0001> -400 <0002>] TJ ET"
+    )
+    pdf += _obj(
+        9,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+        b" /Encoding /Identity-H /ToUnicode 8 0 R >>",
+    )
+    pdf += _stream_obj(8, cmap, compress=True)
+    pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf_pages(pdf) == ["H i"]
