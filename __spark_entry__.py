@@ -523,6 +523,13 @@ FROM doc_hash d JOIN sh_hash s ON s.doc_id = d.doc_id
     )
 
 
+def _q_dedup_recall_report(spark, sf_dir):
+    """Pair recall of the MinHash-LSH and SimHash tiers vs the exact
+    shingle-join Jaccard ground truth on a bounded subset — the dedup
+    family's acceptance metric (the twin of ann_recall_report)."""
+    return dedup.dedup_recall_report(_augmented_docs(_docs(spark, sf_dir)))
+
+
 def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_augmented_docs(_docs(spark, sf_dir)))
 
@@ -1280,10 +1287,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round N runs in the first 50 of round N+1, so no entry's driver
     # row is ever more than one round stale.  Round 5 order:
     # 1-10   the ten entries without an r04 row (all r03-green);
-    # 11-13  the round-5 additions + dedup_spans_apply (its persist
+    # 11-14  the round-5 additions + dedup_spans_apply (its persist
     #        default changed this round — fresh row wanted);
-    # 14-50  r04-green entries;
-    # 51-62  the r04 front group + three triple-green cheap-oracle
+    # 15-50  r04-green entries (resume_anti_join lands at 51 — r04-green,
+    #        within the one-round staleness bound);
+    # 51-63  the r04 front group + three triple-green cheap-oracle
     #        queries — the freshest evidence, so a truncation here
     #        loses the least (they rotate forward in round 6).
     return {
@@ -1301,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 11-13: round-5 additions + this round's changed operator ---
         "ann_recall_clustered": _q_ann_recall_clustered,
         "corpus_length_report_hist": _q_corpus_length_report_hist,
+        "dedup_recall_report": _q_dedup_recall_report,
         "dedup_spans_apply": _q_dedup_spans_apply,
         # --- 14-50: r04-green ---
         "token_count": _q_token_count,
@@ -1400,6 +1409,119 @@ FROM inter i
 JOIN sizes na ON na.doc_id = i.id_a
 JOIN sizes nb ON nb.doc_id = i.id_b
 WHERE floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000 >= {dedup.JACCARD_MIN}
+"""
+
+
+def _oracle_dedup_recall() -> str:
+    """Twin of dedup.dedup_recall_report: exhaustive shingle-join truth
+    + the minhash-LSH and simhash tiers on the doc_id % 4 == 0 subset,
+    then pair recall per method.  Division order mirrors Spark's
+    dtrunc(n_hits / n_truth, 4)."""
+    min_aggs = ", ".join(
+        f"min(md5('{i}|' || sh)) AS m{i}" for i in range(dedup.N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(m{2 * b} || m{2 * b + 1}) AS bk FROM msig"
+        for b in range(dedup.N_BANDS)
+    )
+    v = dedup.hex_to_bigint_sql("tok", 15)
+    nbits = dedup.SIMHASH_BITS
+    bit_aggs = ",\n    ".join(
+        f"sum(case when (v // {2 ** b}) % 2 = 1 then 1 else -1 end) AS b{b}"
+        for b in range(nbits)
+    )
+    sim = " + ".join(
+        f"(case when b{b} > 0 then {2 ** b} else 0 end)" for b in range(nbits)
+    )
+    band_mod = 2 ** dedup.SIMHASH_BAND_BITS
+    sband_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {k} AS band,"
+        f" (simhash // {band_mod ** k}) % {band_mod} AS bk FROM ssig"
+        for k in range(dedup.SIMHASH_BANDS)
+    )
+    jm = dedup.JACCARD_MIN
+    jacc = "floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000"
+    return f"""
+WITH {_AUG_CTE.strip().rstrip()},
+sub AS (SELECT doc_id, text FROM aug WHERE doc_id % 4 = 0),
+norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM sub),
+toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r
+  WHERE len(ts) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+tcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+tinter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_int
+  FROM tcand c
+  JOIN sh s1 ON s1.doc_id = c.id_a
+  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+  GROUP BY c.id_a, c.id_b
+),
+truth AS (
+  SELECT i.id_a, i.id_b FROM tinter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE {jacc} >= {jm}
+),
+msig AS (SELECT doc_id, {min_aggs} FROM sh GROUP BY doc_id),
+mbands AS (
+{band_selects}
+),
+mcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM mbands a JOIN mbands b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+minter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_int
+  FROM mcand c
+  JOIN sh s1 ON s1.doc_id = c.id_a
+  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+  GROUP BY c.id_a, c.id_b
+),
+mh AS (
+  SELECT i.id_a, i.id_b FROM minter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE {jacc} >= {jm}
+),
+stoks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm WHERE t <> ''),
+svals AS (SELECT doc_id, {v} AS v FROM stoks),
+sbits AS (SELECT doc_id, {bit_aggs} FROM svals GROUP BY doc_id),
+ssig AS (SELECT doc_id, cast({sim} as bigint) AS simhash FROM sbits),
+sbands AS (
+{sband_selects}
+),
+spairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM sbands a JOIN sbands b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+sh_pairs AS (
+  SELECT id_a, id_b FROM spairs
+  WHERE bit_count(xor(sim_a, sim_b)) <= {dedup.HAMMING_MAX}
+),
+tstats AS (SELECT count(*) AS n_truth FROM truth)
+SELECT 'minhash_lsh' AS method, n_truth,
+       (SELECT count(*) FROM mh) AS n_found,
+       (SELECT count(*) FROM truth t JOIN mh USING (id_a, id_b)) AS n_hits,
+       floor((SELECT count(*) FROM truth t JOIN mh USING (id_a, id_b))
+             / n_truth * 10000) / 10000 AS recall
+FROM tstats
+UNION ALL
+SELECT 'simhash' AS method, n_truth,
+       (SELECT count(*) FROM sh_pairs) AS n_found,
+       (SELECT count(*) FROM truth t JOIN sh_pairs USING (id_a, id_b)) AS n_hits,
+       floor((SELECT count(*) FROM truth t JOIN sh_pairs USING (id_a, id_b))
+             / n_truth * 10000) / 10000 AS recall
+FROM tstats
 """
 
 
@@ -2154,6 +2276,7 @@ SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_doc_id
 FROM fps GROUP BY fp HAVING count(*) > 1
 """,
         "dedup_minhash_lsh": _oracle_minhash(),
+        "dedup_recall_report": _oracle_dedup_recall(),
         "dedup_components": f"""
 WITH RECURSIVE pairs AS (
   SELECT id_a, id_b FROM ({_oracle_minhash().strip()}) mh

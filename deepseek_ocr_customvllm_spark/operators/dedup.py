@@ -527,6 +527,93 @@ def simhash_near_pairs(
 
 
 # ---------------------------------------------------------------------------
+# pair-recall report: the dedup family's acceptance metric
+# ---------------------------------------------------------------------------
+
+def dedup_recall_report(
+    docs: DataFrame, sub_mod: int = 4, jaccard_min: float = JACCARD_MIN
+) -> DataFrame:
+    """Pair recall of the approximate near-dup tiers against the exact
+    Jaccard ground truth — the dedup twin of the ANN family's
+    ``ann_recall_report``: the number a pipeline publishes before
+    trusting banded LSH / simhash blocking over exhaustive comparison.
+
+    Ground truth: on the ``doc_id % sub_mod == 0`` subset, every pair
+    sharing at least one shingle (COMPLETE for jaccard > 0 — disjoint
+    shingle sets have jaccard 0) verified at ``jaccard_min``.  The
+    shingle self-join is the expensive exhaustive tier, which is exactly
+    why it runs on the bounded subset only — the same exact/approx
+    layering the ANN report uses.  ``sub_mod`` must divide the planted
+    duplicate id offsets (1000000, 2000000) so planted pairs stay within
+    the subset.
+
+    One row per method ``(method, n_truth, n_found, n_hits, recall)``:
+
+    - ``minhash_lsh``: the banded production tier.  At the 0.5 Jaccard
+      threshold 8-hash/4-band LSH collides with probability
+      ~1-(1-s^2)^4 (~0.68 at s=0.5, ~1 at s>=0.9), so near-threshold
+      organic pairs are where recall is lost — which is what the report
+      exists to measure.
+    - ``simhash``: Hamming <= 3 banding.  A DIFFERENT similarity notion
+      measured against the Jaccard truth: the report quantifies how much
+      of the Jaccard-duplicate mass the cheaper bit-signature tier
+      would catch alone.
+    """
+    from ..functions.columns import dtrunc
+
+    sub = docs.filter(F.col("doc_id") % sub_mod == 0)
+    sh = shingles(sub)
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    truth = jaccard_verify(cand, sh, jaccard_min=jaccard_min).select(
+        "id_a", "id_b"
+    )
+    tiers = [
+        (
+            "minhash_lsh",
+            minhash_lsh_duplicates(sub).select("id_a", "id_b"),
+        ),
+        (
+            "simhash",
+            simhash_near_pairs(simhash_signatures(sub)).select(
+                "id_a", "id_b"
+            ),
+        ),
+    ]
+    rows = []
+    for method, found in tiers:
+        base = truth.agg(F.count("*").alias("n_truth"))
+        n_found = found.agg(F.count("*").alias("n_found"))
+        hits = truth.join(found, ["id_a", "id_b"], "left_semi").agg(
+            F.count("*").alias("n_hits")
+        )
+        rows.append(
+            base.join(F.broadcast(n_found))
+            .join(F.broadcast(hits))
+            .select(
+                F.lit(method).alias("method"),
+                "n_truth",
+                "n_found",
+                "n_hits",
+                dtrunc(F.col("n_hits") / F.col("n_truth"), 4).alias(
+                    "recall"
+                ),
+            )
+        )
+    return rows[0].unionByName(rows[1])
+
+
+# ---------------------------------------------------------------------------
 # eval-set decontamination
 # ---------------------------------------------------------------------------
 

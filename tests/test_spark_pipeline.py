@@ -1533,3 +1533,33 @@ class TestClusteredAnnRecall:
             )
         ).count()
         assert bad == 0
+
+
+class TestDedupRecallReport:
+    """Round-5: pair recall of the approximate dedup tiers vs the
+    exhaustive shingle-join Jaccard truth (the dedup acceptance metric,
+    twin of the ANN recall report)."""
+
+    def test_recall_bars_on_planted_corpus(self, spark):
+        import __spark_entry__ as em
+
+        rows = {
+            r["method"]: r
+            for r in em.queries()["dedup_recall_report"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        mh, sh = rows["minhash_lsh"], rows["simhash"]
+        assert mh["n_truth"] == sh["n_truth"] > 0
+        # the banded production tier must find every planted pair here
+        assert float(mh["recall"]) == 1.0
+        # the bit-signature tier trades recall for cost — measured, and
+        # bounded below so a silent collapse would fail the suite
+        assert 0.5 <= float(sh["recall"]) <= 1.0
+        # in-sample precision: every found pair is a true pair
+        assert mh["n_hits"] == mh["n_found"]
+
+    def test_subset_keeps_planted_pairs(self, spark):
+        """sub_mod must divide the planted-duplicate id offsets, or the
+        ground truth loses its guaranteed hits."""
+        assert 1000000 % 4 == 0 and 2000000 % 4 == 0
