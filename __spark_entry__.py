@@ -1306,12 +1306,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_rollup": _q_lineage_rollup,
         "status_counts": _q_status_counts,
         "quarantine_oversize": _q_quarantine_oversize,
-        # --- 11-13: round-5 additions + this round's changed operator ---
+        # --- 11-14: round-5 additions + this round's changed operator ---
         "ann_recall_clustered": _q_ann_recall_clustered,
         "corpus_length_report_hist": _q_corpus_length_report_hist,
         "dedup_recall_report": _q_dedup_recall_report,
         "dedup_spans_apply": _q_dedup_spans_apply,
-        # --- 14-50: r04-green ---
+        # --- 15-50: r04-green (resume_anti_join lands at 51) ---
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
         "lang_id_multi": _q_lang_id_multi,
@@ -1349,7 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_report": _q_source_quality_report,
         "embedding_norm_stats": _q_embedding_norm_stats,
         "resume_anti_join": _q_resume_anti_join,
-        # --- 51-62: freshest r04 evidence; rotate forward in round 6 ---
+        # --- 51-63: freshest r04 evidence; rotate forward in round 6 ---
         "events_asof_join": _q_events_asof_join,
         "customer_running_revenue": _q_customer_running_revenue,
         "extract_documents_pipeline": _q_extract_documents_pipeline,

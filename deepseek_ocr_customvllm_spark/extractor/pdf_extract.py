@@ -167,6 +167,25 @@ def _unescape_literal(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _hex_string_at(data: bytes, pos: int):
+    """Parse the hex string whose ``<`` sits at ``pos`` (§7.3.4.3):
+    ``(decoded bytes | None, position after the closing '>')``.
+    Odd nibble counts pad with 0; whitespace is ignored; non-hex bytes
+    yield ``None``; an unterminated string consumes to end-of-data.
+    Shared by the top-level tokenizer and the array parser so the two
+    can never drift."""
+    j = data.find(b">", pos)
+    if j == -1:
+        return None, len(data)
+    hexs = re.sub(rb"\s", b"", data[pos + 1 : j])
+    if len(hexs) % 2:
+        hexs += b"0"
+    try:
+        return bytes.fromhex(hexs.decode("ascii")), j + 1
+    except ValueError:
+        return None, j + 1
+
+
 def _tokenize(data: bytes):
     """Yield ('str', raw_bytes) | ('num', float) | ('name', str) |
     ('op', name) | ('arr', list)."""
@@ -200,17 +219,9 @@ def _tokenize(data: bytes):
             i = j
             continue
         if c == b"<" and data[i : i + 2] != b"<<":
-            j = data.find(b">", i)
-            if j == -1:
-                break
-            hexs = re.sub(rb"\s", b"", data[i + 1 : j])
-            if len(hexs) % 2:
-                hexs += b"0"
-            try:
-                yield ("str", bytes.fromhex(hexs.decode("ascii")))
-            except ValueError:
-                pass
-            i = j + 1
+            s, i = _hex_string_at(data, i)
+            if s is not None:
+                yield ("str", s)
             continue
         if c == b"<":  # dict <<
             i += 2
@@ -250,19 +261,12 @@ def _tokenize(data: bytes):
                     j = k
                     continue
                 if sub == b"<":  # hex string (CID TJ arrays kern these)
-                    k = data.find(b">", j)
-                    if k == -1:
-                        break
-                    hexs = re.sub(rb"\s", b"", data[j + 1 : k])
-                    if len(hexs) % 2:
-                        hexs += b"0"
-                    try:
-                        elems.append(
-                            ("str", bytes.fromhex(hexs.decode("ascii")))
-                        )
-                    except ValueError:
-                        pass
-                    j = k + 1
+                    if data[j : j + 2] == b"<<":  # malformed: dict in a
+                        j += 2  # TJ array — skip the token, keep scanning
+                        continue
+                    s, j = _hex_string_at(data, j)
+                    if s is not None:
+                        elems.append(("str", s))
                     continue
                 m = _NUM_RE.match(data, j)
                 if m:
@@ -396,7 +400,11 @@ def _interpret_stream(
     # collected boxes TRUE content coordinates, which _apply_rotation
     # then maps to display space
     ma, mb, mc, md = 1.0, 0.0, 0.0, 1.0
-    seq = len(boxes)
+    # continue ABOVE the highest existing seq, not at len(boxes): after
+    # an earlier sibling form's /BBox filter, retained seqs can exceed
+    # the list length, and a reused seq would hand the (y, x, seq)
+    # reading-order tiebreak back to list order
+    seq = (max(b.seq for b in boxes) + 1) if boxes else 0
     in_text = False
     if _text_state is not None:  # inherited from the invoking context (Do)
         cur_font, font_size, char_spacing, word_spacing, hscale, leading = (
@@ -473,10 +481,12 @@ def _interpret_stream(
         ) * hscale
 
     def v_advance_pts(raw: bytes) -> float:
-        """Vertical advance magnitude (WMode 1, spec §9.7.4.3): per-CID
-        /W2 displacement (default /DW2, normally 1000/1000 em), plus Tc
-        per glyph.  Tz and Tw are HORIZONTAL-only parameters (§9.3.2-3)
-        and do not apply."""
+        """DOWNWARD displacement of one shown string in WMode 1, in
+        points.  Spec §9.4.4: ``ty = (w1 - Tj/1000)*Tfs + Tc`` per glyph
+        with w1 NEGATIVE (the /W2 values are stored as magnitudes here),
+        so the downward magnitude is ``|w1|*Tfs - Tc`` — positive Tc
+        SHRINKS the gap, per the signed formula.  Tz and Tw are
+        horizontal-only (§9.3.2-3) and do not apply."""
         if cur_font is None:
             return 0.0
         cw = cur_font["code_width"]
@@ -484,7 +494,7 @@ def _interpret_stream(
         vd = cur_font.get("v_default", 1000.0)
         units = sum(vw.get(c, vd) for c in _codes(raw, cw))
         n_glyphs = len(raw) // cw
-        return units / 1000.0 * font_size + n_glyphs * char_spacing
+        return units / 1000.0 * font_size - n_glyphs * char_spacing
 
     def _wmode() -> int:
         return cur_font.get("wmode", 0) if cur_font else 0
@@ -584,15 +594,28 @@ def _interpret_stream(
                                 else advance_pts(v)
                             )
                         else:  # num
+                            # Table 109: a positive adjustment moves the
+                            # next glyph LEFT (horizontal) or DOWN
+                            # (vertical) — the sign flips with the mode;
                             # Tz scales horizontal displacement only
-                            pts -= float(v) / 1000.0 * font_size * (  # type: ignore[arg-type]
-                                1.0 if vertical else hscale
+                            if vertical:
+                                pts += float(v) / 1000.0 * font_size  # type: ignore[arg-type]
+                            else:
+                                pts -= float(v) / 1000.0 * font_size * hscale  # type: ignore[arg-type]
+                            # word-gap heuristic: a spreading adjustment
+                            # beyond |TJ_SPACE_UNITS| decodes as a space
+                            # (negative spreads horizontally, POSITIVE
+                            # spreads downward), only BETWEEN glyphs (a
+                            # kern before the first or after the last
+                            # string is positioning), and not after a
+                            # trailing decoded space
+                            spreads = (
+                                float(v) >= -TJ_SPACE_UNITS  # type: ignore[arg-type]
+                                if vertical
+                                else float(v) <= TJ_SPACE_UNITS  # type: ignore[arg-type]
                             )
-                            # only BETWEEN glyphs (a kern before the first
-                            # or after the last string is positioning),
-                            # and not after a trailing decoded space
                             if (
-                                float(v) <= TJ_SPACE_UNITS  # type: ignore[arg-type]
+                                spreads
                                 and parts
                                 and not parts[-1].endswith(" ")
                             ):

@@ -575,24 +575,33 @@ def dedup_recall_report(
         )
         .distinct()
     )
-    truth = jaccard_verify(cand, sh, jaccard_min=jaccard_min).select(
-        "id_a", "id_b"
+    # the exhaustive truth feeds 4 consumers (n_truth agg + a semi-join
+    # per method) and each tier's pairs feed 2; localCheckpoint the TINY
+    # pair lists once instead of re-running the shingle self-join and
+    # the tier pipelines per consumer — the same trade dedup_spans_apply
+    # defaults to, for the same reason
+    truth = (
+        jaccard_verify(cand, sh, jaccard_min=jaccard_min)
+        .select("id_a", "id_b")
+        .localCheckpoint()
     )
     tiers = [
         (
             "minhash_lsh",
-            minhash_lsh_duplicates(sub).select("id_a", "id_b"),
+            minhash_lsh_duplicates(sub)
+            .select("id_a", "id_b")
+            .localCheckpoint(),
         ),
         (
             "simhash",
-            simhash_near_pairs(simhash_signatures(sub)).select(
-                "id_a", "id_b"
-            ),
+            simhash_near_pairs(simhash_signatures(sub))
+            .select("id_a", "id_b")
+            .localCheckpoint(),
         ),
     ]
+    base = truth.agg(F.count("*").alias("n_truth"))
     rows = []
     for method, found in tiers:
-        base = truth.agg(F.count("*").alias("n_truth"))
         n_found = found.agg(F.count("*").alias("n_found"))
         hits = truth.join(found, ["id_a", "id_b"], "left_semi").agg(
             F.count("*").alias("n_hits")

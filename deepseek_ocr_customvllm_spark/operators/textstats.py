@@ -618,7 +618,7 @@ def repetition_signals(df: DataFrame) -> DataFrame:
 LENGTH_REPORT_HIST_THRESHOLD = 5_000_000
 
 
-def corpus_length_report(df: DataFrame, mode: str = "auto") -> DataFrame:
+def corpus_length_report(df: DataFrame, mode: str = "window") -> DataFrame:
     """Per-language length distribution with EXACT order statistics —
     the corpus-balance report curation runs before fixing token budgets.
 
@@ -630,7 +630,8 @@ def corpus_length_report(df: DataFrame, mode: str = "auto") -> DataFrame:
     Two physical strategies computing the IDENTICAL result
     (property-tested equal in ``tests/test_spark_pipeline.py``):
 
-    - ``mode="window"``: one narrow window per language partition
+    - ``mode="window"`` (the DEFAULT — pure lazy, like every other
+      operator here): one narrow window per language partition
       (rank + count), then a hash groupBy; only two columns ever
       shuffle.  Limit: a single language's rows must fit one
       partition sort.
@@ -642,8 +643,11 @@ def corpus_length_report(df: DataFrame, mode: str = "auto") -> DataFrame:
       ranks.  The per-lang sort now touches one row per distinct
       length — bounded by the value domain, not the corpus.
     - ``mode="auto"``: histogram above
-      :data:`LENGTH_REPORT_HIST_THRESHOLD` input rows (one cheap
-      count against parquet metadata), window below.
+      :data:`LENGTH_REPORT_HIST_THRESHOLD` input rows, window below.
+      EAGER — it fires a ``df.count()`` Spark job at construction time
+      to pick the strategy (cheap against a bare parquet scan, a full
+      pass over any derived lineage), which is why it is NOT the
+      default: callers at histogram scale know it and should say so.
     """
     from pyspark.sql.window import Window
 

@@ -1536,6 +1536,34 @@ class TestSeqAfterBBoxFilter:
         # document order must survive an equal-(y, x) tiebreak
         assert seqs[0] < seqs[1]
 
+    def test_sibling_form_after_bbox_filter_gets_fresh_seqs(self):
+        """A LATER sibling form must not restart seq at len(boxes):
+        after Fm1's /BBox filter leaves a retained seq above the list
+        length, Fm2's boxes previously took duplicate/LOWER seqs and
+        could sort before Fm1's kept text at an equal (y, x)."""
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _interpret_stream,
+        )
+        fm1 = (
+            b"BT /F1 12 Tf 1 0 0 1 100 100 Tm (c1) Tj"
+            b" 1 0 0 1 100 100 Tm (c2) Tj"
+            b" 1 0 0 1 100 700 Tm (kept) Tj ET"
+        )
+        fm2 = b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (second) Tj ET"
+
+        def resolver(name):
+            if name == "Fm1":
+                return (fm1, {}, None, (0, 600, 612, 792), resolver)
+            if name == "Fm2":
+                return (fm2, {}, None, None, resolver)
+            return None
+
+        boxes = _interpret_stream(b"/Fm1 Do /Fm2 Do", form_resolver=resolver)
+        assert [b.text for b in boxes] == ["kept", "second"]
+        seqs = [b.seq for b in boxes]
+        assert len(set(seqs)) == len(seqs), seqs
+        assert seqs[0] < seqs[1]  # document order survives the tiebreak
+
     def test_bbox_clip_end_to_end_order_preserved(self):
         """Same shape through the public API: form text kept by the BBox
         and page text at the SAME position must stay in document order."""
@@ -1695,20 +1723,47 @@ class TestVerticalWriting:
         assert vd == 1000.0
         assert vw == {1: 1200.0, 5: 900.0, 6: 900.0, 7: 900.0, 8: 900.0}
 
-    def test_vertical_tj_numbers_move_vertically(self):
-        """TJ numeric adjustments in WMode 1 displace along the line
-        (downward), unscaled by Tz — a -1000 kern adds a full em drop."""
+    def test_vertical_tj_positive_number_moves_down(self):
+        """Table 109: a POSITIVE TJ adjustment moves the next glyph
+        DOWN in vertical mode (left in horizontal) — the sign flips
+        with the writing mode.  +1000 adds a full em to the 12pt glyph
+        drop -> 24pt -> paragraph gap.  TJ emits one box; the next show
+        proves the carried position."""
         content = (
             b"BT /F1 12 Tf 1 0 0 1 300 700 Tm"
-            b" [<0001> -1000 <0002>] TJ ET"
+            b" [<0001> 1000] TJ <0002> Tj ET"
         )
-        # 12pt glyph drop + 12pt kern drop = 24pt... but TJ emits ONE
-        # box; the next show confirms the position carried
+        assert extract_pdf_pages(self._doc(content)) == ["A\n\nB"]
+
+    def test_vertical_tj_negative_number_moves_up(self):
+        """A NEGATIVE adjustment in WMode 1 moves the pen back UP:
+        -1000 exactly cancels the default 1000-unit glyph drop, so the
+        next show lands on A's own baseline."""
         content = (
             b"BT /F1 12 Tf 1 0 0 1 300 700 Tm"
             b" [<0001> -1000] TJ <0002> Tj ET"
         )
-        assert extract_pdf_pages(self._doc(content)) == ["A\n\nB"]
+        assert extract_pdf_pages(self._doc(content)) == ["A B"]
+
+    def test_vertical_positive_gap_decodes_as_space(self):
+        """The TJ word-gap heuristic flips sign with the mode: a
+        spreading +400 between glyphs inside ONE vertical TJ box
+        decodes as a space."""
+        content = (
+            b"BT /F1 12 Tf 1 0 0 1 300 700 Tm"
+            b" [<0001> 400 <0002>] TJ ET"
+        )
+        assert extract_pdf_pages(self._doc(content)) == ["A B"]
+
+    def test_vertical_tc_shrinks_the_gap(self):
+        """Spec 9.4.4: ty = (w1 - Tj/1000)*Tfs + Tc with w1 negative —
+        positive Tc makes the displacement LESS negative, i.e. shrinks
+        the drop.  Tc 12 cancels the 12pt glyph drop entirely."""
+        content = (
+            b"BT /F1 12 Tf 12 Tc 1 0 0 1 300 700 Tm"
+            b" <0001> Tj <0002> Tj ET"
+        )
+        assert extract_pdf_pages(self._doc(content)) == ["A B"]
 
 
 def test_tj_array_hex_strings_tokenize():
