@@ -1348,8 +1348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_quality": _q_compression_quality,
         "source_quality_report": _q_source_quality_report,
         "embedding_norm_stats": _q_embedding_norm_stats,
-        "resume_anti_join": _q_resume_anti_join,
-        # --- 51-63: freshest r04 evidence; rotate forward in round 6 ---
+        "resume_anti_join": _q_resume_anti_join,  # position 51 (r04-green)
+        # --- 52-63: freshest r04 evidence; rotate forward in round 6 ---
         "events_asof_join": _q_events_asof_join,
         "customer_running_revenue": _q_customer_running_revenue,
         "extract_documents_pipeline": _q_extract_documents_pipeline,

@@ -261,8 +261,12 @@ def _tokenize(data: bytes):
                     j = k
                     continue
                 if sub == b"<":  # hex string (CID TJ arrays kern these)
-                    if data[j : j + 2] == b"<<":  # malformed: dict in a
-                        j += 2  # TJ array — skip the token, keep scanning
+                    if data[j : j + 2] == b"<<":
+                        # malformed: a dict inside a TJ array — swallow
+                        # it WHOLE, or its numeric values would leak
+                        # into the array as phantom kern adjustments
+                        end = data.find(b">>", j + 2)
+                        j = end + 2 if end != -1 else n
                         continue
                     s, j = _hex_string_at(data, j)
                     if s is not None:
@@ -482,11 +486,15 @@ def _interpret_stream(
 
     def v_advance_pts(raw: bytes) -> float:
         """DOWNWARD displacement of one shown string in WMode 1, in
-        points.  Spec §9.4.4: ``ty = (w1 - Tj/1000)*Tfs + Tc`` per glyph
-        with w1 NEGATIVE (the /W2 values are stored as magnitudes here),
-        so the downward magnitude is ``|w1|*Tfs - Tc`` — positive Tc
-        SHRINKS the gap, per the signed formula.  Tz and Tw are
-        horizontal-only (§9.3.2-3) and do not apply."""
+        points.  Spec §9.4.4: ``ty = (w1 - Tj/1000)*Tfs + Tc + Tw`` per
+        glyph with w1 NEGATIVE (the /W2 values are stored as magnitudes
+        here), so the downward magnitude is ``|w1|*Tfs - Tc`` —
+        positive Tc SHRINKS the gap, per the signed formula.  Tz is
+        horizontal-only (§9.3.2); Tw DOES appear in the vertical
+        formula but only for single-byte code 32, unreachable here
+        because WMode 1 is only set on Type0 fonts whose code space is
+        forced to >= 2 bytes — revisit if 1-byte vertical CMaps are
+        ever supported."""
         if cur_font is None:
             return 0.0
         cw = cur_font["code_width"]

@@ -1806,3 +1806,20 @@ def test_cid_tj_array_kerning_extracts():
     pdf += _stream_obj(8, cmap, compress=True)
     pdf += b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
     assert extract_pdf_pages(pdf) == ["H i"]
+
+
+def test_dict_inside_tj_array_swallowed_whole():
+    """A malformed dict inside a TJ array must be swallowed WHOLE: its
+    numeric values must not leak into the array as phantom kern
+    adjustments (a -400 leak would both insert a spurious word gap and
+    shift the post-TJ cursor)."""
+    from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+        _tokenize,
+    )
+    toks = list(_tokenize(b"[(Hello) << /X -400 >> (world)] TJ"))
+    assert toks[0] == (
+        "arr", [("str", b"Hello"), ("str", b"world")]
+    )
+    # unterminated dict: consumes to end of data, no leak either
+    toks = list(_tokenize(b"[(a) << /X -400 (b)] TJ"))
+    assert toks[0][1] == [("str", b"a")]
