@@ -1563,3 +1563,80 @@ class TestDedupRecallReport:
         """sub_mod must divide the planted-duplicate id offsets, or the
         ground truth loses its guaranteed hits."""
         assert 1000000 % 4 == 0 and 2000000 % 4 == 0
+
+
+class TestVerticalAndType3ThroughSparkPath:
+    """Round-5 extraction features ride the full distributed path: a
+    WMode-1 (Identity-V) column and a Type3 /FontMatrix page must
+    extract through the fused mapInPandas stage exactly as they do
+    through the direct API — per-row, no task death."""
+
+    def test_extract_pages_vertical_and_type3(self, spark):
+        import datetime
+
+        from deepseek_ocr_customvllm_spark.operators.extract import (
+            extract_pages,
+        )
+
+        def _obj(num, body):
+            return b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+        def _stream(num, payload):
+            return (
+                b"%d 0 obj\n<< /Length %d >>\nstream\n" % (num, len(payload))
+                + payload + b"\nendstream\nendobj\n"
+            )
+
+        cmap = (
+            b"8 0 obj\n<< /Length 120 >>\nstream\n"
+            b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"2 beginbfchar <0001> <0041> <0002> <0042> endbfchar\n"
+            b"\nendstream\nendobj\n"
+        )
+        vertical = (
+            b"%PDF-1.5\n"
+            + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+            + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+                      b" /MediaBox [0 0 612 792] >>")
+            + _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R"
+                      b" /Resources << /Font << /F1 9 0 R >> >> >>")
+            + _stream(5, b"BT /F1 12 Tf 1 0 0 1 300 700 Tm"
+                         b" <0001> Tj <0002> Tj ET")
+            + _obj(9, b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+                      b" /Encoding /Identity-V /ToUnicode 8 0 R >>")
+            + cmap
+            + b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+        )
+        type3 = (
+            b"%PDF-1.4\n"
+            + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+            + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+                      b" /MediaBox [0 0 612 792] >>")
+            + _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R"
+                      b" /Resources << /Font << /F1 9 0 R >> >> >>")
+            + _stream(5, b"BT /F1 10 Tf 1 0 0 1 100 700 Tm (A) Tj (B) Tj"
+                         b" 1 0 0 1 200 700 Tm (M) Tj ET")
+            + _obj(9, b"<< /Type /Font /Subtype /Type3"
+                      b" /FontMatrix [0.048 0 0 0.048 0 0]"
+                      b" /FirstChar 65 /LastChar 67 /Widths [500 500 500]"
+                      b" /CharProcs << >> >>")
+            + b"trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n"
+        )
+        ts = datetime.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [
+                ("https://ex.org/vertical.pdf", ts, vertical),
+                ("https://ex.org/type3.pdf", ts, type3),
+            ],
+            "url string, warc_ts timestamp, html binary",
+        )
+        out = {
+            r["url"]: r
+            for r in extract_pages(df, num_partitions=2).collect()
+        }
+        v = out["https://ex.org/vertical.pdf"]
+        assert v["status"] == "SUCCESS"
+        assert "A\nB" in v["markdown_raw"]  # column reads top-down
+        t = out["https://ex.org/type3.pdf"]
+        assert t["status"] == "SUCCESS"
+        assert "A M B" in t["markdown_raw"]  # FontMatrix-scaled x order
