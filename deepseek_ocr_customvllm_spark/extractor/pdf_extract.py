@@ -167,6 +167,51 @@ def _unescape_literal(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _skip_dict_token(data: bytes, pos: int):
+    """End position just past the ``>>`` matching the ``<<`` at ``pos``,
+    or None when unterminated.  Depth-counted, and hex/literal strings
+    are opaque (a ``>>`` or nested ``<<`` inside a string value is
+    data, not a delimiter) — the same contract pdf_crypt's
+    _balanced_dict keeps.  Used to swallow malformed dicts inside TJ
+    arrays WHOLE so their numeric values never leak as kerns."""
+    depth = 0
+    i = pos
+    n = len(data)
+    while i < n:
+        pair = data[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return i
+        elif data[i : i + 1] == b"<":  # hex string: skip to its '>'
+            end = data.find(b">", i + 1)
+            if end < 0:
+                return None
+            i = end + 1
+        elif data[i : i + 1] == b"(":  # literal string: balanced + escapes
+            pdepth = 1
+            i += 1
+            while i < n and pdepth:
+                c = data[i : i + 1]
+                if c == b"\\":
+                    i += 2
+                    continue
+                if c == b"(":
+                    pdepth += 1
+                elif c == b")":
+                    pdepth -= 1
+                i += 1
+            if pdepth:
+                return None
+        else:
+            i += 1
+    return None
+
+
 def _hex_string_at(data: bytes, pos: int):
     """Parse the hex string whose ``<`` sits at ``pos`` (§7.3.4.3):
     ``(decoded bytes | None, position after the closing '>')``.
@@ -263,10 +308,13 @@ def _tokenize(data: bytes):
                 if sub == b"<":  # hex string (CID TJ arrays kern these)
                     if data[j : j + 2] == b"<<":
                         # malformed: a dict inside a TJ array — swallow
-                        # it WHOLE, or its numeric values would leak
-                        # into the array as phantom kern adjustments
-                        end = data.find(b">>", j + 2)
-                        j = end + 2 if end != -1 else n
+                        # it WHOLE (depth-matched, string-aware), or its
+                        # numeric values would leak into the array as
+                        # phantom kern adjustments.  Unterminated dict:
+                        # skip only the token, so the array's ']' and
+                        # every later show op survive
+                        end = _skip_dict_token(data, j)
+                        j = end if end is not None else j + 2
                         continue
                     s, j = _hex_string_at(data, j)
                     if s is not None:

@@ -23,7 +23,8 @@ is the steady state and is the reported wall — bench.py's convention.
 
 Measured findings (round 5, recorded in BASELINE.md "Query-engine
 scaling"): at x12 the minhash pipeline's 2->8 pairwise efficiency is
-~0.55-0.70 while a pure-JVM compute kernel on the same host scales at
+0.57-0.87 across 9 pairs (medians 0.62-0.68) while a pure-JVM compute
+kernel on the same host scales at
 0.80-0.92 — the gap is a per-query SERIAL FLOOR (driver planning, AQE
 re-planning, ~10 stage schedulings ~= 8.7 s, vs ~55 core-seconds of
 parallel work at x12), not a shuffle-scaling defect: local[32] runs

@@ -1820,6 +1820,20 @@ def test_dict_inside_tj_array_swallowed_whole():
     assert toks[0] == (
         "arr", [("str", b"Hello"), ("str", b"world")]
     )
-    # unterminated dict: consumes to end of data, no leak either
-    toks = list(_tokenize(b"[(a) << /X -400 (b)] TJ"))
-    assert toks[0][1] == [("str", b"a")]
+    # NESTED dict: the swallow must find the MATCHING '>>', not the
+    # first one — the outer dict's -400 must not leak
+    toks = list(_tokenize(b"[(a) << /A << /B 1 >> /C -400 >> (b)] TJ"))
+    assert toks[0] == ("arr", [("str", b"a"), ("str", b"b")])
+    # '>>' inside a string VALUE is data, not the dict close
+    toks = list(_tokenize(b"[(a) << /X (x>>y) /Y -400 >> (b)] TJ"))
+    assert toks[0] == ("arr", [("str", b"a"), ("str", b"b")])
+    # unterminated dict: skip only the token — the -400 may leak (it is
+    # doubly malformed) but the array still CLOSES at its ']' and every
+    # later operator and show op survives
+    toks = list(_tokenize(b"[(a) << /X 1 >] TJ (real text) Tj"))
+    kinds = [(k, v) for k, v in toks]
+    assert ("op", "TJ") in kinds
+    assert ("str", b"real text") in kinds
+    assert ("op", "Tj") in kinds
+    arr = toks[0][1]
+    assert ("str", b"a") in arr

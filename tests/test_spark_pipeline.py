@@ -1578,20 +1578,13 @@ class TestVerticalAndType3ThroughSparkPath:
             extract_pages,
         )
 
-        def _obj(num, body):
-            return b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        from tests.test_pdf_structure import _obj, _stream_obj
 
-        def _stream(num, payload):
-            return (
-                b"%d 0 obj\n<< /Length %d >>\nstream\n" % (num, len(payload))
-                + payload + b"\nendstream\nendobj\n"
-            )
-
-        cmap = (
-            b"8 0 obj\n<< /Length 120 >>\nstream\n"
+        _stream = _stream_obj  # correct /Length computed by the helper
+        cmap = _stream(
+            8,
             b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
-            b"2 beginbfchar <0001> <0041> <0002> <0042> endbfchar\n"
-            b"\nendstream\nendobj\n"
+            b"2 beginbfchar <0001> <0041> <0002> <0042> endbfchar\n",
         )
         vertical = (
             b"%PDF-1.5\n"
