@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deepseek_ocr_customvllm_spark.operators import (
+    curation,
     dedup,
     scrub,
     similarity,
@@ -575,6 +576,18 @@ def _q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition signals: top word-2-gram char fraction +
     duplicated-3-gram char fraction per document."""
     return textstats.repetition_signals(_docs(spark, sf_dir))
+
+
+def _q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing (T5/GPT-3 layout): per-doc
+    shard, token offset, and pack span in the packed training stream."""
+    return curation.sequence_pack(_docs(spark, sf_dir))
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR-style targeted selection: hashed-unigram importance scores
+    toward the src0 slice, top-50 raw docs (integer-exact variant)."""
+    return curation.dsir_select(_docs(spark, sf_dir))
 
 
 _LENGTH_REPORT_SQL = """
@@ -1287,13 +1300,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round N runs in the first 50 of round N+1, so no entry's driver
     # row is ever more than one round stale.  Round 5 order:
     # 1-10   the ten entries without an r04 row (all r03-green);
-    # 11-14  the round-5 additions + dedup_spans_apply (its persist
-    #        default changed this round — fresh row wanted);
-    # 15-50  r04-green entries (resume_anti_join lands at 51 — r04-green,
-    #        within the one-round staleness bound);
-    # 51-63  the r04 front group + three triple-green cheap-oracle
-    #        queries — the freshest evidence, so a truncation here
-    #        loses the least (they rotate forward in round 6).
+    # 11-16  the round-5 additions (incl. sequence_pack / dsir_select,
+    #        brand-new — a first row beats any rotation claim) +
+    #        dedup_spans_apply (its persist default changed this
+    #        round — fresh row wanted);
+    # 17-50  r04-green entries (source_quality_report onward land at
+    #        51+ — r04-green, within the one-round staleness bound);
+    # 51-65  the pushed-out r04-green pair, the r04 front group, and
+    #        three triple-green cheap-oracle queries — the freshest
+    #        evidence, so a truncation here loses the least (they
+    #        rotate forward in round 6).
     return {
         # --- 1-10: r04-stale, must get an r05 row ---
         "events_sessionize": _q_events_sessionize,
@@ -1311,6 +1327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_report_hist": _q_corpus_length_report_hist,
         "dedup_recall_report": _q_dedup_recall_report,
         "dedup_spans_apply": _q_dedup_spans_apply,
+        "sequence_pack": _q_sequence_pack,
+        "dsir_select": _q_dsir_select,
         # --- 15-50: r04-green (resume_anti_join lands at 51) ---
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
@@ -2277,6 +2295,63 @@ FROM fps GROUP BY fp HAVING count(*) > 1
 """,
         "dedup_minhash_lsh": _oracle_minhash(),
         "dedup_recall_report": _oracle_dedup_recall(),
+        "sequence_pack": f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+toks AS (
+  SELECT doc_id,
+         cast(CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END
+              AS bigint) AS n_tokens
+  FROM norm
+),
+sharded AS (
+  SELECT doc_id, n_tokens,
+         cast({dedup.hex_to_bigint_sql("'pack-v1' || cast(doc_id as varchar)", 8)} % 8 AS int) AS shard,
+         md5('pack-v1' || cast(doc_id as varchar)) AS sort_key
+  FROM toks WHERE n_tokens > 0
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         cast(sum(n_tokens) OVER (PARTITION BY shard
+              ORDER BY sort_key, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS bigint) AS e
+  FROM sharded
+)
+SELECT doc_id, shard, n_tokens, e - n_tokens AS start_tok,
+       (e - n_tokens) // 2048 AS pack_first,
+       (e - 1) // 2048 AS pack_last,
+       cast((e - 1) // 2048 - (e - n_tokens) // 2048 + 1 AS int) AS n_packs
+FROM cum
+""",
+        "dsir_select": f"""
+WITH norm AS (
+  SELECT doc_id, source = 'src0' AS is_target, {_NORM_DUCK} AS t
+  FROM documents
+),
+words AS (
+  SELECT doc_id, is_target, unnest(string_split(t, ' ')) AS term
+  FROM norm WHERE t <> ''
+),
+feat AS (
+  SELECT doc_id, is_target,
+         cast({dedup.hex_to_bigint_sql("'dsir-v1' || term", 8)} % 256 AS int) AS bucket,
+         count(*) AS cnt
+  FROM words WHERE term <> '' GROUP BY 1, 2, 3
+),
+dist AS (
+  SELECT bucket,
+         cast(sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS bigint) AS ct,
+         cast(sum(CASE WHEN NOT is_target THEN cnt ELSE 0 END) AS bigint) AS cr
+  FROM feat GROUP BY 1
+),
+ratios AS (SELECT bucket, ((ct + 1) * 10000) // (cr + 1) AS r FROM dist),
+scores AS (
+  SELECT f.doc_id, cast(sum(f.cnt * r.r) AS bigint) AS score
+  FROM feat f JOIN ratios r USING (bucket)
+  WHERE NOT f.is_target GROUP BY 1
+)
+SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 50
+""",
         "dedup_components": f"""
 WITH RECURSIVE pairs AS (
   SELECT id_a, id_b FROM ({_oracle_minhash().strip()}) mh

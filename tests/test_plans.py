@@ -375,3 +375,38 @@ def test_dedup_spans_apply_explodes_grams_once(spark):
     # formatted explain prints each expression twice (tree + detail):
     # >= 4 printed occurrences == the explode exists in >= 2 branches
     assert plan_lazy.count("array_join") >= 4
+
+
+def test_sequence_pack_is_one_exchange_jvm_side(spark):
+    """Packing must be a single hash Exchange on shard feeding the
+    per-shard running window — no Python tier, no global sort, no
+    second shuffle (the shard is the only partitioning the plan needs)."""
+    from deepseek_ocr_customvllm_spark.operators.curation import sequence_pack
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _formatted(sequence_pack(docs))
+    assert "Python" not in plan
+    assert plan.count("Exchange (") == 1, plan
+    assert "hashpartitioning(shard" in plan, plan
+    # the window sorts only within shards — a global Sort (singlepartition
+    # / rangepartitioning) would be the corpus-wide-layout anti-pattern
+    assert "rangepartitioning" not in plan
+
+
+def test_dsir_select_explodes_terms_once(spark):
+    """The token explode is dsir_select's expensive stage; the
+    (doc_id, is_target, bucket) aggregate feeds two consumers (bucket
+    distributions + per-doc scores), so WITHOUT the default
+    localCheckpoint Catalyst re-runs the explode per branch.  Marker:
+    the salted bucket hash literal 'dsir-v1'."""
+    from deepseek_ocr_customvllm_spark.operators.curation import dsir_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan_default = _formatted(dsir_select(docs))
+    assert "dsir-v1" not in plan_default  # ran once, inside the checkpoint
+    assert plan_default.count("Scan ExistingRDD") >= 2  # feat x2 consumers
+    # the 256-row ratio side must broadcast, never shuffle the scores side
+    assert "BroadcastHashJoin" in plan_default or "BroadcastExchange" in plan_default
+
+    plan_lazy = _formatted(dsir_select(docs, persist=False))
+    assert plan_lazy.count("dsir-v1") >= 2  # explode exists in >= 2 branches
