@@ -921,6 +921,21 @@ def _q_ann_recall_clustered(spark, sf_dir):
     return similarity.ann_recall_report(similarity.clustered_embeddings(emb))
 
 
+def _q_semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to coarse-
+    quantizer cells — cluster assignment is a broadcast-literal
+    map-only projection, pairwise cosine runs INSIDE each cell only,
+    and every epsilon-pair keeps its farthest-from-centroid member.
+    Runs over the clustered corpus with planted near-duplicate twins
+    (deterministic union-all derivation) so the drop set has a ground
+    truth; returns the dropped rows with cluster, centroid distance,
+    and epsilon-partner count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_prune(
+        similarity.semdedup_corpus(similarity.clustered_embeddings(emb))
+    )
+
+
 def _q_source_quality_report(spark, sf_dir):
     return textstats.source_quality_report(_docs(spark, sf_dir))
 
@@ -1329,7 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_apply": _q_dedup_spans_apply,
         "sequence_pack": _q_sequence_pack,
         "dsir_select": _q_dsir_select,
-        # --- 15-50: r04-green (resume_anti_join lands at 51) ---
+        "semdedup_prune": _q_semdedup_prune,
+        # --- 18-50: r04-green (tail shifts; see rotation note above) ---
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
         "lang_id_multi": _q_lang_id_multi,
@@ -1750,6 +1766,73 @@ SELECT 'lsh' AS method, n_queries, n_exact,
        floor((SELECT count(*) FROM exact e JOIN lsh USING (query_id, neighbor_id))
              / n_exact * 10000) / 10000 AS recall
 FROM ex_stats
+"""
+
+
+def _oracle_semdedup() -> str:
+    """DuckDB twin of semdedup_prune over semdedup_corpus(clustered):
+    the twin union, the frozen-lattice nearest-centroid assignment
+    (dist = sq - 2*dot + |c|^2, same bigint value as Spark's zip_with
+    (x-y)^2 fold), the cell-local epsilon-pairs with the downscaled
+    integer cosine compare, and the farthest-from-centroid keeper rule."""
+    nc = similarity.SYNTH_CLUSTERS
+    qq = similarity.QUANT
+    ds = similarity.COSINE_DOWNSCALE
+    num, den = similarity.SEMDEDUP_NUM, similarity.SEMDEDUP_DEN
+    tm, tr = similarity.TWIN_MOD, similarity.TWIN_RES
+    toff, tstep = similarity.TWIN_OFFSET, similarity.TWIN_STEP
+    cents = similarity.lattice_centroids()
+    # key term per centroid: (sq - 2*dot(qe, c) + |c|^2) * nc + c
+    key_terms = ", ".join(
+        f"(sq - 2 * cast(list_dot_product(qe, {c}) as bigint)"
+        f" + {sum(v * v for v in c)}) * {nc} + {j}"
+        for j, c in enumerate(cents)
+    )
+    return f"""
+WITH {_clustered_cte()},
+tw AS (
+  SELECT vec_id, embedding FROM cl
+  UNION ALL
+  SELECT vec_id + {toff} AS vec_id,
+         list_transform(embedding, (x, j) ->
+           cast(cast(round(x * {qq}) as bigint)
+                + ((vec_id + (j - 1) * 7) % 13 - 6) * {tstep}
+                as double) / {qq}) AS embedding
+  FROM cl WHERE vec_id % {tm} = {tr}
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(round(x * {qq}) as bigint)) AS qe
+  FROM tw
+),
+qs AS (SELECT vec_id, qe, cast(list_dot_product(qe, qe) as bigint) AS sq FROM q),
+asg AS (SELECT vec_id, qe, least({key_terms}) AS key FROM qs),
+vecs AS (
+  SELECT vec_id, qe, cast(key % {nc} AS int) AS cluster,
+         cast(key // {nc} AS bigint) AS dist
+  FROM asg
+),
+p AS (
+  SELECT a.vec_id AS vec_id, a.cluster AS cluster, a.dist AS dist,
+         b.vec_id AS o_id, b.dist AS o_dist,
+         cast(list_dot_product(a.qe, b.qe) as bigint) AS dot,
+         cast(list_dot_product(a.qe, a.qe) as bigint) AS sq_a,
+         cast(list_dot_product(b.qe, b.qe) as bigint) AS sq_b
+  FROM vecs a JOIN vecs b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+),
+e AS (
+  SELECT * FROM p
+  WHERE dot > 0
+    AND {den} * ((dot // {ds}) * (dot // {ds}))
+        >= {num} * (sq_a // {ds}) * (sq_b // {ds})
+)
+SELECT vec_id, cluster, dist, count(*) AS n_dup_partners
+FROM e
+GROUP BY vec_id, cluster, dist
+HAVING max(CASE WHEN o_dist > dist OR (o_dist = dist AND o_id < vec_id)
+           THEN 1 ELSE 0 END) = 1
+ORDER BY vec_id
 """
 
 
@@ -2398,6 +2481,7 @@ SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {similarity.TO
         "ann_recall_clustered": _oracle_ann_recall(
             source="cl", prefix_cte=_clustered_cte() + ",\n"
         ),
+        "semdedup_prune": _oracle_semdedup(),
         "ann_ivf_topk": f"""
 WITH q AS (
   SELECT vec_id,

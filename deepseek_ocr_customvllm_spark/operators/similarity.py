@@ -441,3 +441,165 @@ def ann_recall_report(
             )
         )
     return rows[0].unionByName(rows[1])
+
+
+# --- SemDeDup: semantic dedup inside coarse-quantizer cells ------------
+#
+# Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication") cluster the embedding corpus with
+# k-means, compute pairwise cosines INSIDE each cluster only, and for
+# every epsilon-ball keep the member farthest from the cluster centroid.
+# The cluster scoping is what makes the O(n^2) pairwise affordable: with
+# k ~ n / target_cell (they use k = 50,000 on LAION-440M, cells of
+# ~10^4) each cell's pairwise is independent work for one executor and
+# the corpus-wide cross join never exists.
+#
+# The twins corpus below gives the operator a deterministic planted
+# ground truth (the clustered corpus alone has no near-duplicates:
+# within-cluster cosines are 0.990-0.997 at step 400), and the frozen
+# lattice codebook replaces the k-means driver loop so the DuckDB
+# oracle can reproduce the assignment as a pure projection.
+
+TWIN_MOD = 4          # vec_id % TWIN_MOD == TWIN_RES -> row gets a twin
+TWIN_RES = 1
+TWIN_OFFSET = 1_000_000   # twin vec_id = base vec_id + TWIN_OFFSET
+TWIN_STEP = 15        # perturbation amplitude on the quantized scale
+# cos^2 >= 9960/10000 (cos ~ 0.998): strictly between the planted-twin
+# cosines (~0.9993 measured: perturbation norm^2 ~ 2e5 vs vector norm^2
+# ~ 1.4e8) and the same-cluster baseline max (0.997 measured at
+# sf0.001/sf0.01) — ~2e-3 margin each side, >> the ~1.5e-5 relative
+# truncation error of the downscaled integer compare
+SEMDEDUP_NUM = 9960
+SEMDEDUP_DEN = 10_000
+
+
+def lattice_centroids(
+    n_clusters: int = SYNTH_CLUSTERS,
+    center_step: int = CENTER_STEP,
+    dim: int = DIM,
+) -> List[List[int]]:
+    """The frozen centers of :func:`clustered_embeddings`, as literals —
+    the coarse-quantizer codebook for :func:`semdedup_prune`."""
+    return [
+        [((c * 37 + j * 101) % 13 - 6) * center_step for j in range(dim)]
+        for c in range(n_clusters)
+    ]
+
+
+def semdedup_corpus(emb: DataFrame) -> DataFrame:
+    """Plant deterministic near-duplicate twins into an embedding corpus.
+
+    Every row with ``vec_id % TWIN_MOD == TWIN_RES`` emits a second row
+    (``vec_id + TWIN_OFFSET``) whose quantized embedding is the base
+    plus a frozen lattice perturbation ``((vec_id + j*7) % 13 - 6) *
+    TWIN_STEP`` — a UNION ALL, never a join, so the derivation is one
+    map-side pass and the DuckDB twin is the same two-branch union.
+    Perturbed components shift by at most ±90 on the quantized scale
+    (vector components average ~±1500), so twin pairs sit at cos ~
+    0.9993 while unrelated same-cluster pairs stay <= 0.997.
+    """
+    twin = emb.filter(F.col("vec_id") % TWIN_MOD == TWIN_RES).select(
+        (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
+        F.expr(
+            f"transform(embedding, (x, j) -> "
+            f"cast(cast(round(x * {QUANT}) as bigint)"
+            f" + ((vec_id + j * 7) % 13 - 6) * {TWIN_STEP}"
+            f" as double) / {QUANT})"
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(twin)
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    n_clusters: int = SYNTH_CLUSTERS,
+    center_step: int = CENTER_STEP,
+    num: int = SEMDEDUP_NUM,
+    den: int = SEMDEDUP_DEN,
+) -> DataFrame:
+    """SemDeDup pruning: which rows does semantic dedup drop, and why.
+
+    Stages (all JVM-side, integer-exact):
+
+    1. **Coarse assignment** — nearest centroid from the frozen lattice
+       codebook (:func:`lattice_centroids`), squared-L2 in bigint via
+       broadcast literals: a map-only projection, zero shuffle
+       (the k-means analogue :func:`kmeans_clusters` learns centroids;
+       here the codebook is frozen so the oracle can replay it).
+    2. **Cell-local pairwise** — self-join on ``cluster`` only, cosine
+       threshold ``cos^2 >= num/den`` via the cross-multiplied integer
+       compare of :func:`embedding_cosine_duplicates` (downscale ``div
+       1000`` keeps products under 2^63; identical in both engines).
+    3. **Keeper rule** — per Abbas et al. §2: within an epsilon-pair the
+       member FARTHEST from the centroid is kept (it preserves cluster
+       diversity); a row is dropped iff SOME epsilon-partner beats it on
+       ``(dist, -vec_id)``.  Pairwise dominance, not connected
+       components: every epsilon-ball keeps at least its farthest
+       member, and the rule needs one aggregation, not an iterative
+       label propagation.
+
+    Returns the DROPPED rows: ``(vec_id, cluster, dist,
+    n_dup_partners)`` ordered by vec_id.
+
+    Scale shape: one Exchange on ``cluster`` for the self-join; cell
+    sizes are the coarse quantizer's design knob (k ~ n / 10^4 keeps
+    each cell's pairwise ~10^8 integer ops, one executor-core each,
+    embarrassingly parallel across cells — exactly the SemDeDup-paper
+    regime), so the corpus-wide cross join never exists at any scale.
+    """
+    centroids = lattice_centroids(n_clusters, center_step)
+    q = quantized(emb).select("vec_id", "qe")
+    assigned = _assign_clusters(q, centroids, n_clusters)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    ds = COSINE_DOWNSCALE
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.dist").alias("dist"),
+            F.col("b.vec_id").alias("o_id"),
+            F.col("b.dist").alias("o_dist"),
+            F.expr(
+                "aggregate(zip_with(a.qe, b.qe, (x, y) -> x * y),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.expr(
+                "aggregate(zip_with(a.qe, a.qe, (x, y) -> x * y),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("sq_a"),
+            F.expr(
+                "aggregate(zip_with(b.qe, b.qe, (x, y) -> x * y),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("sq_b"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(den)
+                * (F.expr(f"dot div {ds}") * F.expr(f"dot div {ds}"))
+                >= F.lit(num)
+                * F.expr(f"sq_a div {ds}")
+                * F.expr(f"sq_b div {ds}")
+            )
+        )
+    )
+    # dropped iff some partner dominates on (dist, -vec_id); count all
+    # epsilon-partners alongside for the report
+    beats = (F.col("o_dist") > F.col("dist")) | (
+        (F.col("o_dist") == F.col("dist")) & (F.col("o_id") < F.col("vec_id"))
+    )
+    return (
+        pairs.groupBy("vec_id", "cluster", "dist")
+        .agg(
+            F.count("*").alias("n_dup_partners"),
+            F.max(beats.cast("int")).alias("_beaten"),
+        )
+        .filter(F.col("_beaten") == 1)
+        .drop("_beaten")
+        .orderBy("vec_id")
+    )

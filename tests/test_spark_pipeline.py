@@ -1565,6 +1565,61 @@ class TestDedupRecallReport:
         assert 1000000 % 4 == 0 and 2000000 % 4 == 0
 
 
+class TestSemDeDup:
+    """Round-5: SemDeDup pruning (Abbas et al. 2023) against its
+    planted ground truth — every twin pair drops exactly one member,
+    the keeper is the farther-from-centroid one, and a corpus without
+    planted twins drops nothing (no false positives at the frozen
+    threshold)."""
+
+    def test_planted_twins_drop_exactly_one_member_each(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        corpus = similarity.semdedup_corpus(
+            similarity.clustered_embeddings(emb)
+        )
+        dropped = {
+            r["vec_id"]: r
+            for r in similarity.semdedup_prune(corpus).collect()
+        }
+        bases = [
+            r["vec_id"]
+            for r in emb.filter(
+                F.col("vec_id") % similarity.TWIN_MOD == similarity.TWIN_RES
+            ).collect()
+        ]
+        assert len(dropped) == len(bases) > 0
+        # distances under the frozen codebook, for the keeper check
+        q = similarity.quantized(corpus).select("vec_id", "qe")
+        dists = {
+            r["vec_id"]: r["dist"]
+            for r in similarity._assign_clusters(
+                q, similarity.lattice_centroids(), similarity.SYNTH_CLUSTERS
+            ).collect()
+        }
+        for b in bases:
+            t = b + similarity.TWIN_OFFSET
+            assert (b in dropped) != (t in dropped)  # exactly one
+            lose = b if b in dropped else t
+            keep = t if b in dropped else b
+            # keeper rule: the kept member beats the dropped one on
+            # (dist, -vec_id) — farthest from centroid survives
+            assert (dists[keep], -keep) > (dists[lose], -lose)
+            assert dropped[lose]["n_dup_partners"] == 1
+
+    def test_no_false_positives_without_twins(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        assert (
+            similarity.semdedup_prune(
+                similarity.clustered_embeddings(emb)
+            ).count()
+            == 0
+        )
+
+
 class TestVerticalAndType3ThroughSparkPath:
     """Round-5 extraction features ride the full distributed path: a
     WMode-1 (Identity-V) column and a Type3 /FontMatrix page must
