@@ -936,6 +936,23 @@ def _q_semdedup_prune(spark, sf_dir):
     )
 
 
+def _q_temperature_sample(spark, sf_dir):
+    """Temperature (alpha = 0.5) multilingual resampling: per-language
+    quotas proportional to isqrt(n_l) — the mT5/XLM-R corpus-mixing
+    step — selected by deterministic md5 rank.  Integer square root via
+    portable floor(sqrt(double)); one Exchange (quota broadcast joins
+    the rank window's lang partitioning)."""
+    return curation.temperature_sample(_docs(spark, sf_dir))
+
+
+def _q_ccnet_bucket(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing: per-language unigram
+    surprisal (bit-width of inverse relative frequency — the portable
+    integer log2), mean bits per token per doc, exact per-language
+    terciles."""
+    return curation.ccnet_bucket(_docs(spark, sf_dir))
+
+
 def _q_source_quality_report(spark, sf_dir):
     return textstats.source_quality_report(_docs(spark, sf_dir))
 
@@ -1315,13 +1332,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round N runs in the first 50 of round N+1, so no entry's driver
     # row is ever more than one round stale.  Round 5 order:
     # 1-10   the ten entries without an r04 row (all r03-green);
-    # 11-16  the round-5 additions (incl. sequence_pack / dsir_select,
+    # 11-19  the round-5 additions (sequence_pack / dsir_select /
+    #        semdedup_prune / temperature_sample / ccnet_bucket,
     #        brand-new — a first row beats any rotation claim) +
     #        dedup_spans_apply (its persist default changed this
     #        round — fresh row wanted);
-    # 17-50  r04-green entries (source_quality_report onward land at
+    # 20-50  r04-green entries (ann_lsh_topk onward land at
     #        51+ — r04-green, within the one-round staleness bound);
-    # 51-65  the pushed-out r04-green pair, the r04 front group, and
+    # 51-68  the pushed-out r04-green entries, the r04 front group, and
     #        three triple-green cheap-oracle queries — the freshest
     #        evidence, so a truncation here loses the least (they
     #        rotate forward in round 6).
@@ -1345,7 +1363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "dsir_select": _q_dsir_select,
         "semdedup_prune": _q_semdedup_prune,
-        # --- 18-50: r04-green (tail shifts; see rotation note above) ---
+        "temperature_sample": _q_temperature_sample,
+        "ccnet_bucket": _q_ccnet_bucket,
+        # --- 20-50: r04-green (tail shifts; see rotation note above) ---
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
         "lang_id_multi": _q_lang_id_multi,
@@ -2434,6 +2454,65 @@ scores AS (
   WHERE NOT f.is_target GROUP BY 1
 )
 SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 50
+""",
+        "temperature_sample": """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+i AS (
+  SELECT lang, n_docs,
+         cast(floor(sqrt(cast(n_docs as double))) as bigint) AS isq
+  FROM c
+),
+t AS (SELECT cast(sum(isq) AS bigint) AS s FROM i),
+q AS (
+  SELECT lang, n_docs, (150 * isq) // s AS quota FROM i CROSS JOIN t
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('temp-v1' || cast(doc_id as varchar)), doc_id
+         ) AS samp_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang, q.n_docs, q.quota, r.samp_rank
+FROM r JOIN q USING (lang)
+WHERE samp_rank <= quota
+ORDER BY doc_id
+""",
+        "ccnet_bucket": f"""
+WITH norm AS (SELECT doc_id, lang, {_NORM_DUCK} AS t FROM documents),
+words AS (
+  SELECT doc_id, lang, unnest(string_split(t, ' ')) AS term
+  FROM norm WHERE t <> ''
+),
+tf AS (
+  SELECT doc_id, lang, term, count(*) AS cnt
+  FROM words WHERE term <> '' GROUP BY 1, 2, 3
+),
+lm AS (SELECT lang, term, cast(sum(cnt) AS bigint) AS c FROM tf GROUP BY 1, 2),
+tot AS (SELECT lang, cast(sum(c) AS bigint) AS tt FROM lm GROUP BY 1),
+bits AS (
+  SELECT lm.lang, term, cast(length(bin(tt // c)) as int) AS bits
+  FROM lm JOIN tot USING (lang)
+),
+doc AS (
+  SELECT doc_id, tf.lang,
+         (1000 * cast(sum(cnt * bits) AS bigint))
+           // cast(sum(cnt) AS bigint) AS bits_x1000
+  FROM tf JOIN bits USING (lang, term) GROUP BY 1, 2
+),
+n AS (SELECT lang, count(*) AS nl FROM doc GROUP BY 1),
+r AS (
+  SELECT doc_id, lang, bits_x1000,
+         row_number() OVER (PARTITION BY lang ORDER BY bits_x1000, doc_id) AS r
+  FROM doc
+)
+SELECT doc_id, r.lang, bits_x1000,
+       CASE WHEN r * 3 <= nl THEN 'head'
+            WHEN r * 3 <= 2 * nl THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM r JOIN n USING (lang)
+ORDER BY doc_id
 """,
         "dedup_components": f"""
 WITH RECURSIVE pairs AS (

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .textstats import with_norm
 
@@ -193,3 +194,145 @@ def dsir_select(
         .agg(F.sum(F.col("cnt") * F.col("r")).alias("score"))
     )
     return scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def temperature_sample(
+    df: DataFrame,
+    budget: int = 150,
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-based multilingual resampling (alpha = 0.5): the
+    corpus-mixing step multilingual pretraining uses to keep head
+    languages from drowning the tail (mT5, Xue et al. 2021 §3.1;
+    XLM-R, Conneau et al. 2020 §3 — they sample language l with
+    probability proportional to ``n_l^alpha``).
+
+    Per-language quota = ``(budget * isqrt(n_l)) div sum_m isqrt(n_m)``
+    — the alpha = 0.5 exponent computed as an INTEGER square root:
+    ``floor(sqrt(double(n)))`` is exact and engine-portable (IEEE-754
+    requires correctly-rounded sqrt, and no integer below 2^52 can
+    round across a perfect square), so no transcendental ever reaches
+    the compare path.  Selection within a language is the md5-rank
+    prefix (deterministic, corpus-stable — the same portable-hash
+    device as ``doc_sample``/``lang_stratified_sample``; what
+    temperature sampling adds is the sublinear per-language quota).
+
+    Returns the sampled docs: ``(doc_id, lang, n_docs, quota,
+    samp_rank)`` — quota and population alongside each row so the
+    mixing ratios are auditable.
+
+    Scale shape: language counts are a map-side-combined aggregate of
+    ~10^2 rows, broadcast back; the md5 rank window hashes on ``lang``
+    — the same key as the count aggregate, ONE Exchange total.  The
+    per-language window sort holds only (doc_id, sort-key) projections;
+    for a language too large for one partition sort the histogram
+    device of ``corpus_length_report`` applies (rank depends only on
+    the md5-key multiset).
+    """
+    d = df.select("doc_id", "lang")
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "isq",
+            F.expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"),
+        )
+    )
+    tot = counts.agg(F.sum("isq").alias("s"))
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"({budget} * isq) div s").alias("quota"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ranked = d.withColumn("samp_rank", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .filter(F.col("samp_rank") <= F.col("quota"))
+        .select("doc_id", "lang", "n_docs", "quota", "samp_rank")
+        .orderBy("doc_id")
+    )
+
+
+def ccnet_bucket(
+    df: DataFrame,
+    scale: int = 1000,
+    persist: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document by its
+    mean per-token surprisal under a language model fit on the corpus
+    itself, then split each language into head / middle / tail thirds
+    (Wenzek et al. 2020 §4.3 — the head/middle/tail partition is what
+    downstream LLM-data pipelines consume as a quality tier).
+
+    CCNet scores with a KenLM 5-gram; this graft uses the corpus's own
+    per-language UNIGRAM model with an integer surprisal measure:
+    ``bits(term) = length(bin(T_lang div c_term))`` — the bit-width of
+    the inverse relative frequency, i.e. ``floor(log2(T/c)) + 1``.
+    ``bin()`` is the engine-portable integer log2 (Spark and DuckDB
+    render identical minimal binary strings), so the whole score path
+    is bigint-exact — no libm ``ln`` whose last ulp could differ
+    between JVM and DuckDB (same device as ``dsir_select``).  The doc
+    score is ``(scale * sum(cnt * bits)) div sum(cnt)`` — mean bits
+    per token, scaled.
+
+    Returns ``(doc_id, lang, bits_x1000, ppl_bucket)`` with
+    ``ppl_bucket`` in {'head', 'middle', 'tail'} — head = lowest
+    surprisal, per CCNet's convention.  Tercile boundaries use exact
+    ranks (``rank * 3 <= n_l``), ties broken by doc_id.
+
+    Scale shape: the token explode aggregates straight to
+    (doc_id, lang, term) counts with map-side combine, and that
+    aggregate is localCheckpoint-ed by default because it feeds BOTH
+    the language model and the per-doc scores (``persist=False`` would
+    re-run the explode per consumer — the dsir_select /
+    dedup_spans_apply lesson).  The LM join shuffles on (lang, term)
+    — vocabulary-sized, map-side combined; language totals are ~10^2
+    rows, broadcast.  The per-language tercile window holds only
+    (doc_id, score) pairs; scores live in a bounded integer domain
+    (<= scale * 64), so the ``corpus_length_report`` histogram escape
+    applies verbatim if one language outgrows a partition sort.
+    """
+    d = with_norm(df).select("doc_id", "lang", "t")
+    words = (
+        d.filter(F.col("t") != "")
+        .select("doc_id", "lang", F.explode(F.split("t", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = words.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("cnt"))
+    if persist:
+        # eager cut: the explode runs exactly once; the LM and the doc
+        # scores both read the materialized counts
+        tf = tf.localCheckpoint()
+    lm = tf.groupBy("lang", "term").agg(F.sum("cnt").alias("c"))
+    tot = lm.groupBy("lang").agg(F.sum("c").alias("tt"))
+    bits = lm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "term",
+        F.expr("cast(length(bin(tt div c)) as int)").alias("bits"),
+    )
+    doc = (
+        tf.join(bits, ["lang", "term"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(f"({scale} * sum(cnt * bits)) div sum(cnt)").alias(
+                "bits_x1000"
+            )
+        )
+    )
+    n_l = doc.groupBy("lang").agg(F.count("*").alias("nl"))
+    w = Window.partitionBy("lang").orderBy("bits_x1000", "doc_id")
+    ranked = doc.withColumn("r", F.row_number().over(w)).join(
+        F.broadcast(n_l), "lang"
+    )
+    bucket = (
+        F.when(F.col("r") * 3 <= F.col("nl"), F.lit("head"))
+        .when(F.col("r") * 3 <= 2 * F.col("nl"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        "doc_id", "lang", "bits_x1000", bucket.alias("ppl_bucket")
+    ).orderBy("doc_id")

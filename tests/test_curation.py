@@ -164,3 +164,107 @@ def test_dsir_select_scores_are_descending_and_capped(spark, docs):
     kth = scores[-1]
     better = [r for r in all_scores if r.score > kth]
     assert len(better) <= 25
+
+
+def test_temperature_sample_quotas_follow_sqrt(spark):
+    """alpha = 0.5 means a 16:1 population imbalance becomes a 4:1
+    sampling imbalance — the tail-language upweighting that IS
+    temperature sampling (mT5 §3.1)."""
+    from deepseek_ocr_customvllm_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    rows = [
+        (i, "big" if i < 1600 else "small", f"doc {i}")
+        for i in range(1700)  # big: 1600 docs, small: 100 docs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = temperature_sample(df, budget=100).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    qb = by_lang["big"][0].quota
+    qs = by_lang["small"][0].quota
+    # isqrt(1600)=40, isqrt(100)=10 -> quotas 100*40//50=80, 100*10//50=20
+    assert (qb, qs) == (80, 20)
+    # proportional sampling would have given small ~5 of 100 — the
+    # temperature exponent quadruples its share
+    assert len(by_lang["big"]) == qb and len(by_lang["small"]) == qs
+    # every emitted rank is within quota and ranks are distinct per lang
+    for lang, rs in by_lang.items():
+        ranks = sorted(r.samp_rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+
+
+def test_temperature_sample_is_deterministic(spark, docs):
+    from deepseek_ocr_customvllm_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    a = [tuple(r) for r in temperature_sample(docs).collect()]
+    b = [tuple(r) for r in temperature_sample(docs).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_integer_sqrt_is_exact_at_perfect_square_boundaries(spark):
+    """The quota path trusts floor(sqrt(double(n))) to be exact: IEEE
+    correctly-rounded sqrt cannot round k^2 - 1 up to k, nor k^2 below
+    k, for any n < 2^52.  Pin it through the same Spark expression the
+    operator uses, at the boundaries where it would first break."""
+    ks = [2, 3, 10, 1000, 2**20, 2**26 - 1]
+    cases = []
+    for k in ks:
+        cases.append((k * k, k))
+        cases.append((k * k - 1, k - 1))
+        cases.append((k * k + 1, k))
+    df = spark.createDataFrame(cases, "n long, want long")
+    bad = df.filter(
+        F.expr("cast(floor(sqrt(cast(n as double))) as bigint) != want")
+    ).count()
+    assert bad == 0
+
+
+def test_ccnet_bucket_orders_rare_token_docs_into_tail(spark):
+    """Docs made of corpus-rare tokens must land in 'tail' (high
+    surprisal), docs of the dominant token in 'head', and the per-lang
+    tercile sizes must differ by at most one."""
+    from deepseek_ocr_customvllm_spark.operators.curation import ccnet_bucket
+
+    rows = []
+    # 9 docs in one language: 3 of a dominant token (repeated), 3 mixed,
+    # 3 of per-doc-unique rare tokens
+    for i in range(3):
+        rows.append((i, "xx", "common " * 50))
+    for i in range(3, 6):
+        rows.append((i, "xx", "common common rare" + str(i) + " "))
+    for i in range(6, 9):
+        rows.append((i, "xx", ("unique" + str(i) + "x ") * 2))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in ccnet_bucket(df).collect()}
+    assert len(out) == 9
+    buckets = [out[i].ppl_bucket for i in range(9)]
+    assert buckets[:3] == ["head"] * 3
+    assert buckets[6:] == ["tail"] * 3
+    from collections import Counter
+
+    sizes = Counter(buckets)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # scores are monotone with the construction
+    assert out[0].bits_x1000 < out[3].bits_x1000 < out[6].bits_x1000
+
+
+def test_ccnet_bucket_bits_formula(spark):
+    """One language, two terms: the dominant term's surprisal is the
+    bit-width of T/c — pin the arithmetic end to end."""
+    from deepseek_ocr_customvllm_spark.operators.curation import ccnet_bucket
+
+    # 'a' appears 12 times, 'b' 4 times -> T=16; bits(a)=len(bin(16//12=1))=1,
+    # bits(b)=len(bin(16//4=4))=3
+    rows = [
+        (0, "xx", "a a a a a a a a a a a a"),
+        (1, "xx", "b b b b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in ccnet_bucket(df).collect()}
+    assert out[0].bits_x1000 == 1000 * 1
+    assert out[1].bits_x1000 == 1000 * 3

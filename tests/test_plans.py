@@ -410,3 +410,24 @@ def test_dsir_select_explodes_terms_once(spark):
 
     plan_lazy = _formatted(dsir_select(docs, persist=False))
     assert plan_lazy.count("dsir-v1") >= 2  # explode exists in >= 2 branches
+
+
+def test_ccnet_bucket_explodes_terms_once(spark):
+    """ccnet_bucket's token explode feeds both the language model and
+    the per-doc scores; the default localCheckpoint must cut the
+    lineage so the explode runs once.  Marker: the Generate node
+    (formatted explain prints explode as 'Generate (n)' tree lines plus
+    an '(n) Generate' detail block).  The checkpointed plan reads the
+    materialized counts from ExistingRDD in >= 2 branches and has no
+    Generate at all; the lazy plan re-runs the explode per consumer."""
+    from deepseek_ocr_customvllm_spark.operators.curation import ccnet_bucket
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan_default = _formatted(ccnet_bucket(docs))
+    assert "Generate" not in plan_default
+    assert plan_default.count("Scan ExistingRDD") >= 2
+    # language totals (~10^2 rows) broadcast into the bits join
+    assert "BroadcastHashJoin" in plan_default or "BroadcastExchange" in plan_default
+
+    plan_lazy = _formatted(ccnet_bucket(docs, persist=False))
+    assert plan_lazy.count("Generate") >= 2
