@@ -200,6 +200,7 @@ def temperature_sample(
     df: DataFrame,
     budget: int = 150,
     salt: str = "temp-v1",
+    persist: bool = True,
 ) -> DataFrame:
     """Temperature-based multilingual resampling (alpha = 0.5): the
     corpus-mixing step multilingual pretraining uses to keep head
@@ -222,8 +223,11 @@ def temperature_sample(
     mixing ratios are auditable.
 
     Scale shape: language counts are a map-side-combined aggregate of
-    ~10^2 rows, broadcast back; the md5 rank window hashes on ``lang``
-    — the same key as the count aggregate, ONE Exchange total.  The
+    ~10^2 rows, localCheckpoint-ed by default — it feeds two consumers
+    (the isqrt total and the quotas), and without the cut each branch
+    would re-scan the corpus (the dsir_select lesson; the checkpoint
+    itself is ~10^2 rows).  Quotas broadcast back; the one full-data
+    Exchange is the md5 rank window's hash on ``lang``.  The
     per-language window sort holds only (doc_id, sort-key) projections;
     for a language too large for one partition sort the histogram
     device of ``corpus_length_report`` applies (rank depends only on
@@ -238,6 +242,10 @@ def temperature_sample(
             F.expr("cast(floor(sqrt(cast(n_docs as double))) as bigint)"),
         )
     )
+    if persist:
+        # eager cut: the corpus count aggregate runs exactly once; the
+        # total and the quota projection both read the ~10^2-row result
+        counts = counts.localCheckpoint()
     tot = counts.agg(F.sum("isq").alias("s"))
     quotas = counts.crossJoin(F.broadcast(tot)).select(
         "lang",
@@ -289,7 +297,9 @@ def ccnet_bucket(
     aggregate is localCheckpoint-ed by default because it feeds BOTH
     the language model and the per-doc scores (``persist=False`` would
     re-run the explode per consumer — the dsir_select /
-    dedup_spans_apply lesson).  The LM join shuffles on (lang, term)
+    dedup_spans_apply lesson); the vocabulary aggregate ``lm`` is cut
+    the same way (it feeds the language totals AND the bits
+    projection).  The LM join shuffles on (lang, term)
     — vocabulary-sized, map-side combined; language totals are ~10^2
     rows, broadcast.  The per-language tercile window holds only
     (doc_id, score) pairs; scores live in a bounded integer domain
@@ -308,6 +318,11 @@ def ccnet_bucket(
         # scores both read the materialized counts
         tf = tf.localCheckpoint()
     lm = tf.groupBy("lang", "term").agg(F.sum("cnt").alias("c"))
+    if persist:
+        # lm also feeds two consumers (language totals + the bits
+        # projection); without the cut the vocabulary aggregate — a
+        # full shuffle over the (doc, term) counts — runs twice
+        lm = lm.localCheckpoint()
     tot = lm.groupBy("lang").agg(F.sum("c").alias("tt"))
     bits = lm.join(F.broadcast(tot), "lang").select(
         "lang",

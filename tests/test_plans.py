@@ -431,3 +431,21 @@ def test_ccnet_bucket_explodes_terms_once(spark):
 
     plan_lazy = _formatted(ccnet_bucket(docs, persist=False))
     assert plan_lazy.count("Generate") >= 2
+
+
+def test_temperature_sample_scans_corpus_once_per_branch_cut(spark):
+    """The lang-count aggregate feeds two consumers (isqrt total +
+    quotas); the default localCheckpoint leaves exactly ONE corpus
+    scan in the final plan (the rank window's) — formatted explain
+    prints each node twice, so 1 scan == count 2.  The lazy variant
+    demonstrably re-scans per branch (3 scans == count 6)."""
+    from deepseek_ocr_customvllm_spark.operators.curation import (
+        temperature_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan_default = _formatted(temperature_sample(docs))
+    assert plan_default.count("Scan parquet") <= 2
+    assert plan_default.count("Scan ExistingRDD") >= 2
+    plan_lazy = _formatted(temperature_sample(docs, persist=False))
+    assert plan_lazy.count("Scan parquet") >= 6
