@@ -953,6 +953,15 @@ def _q_ccnet_bucket(spark, sf_dir):
     return curation.ccnet_bucket(_docs(spark, sf_dir))
 
 
+def _q_training_set_assembly(spark, sf_dir):
+    """The curation capstone as one composed lineage: exact dedup
+    (fingerprint keeper) → min-length gate → temperature (alpha=0.5)
+    language rebalancing → concat-and-chunk packed layout.  Every
+    stage is a sibling operator's core, so the composite is
+    bit-reproducible and fully oracle-checked end to end."""
+    return curation.training_set_assembly(_docs(spark, sf_dir))
+
+
 def _q_source_quality_report(spark, sf_dir):
     return textstats.source_quality_report(_docs(spark, sf_dir))
 
@@ -1332,14 +1341,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round N runs in the first 50 of round N+1, so no entry's driver
     # row is ever more than one round stale.  Round 5 order:
     # 1-10   the ten entries without an r04 row (all r03-green);
-    # 11-19  the round-5 additions (sequence_pack / dsir_select /
-    #        semdedup_prune / temperature_sample / ccnet_bucket,
+    # 11-20  the round-5 additions (sequence_pack / dsir_select /
+    #        semdedup_prune / temperature_sample / ccnet_bucket /
+    #        training_set_assembly,
     #        brand-new — a first row beats any rotation claim) +
     #        dedup_spans_apply (its persist default changed this
     #        round — fresh row wanted);
     # 20-50  r04-green entries (ann_lsh_topk onward land at
     #        51+ — r04-green, within the one-round staleness bound);
-    # 51-68  the pushed-out r04-green entries, the r04 front group, and
+    # 51-69  the pushed-out r04-green entries, the r04 front group, and
     #        three triple-green cheap-oracle queries — the freshest
     #        evidence, so a truncation here loses the least (they
     #        rotate forward in round 6).
@@ -1365,7 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": _q_semdedup_prune,
         "temperature_sample": _q_temperature_sample,
         "ccnet_bucket": _q_ccnet_bucket,
-        # --- 20-50: r04-green (tail shifts; see rotation note above) ---
+        "training_set_assembly": _q_training_set_assembly,
+        # --- 21-50: r04-green (tail shifts; see rotation note above) ---
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
         "lang_id_multi": _q_lang_id_multi,
@@ -2477,6 +2488,55 @@ r AS (
 SELECT r.doc_id, r.lang, q.n_docs, q.quota, r.samp_rank
 FROM r JOIN q USING (lang)
 WHERE samp_rank <= quota
+ORDER BY doc_id
+""",
+        "training_set_assembly": f"""
+WITH norm AS (SELECT doc_id, lang, {_NORM_DUCK} AS t FROM documents),
+toks AS (
+  SELECT doc_id, lang, md5(t) AS fp,
+         cast(CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END
+              AS bigint) AS n_tokens
+  FROM norm
+),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM toks GROUP BY fp),
+kept AS (SELECT t.* FROM toks t JOIN keep USING (fp, doc_id)),
+gated AS (SELECT * FROM kept WHERE n_tokens >= 10),
+c AS (SELECT lang, count(*) AS n_docs FROM gated GROUP BY lang),
+i AS (
+  SELECT lang, n_docs,
+         cast(floor(sqrt(cast(n_docs as double))) as bigint) AS isq
+  FROM c
+),
+tt AS (SELECT cast(sum(isq) AS bigint) AS s FROM i),
+q AS (SELECT lang, (200 * isq) // s AS quota FROM i CROSS JOIN tt),
+r AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('temp-v1' || cast(doc_id as varchar)), doc_id
+         ) AS samp_rank
+  FROM gated
+),
+sampled AS (SELECT r.* FROM r JOIN q USING (lang) WHERE samp_rank <= quota),
+sharded AS (
+  SELECT doc_id, lang, n_tokens,
+         cast({dedup.hex_to_bigint_sql("'pack-v1' || cast(doc_id as varchar)", 8)} % 8 AS int) AS shard,
+         md5('pack-v1' || cast(doc_id as varchar)) AS sort_key
+  FROM sampled WHERE n_tokens > 0
+),
+cum AS (
+  SELECT doc_id, lang, shard, n_tokens,
+         cast(sum(n_tokens) OVER (PARTITION BY shard
+              ORDER BY sort_key, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS bigint) AS e
+  FROM sharded
+)
+SELECT doc_id, lang, shard, n_tokens, e - n_tokens AS start_tok,
+       (e - n_tokens) // 512 AS pack_first,
+       (e - 1) // 512 AS pack_last,
+       cast((e - 1) // 512 - (e - n_tokens) // 512 + 1 AS int) AS n_packs
+FROM cum
 ORDER BY doc_id
 """,
         "ccnet_bucket": f"""

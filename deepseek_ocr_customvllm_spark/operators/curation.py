@@ -71,8 +71,6 @@ def sequence_pack(
     the property that makes training-data audits and resumable packing
     possible.  All outputs are integers (no floats anywhere).
     """
-    from pyspark.sql.window import Window
-
     toks = with_norm(df).select(
         "doc_id",
         F.when(F.col("t") == "", F.lit(0))
@@ -80,6 +78,18 @@ def sequence_pack(
         .cast("bigint")
         .alias("n_tokens"),
     )
+    return _pack_layout(toks, seq_len, n_shards, salt)
+
+
+def _pack_layout(
+    toks: DataFrame,
+    seq_len: int,
+    n_shards: int,
+    salt: str,
+) -> DataFrame:
+    """The packing core over a pre-tokenized ``(doc_id, n_tokens)``
+    frame — shared by :func:`sequence_pack` (whole corpus) and
+    :func:`training_set_assembly` (the curated sample)."""
     key = _md5_bigint("cast(doc_id as string)", salt)
     toks = toks.filter(F.col("n_tokens") > 0).select(
         "doc_id",
@@ -233,7 +243,20 @@ def temperature_sample(
     device of ``corpus_length_report`` applies (rank depends only on
     the md5-key multiset).
     """
-    d = df.select("doc_id", "lang")
+    return _temperature_select(
+        df.select("doc_id", "lang"), budget, salt, persist
+    ).orderBy("doc_id")
+
+
+def _temperature_select(
+    d: DataFrame,
+    budget: int,
+    salt: str,
+    persist: bool,
+) -> DataFrame:
+    """The quota + md5-rank selection core over a ``(doc_id, lang)``
+    frame — shared by :func:`temperature_sample` (whole corpus) and
+    :func:`training_set_assembly` (the deduped, gated corpus)."""
     counts = (
         d.groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
@@ -261,7 +284,6 @@ def temperature_sample(
         ranked.join(F.broadcast(quotas), "lang")
         .filter(F.col("samp_rank") <= F.col("quota"))
         .select("doc_id", "lang", "n_docs", "quota", "samp_rank")
-        .orderBy("doc_id")
     )
 
 
@@ -351,3 +373,81 @@ def ccnet_bucket(
     return ranked.select(
         "doc_id", "lang", "bits_x1000", bucket.alias("ppl_bucket")
     ).orderBy("doc_id")
+
+
+def training_set_assembly(
+    df: DataFrame,
+    budget: int = 200,
+    seq_len: int = 512,
+    min_tokens: int = 10,
+    n_shards: int = 8,
+    temp_salt: str = "temp-v1",
+    pack_salt: str = "pack-v1",
+    persist: bool = True,
+) -> DataFrame:
+    """The end-to-end curation capstone: raw corpus → exact dedup →
+    quality gate → temperature-balanced sample → packed training
+    layout, as ONE composed lineage.
+
+    This is the pipeline shape every LLM-data stack runs (CCNet /
+    Gopher / LLaMA data recipes): deduplicate, drop junk, rebalance
+    languages, lay the survivors out as fixed-length training
+    sequences.  Each stage is the sibling operator's core —
+    fingerprint keeper-selection (cf. ``dedup.dedup_exact``), a
+    minimum-length gate, :func:`_temperature_select`, and
+    :func:`_pack_layout` — so the composite stays bit-reproducible
+    and oracle-checkable like its parts.
+
+    Returns one row per packed document: ``(doc_id, lang, shard,
+    n_tokens, start_tok, pack_first, pack_last, n_packs)``.
+
+    Scale shape and persist points: the (fingerprint, n_tokens)
+    projection is localCheckpoint-ed (it feeds the keeper aggregate
+    AND the keeper semi-join), and so is the deduped+gated corpus —
+    it feeds three consumers (language counts, the rank window, and
+    the token-count join into packing), and at production scale this
+    intermediate IS the published deduped corpus, so materializing it
+    mirrors what a real pipeline writes to a table anyway.  The
+    sampled set is ≤ ``budget`` rows — its joins broadcast.
+    """
+    d = with_norm(df)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.md5("t").alias("fp"),
+        F.when(F.col("t") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("t"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    if persist:
+        toks = toks.localCheckpoint()
+    # exact dedup: the lowest doc_id per normalized fingerprint survives
+    keep = toks.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = toks.join(keep, ["fp", "doc_id"], "left_semi")
+    gated = kept.filter(F.col("n_tokens") >= min_tokens)
+    if persist:
+        gated = gated.localCheckpoint()
+    sampled = _temperature_select(
+        gated.select("doc_id", "lang"), budget, temp_salt, persist
+    )
+    st = F.broadcast(sampled.select("doc_id", "lang")).join(
+        gated.select("doc_id", "n_tokens"), "doc_id"
+    )
+    layout = _pack_layout(
+        st.select("doc_id", "n_tokens"), seq_len, n_shards, pack_salt
+    )
+    return (
+        layout.join(F.broadcast(st.select("doc_id", "lang")), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "shard",
+            "n_tokens",
+            "start_tok",
+            "pack_first",
+            "pack_last",
+            "n_packs",
+        )
+        .orderBy("doc_id")
+    )

@@ -268,3 +268,55 @@ def test_ccnet_bucket_bits_formula(spark):
     out = {r.doc_id: r for r in ccnet_bucket(df).collect()}
     assert out[0].bits_x1000 == 1000 * 1
     assert out[1].bits_x1000 == 1000 * 3
+
+
+def test_training_set_assembly_composes_all_four_stages(spark, docs):
+    """The capstone must show each stage's fingerprint in its output:
+    deduped (no two rows share a normalized-text fingerprint), gated
+    (every doc >= min_tokens), budgeted (<= budget rows), and packed
+    (per-shard token streams gapless from offset 0)."""
+    from deepseek_ocr_customvllm_spark.operators.curation import (
+        training_set_assembly,
+    )
+
+    rows = training_set_assembly(docs).collect()
+    assert 0 < len(rows) <= 200
+    assert all(r.n_tokens >= 10 for r in rows)
+    # dedup stage: recompute fingerprints for the selected docs
+    ids = {r.doc_id for r in rows}
+    fps = {
+        r.doc_id: r.fp
+        for r in docs.selectExpr(
+            "doc_id",
+            "md5(regexp_replace(trim(lower(text)),"
+            " '[ \\t\\n\\r\\f\\u000B]+', ' ')) AS fp",
+        ).collect()
+        if r.doc_id in ids
+    }
+    assert len(set(fps.values())) == len(ids), "duplicate texts survived"
+    # pack stage: gapless per-shard streams
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.start_tok)
+        pos = 0
+        for r in rs:
+            assert r.start_tok == pos
+            assert r.pack_first == r.start_tok // 512
+            pos += r.n_tokens
+
+
+def test_training_set_assembly_keeps_lowest_doc_id_per_duplicate(spark):
+    """Planted exact duplicates: only the lowest doc_id of each
+    duplicate set may appear in the layout."""
+    from deepseek_ocr_customvllm_spark.operators.curation import (
+        training_set_assembly,
+    )
+
+    rows = [(i, "xx", "the same exact text " * 5) for i in range(5)]
+    rows += [(10 + i, "xx", f"unique text number {i} " * 5) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id for r in training_set_assembly(df, budget=50).collect()}
+    assert 0 in out
+    assert not (out & {1, 2, 3, 4}), "non-keeper duplicates leaked"

@@ -449,3 +449,24 @@ def test_temperature_sample_scans_corpus_once_per_branch_cut(spark):
     assert plan_default.count("Scan ExistingRDD") >= 2
     plan_lazy = _formatted(temperature_sample(docs, persist=False))
     assert plan_lazy.count("Scan parquet") >= 6
+
+
+def test_semdedup_prune_joins_once_inside_checkpoints(spark):
+    """semdedup_prune's expensive stages — the giant literal-codebook
+    assignment and the cell-local pairwise join — must run exactly once:
+    with the default checkpoints the FINAL plan contains no Join and no
+    corpus scan at all (both direction projections read the
+    materialized epsilon-pairs); the lazy variant demonstrably re-runs
+    the join and re-scans parquet per branch."""
+    from deepseek_ocr_customvllm_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = similarity.semdedup_corpus(similarity.clustered_embeddings(emb))
+    plan_default = _formatted(similarity.semdedup_prune(corpus))
+    assert plan_default.count("Join") == 0
+    assert plan_default.count("Scan parquet") == 0
+    assert plan_default.count("Scan ExistingRDD") >= 2
+
+    plan_lazy = _formatted(similarity.semdedup_prune(corpus, persist=False))
+    assert plan_lazy.count("Join") >= 2
+    assert plan_lazy.count("Scan parquet") >= 4
