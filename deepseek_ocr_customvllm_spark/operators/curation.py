@@ -434,6 +434,11 @@ def training_set_assembly(
     st = F.broadcast(sampled.select("doc_id", "lang")).join(
         gated.select("doc_id", "n_tokens"), "doc_id"
     )
+    if persist:
+        # st feeds the pack layout AND the lang join-back; it is
+        # <= budget rows, so the cut costs nothing and saves a second
+        # pass over the gated corpus
+        st = st.localCheckpoint()
     layout = _pack_layout(
         st.select("doc_id", "n_tokens"), seq_len, n_shards, pack_salt
     )
