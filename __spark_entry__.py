@@ -1347,7 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #        brand-new — a first row beats any rotation claim) +
     #        dedup_spans_apply (its persist default changed this
     #        round — fresh row wanted);
-    # 20-50  r04-green entries (ann_lsh_topk onward land at
+    # 21-50  r04-green entries (ann_lsh_topk onward land at
     #        51+ — r04-green, within the one-round staleness bound);
     # 51-69  the pushed-out r04-green entries, the r04 front group, and
     #        three triple-green cheap-oracle queries — the freshest
@@ -1365,7 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_rollup": _q_lineage_rollup,
         "status_counts": _q_status_counts,
         "quarantine_oversize": _q_quarantine_oversize,
-        # --- 11-14: round-5 additions + this round's changed operator ---
+        # --- 11-20: round-5 additions + this round's changed operator ---
         "ann_recall_clustered": _q_ann_recall_clustered,
         "corpus_length_report_hist": _q_corpus_length_report_hist,
         "dedup_recall_report": _q_dedup_recall_report,

@@ -71,14 +71,21 @@ def sequence_pack(
     the property that makes training-data audits and resumable packing
     possible.  All outputs are integers (no floats anywhere).
     """
-    toks = with_norm(df).select(
-        "doc_id",
+    toks = with_norm(df).select("doc_id", _n_ws_tokens().alias("n_tokens"))
+    return _pack_layout(toks, seq_len, n_shards, salt)
+
+
+def _n_ws_tokens() -> F.Column:
+    """Whitespace token count of the normalized column ``t`` — ONE
+    definition shared by :func:`sequence_pack` and
+    :func:`training_set_assembly` (and matching
+    ``textstats.token_counts``'s ``n_ws_tokens``), so the packing and
+    gating stages can never disagree on what a token is."""
+    return (
         F.when(F.col("t") == "", F.lit(0))
         .otherwise(F.size(F.split(F.col("t"), " ")))
         .cast("bigint")
-        .alias("n_tokens"),
     )
-    return _pack_layout(toks, seq_len, n_shards, salt)
 
 
 def _pack_layout(
@@ -289,7 +296,6 @@ def _temperature_select(
 
 def ccnet_bucket(
     df: DataFrame,
-    scale: int = 1000,
     persist: bool = True,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing: score every document by its
@@ -306,13 +312,17 @@ def ccnet_bucket(
     render identical minimal binary strings), so the whole score path
     is bigint-exact — no libm ``ln`` whose last ulp could differ
     between JVM and DuckDB (same device as ``dsir_select``).  The doc
-    score is ``(scale * sum(cnt * bits)) div sum(cnt)`` — mean bits
-    per token, scaled.
+    score is ``(1000 * sum(cnt * bits)) div sum(cnt)`` — mean bits
+    per token, x1000 (the constant is part of the column contract:
+    ``bits_x1000`` and the DuckDB oracle both bake it in).
 
     Returns ``(doc_id, lang, bits_x1000, ppl_bucket)`` with
     ``ppl_bucket`` in {'head', 'middle', 'tail'} — head = lowest
     surprisal, per CCNet's convention.  Tercile boundaries use exact
-    ranks (``rank * 3 <= n_l``), ties broken by doc_id.
+    ranks (``rank * 3 <= n_l``), ties broken by doc_id.  Documents
+    whose normalized text is empty carry no tokens to score and emit
+    NO row (the same convention as every token-explode operator here);
+    the buckets partition the non-empty corpus.
 
     Scale shape: the token explode aggregates straight to
     (doc_id, lang, term) counts with map-side combine, and that
@@ -325,7 +335,7 @@ def ccnet_bucket(
     — vocabulary-sized, map-side combined; language totals are ~10^2
     rows, broadcast.  The per-language tercile window holds only
     (doc_id, score) pairs; scores live in a bounded integer domain
-    (<= scale * 64), so the ``corpus_length_report`` histogram escape
+    (<= 64,000), so the ``corpus_length_report`` histogram escape
     applies verbatim if one language outgrows a partition sort.
     """
     d = with_norm(df).select("doc_id", "lang", "t")
@@ -355,15 +365,19 @@ def ccnet_bucket(
         tf.join(bits, ["lang", "term"])
         .groupBy("doc_id", "lang")
         .agg(
-            F.expr(f"({scale} * sum(cnt * bits)) div sum(cnt)").alias(
+            F.expr("(1000 * sum(cnt * bits)) div sum(cnt)").alias(
                 "bits_x1000"
             )
         )
     )
-    n_l = doc.groupBy("lang").agg(F.count("*").alias("nl"))
+    # nl as a window count over the SAME lang partitioning as the rank
+    # window: one Exchange, and `doc` — the expensive (lang, term) join
+    # + per-doc aggregate — stays single-consumer (a separate groupBy
+    # branch would re-run it; the dsir_select lesson, again)
     w = Window.partitionBy("lang").orderBy("bits_x1000", "doc_id")
-    ranked = doc.withColumn("r", F.row_number().over(w)).join(
-        F.broadcast(n_l), "lang"
+    wn = Window.partitionBy("lang")
+    ranked = doc.withColumn("r", F.row_number().over(w)).withColumn(
+        "nl", F.count("*").over(wn)
     )
     bucket = (
         F.when(F.col("r") * 3 <= F.col("nl"), F.lit("head"))
@@ -415,10 +429,7 @@ def training_set_assembly(
         "doc_id",
         "lang",
         F.md5("t").alias("fp"),
-        F.when(F.col("t") == "", F.lit(0))
-        .otherwise(F.size(F.split(F.col("t"), " ")))
-        .cast("bigint")
-        .alias("n_tokens"),
+        _n_ws_tokens().alias("n_tokens"),
     )
     if persist:
         toks = toks.localCheckpoint()
