@@ -320,3 +320,16 @@ def test_training_set_assembly_keeps_lowest_doc_id_per_duplicate(spark):
     out = {r.doc_id for r in training_set_assembly(df, budget=50).collect()}
     assert 0 in out
     assert not (out & {1, 2, 3, 4}), "non-keeper duplicates leaked"
+
+
+def test_training_set_assembly_is_parallelism_invariant(spark, docs):
+    """The layout must be a pure function of the corpus content — the
+    same rows whatever the input partitioning (the property that makes
+    the assembly reproducible on any cluster size)."""
+    from deepseek_ocr_customvllm_spark.operators.curation import (
+        training_set_assembly,
+    )
+
+    a = [tuple(r) for r in training_set_assembly(docs.repartition(3)).collect()]
+    b = [tuple(r) for r in training_set_assembly(docs.repartition(11)).collect()]
+    assert a == b and len(a) > 0
