@@ -539,6 +539,21 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_duplicates(_augmented_docs(_docs(spark, sf_dir)))
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Snapshot-vs-corpus dedup: old = the base documents; the new
+    snapshot = the planted near/exact duplicates (every one must be
+    dropped against the old corpus) plus fresh reversed-text rows
+    (none may drop).  The two-corpus banded join — never a self-join —
+    is the shape each crawl dump runs against the accumulated store."""
+    docs = _docs(spark, sf_dir)
+    fresh = docs.filter(F.col("doc_id") % 43 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+    )
+    corpus = _augmented_docs(docs).unionByName(fresh)
+    return dedup.incremental_dedup(corpus)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
@@ -1341,15 +1356,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round N runs in the first 50 of round N+1, so no entry's driver
     # row is ever more than one round stale.  Round 5 order:
     # 1-10   the ten entries without an r04 row (all r03-green);
-    # 11-20  the round-5 additions (sequence_pack / dsir_select /
+    # 11-21  the round-5 additions (sequence_pack / dsir_select /
     #        semdedup_prune / temperature_sample / ccnet_bucket /
     #        training_set_assembly,
     #        brand-new — a first row beats any rotation claim) +
     #        dedup_spans_apply (its persist default changed this
     #        round — fresh row wanted);
-    # 21-50  r04-green entries (ann_lsh_topk onward land at
+    # 22-50  r04-green entries (ann_lsh_topk onward land at
     #        51+ — r04-green, within the one-round staleness bound);
-    # 51-69  the pushed-out r04-green entries, the r04 front group, and
+    # 51-70  the pushed-out r04-green entries, the r04 front group, and
     #        three triple-green cheap-oracle queries — the freshest
     #        evidence, so a truncation here loses the least (they
     #        rotate forward in round 6).
@@ -1365,7 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_rollup": _q_lineage_rollup,
         "status_counts": _q_status_counts,
         "quarantine_oversize": _q_quarantine_oversize,
-        # --- 11-20: round-5 additions + this round's changed operator ---
+        # --- 11-21: round-5 additions + this round's changed operator ---
         "ann_recall_clustered": _q_ann_recall_clustered,
         "corpus_length_report_hist": _q_corpus_length_report_hist,
         "dedup_recall_report": _q_dedup_recall_report,
@@ -1376,7 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _q_temperature_sample,
         "ccnet_bucket": _q_ccnet_bucket,
         "training_set_assembly": _q_training_set_assembly,
-        # --- 21-50: r04-green (tail shifts; see rotation note above) ---
+        "dedup_incremental": _q_dedup_incremental,
+        # --- 22-50: r04-green (tail shifts; see rotation note above) ---
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
         "lang_id_multi": _q_lang_id_multi,
@@ -1474,6 +1490,68 @@ FROM inter i
 JOIN sizes na ON na.doc_id = i.id_a
 JOIN sizes nb ON nb.doc_id = i.id_b
 WHERE floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000 >= {dedup.JACCARD_MIN}
+"""
+
+
+def _oracle_incremental() -> str:
+    """Twin of dedup.incremental_dedup over aug + fresh-reversed rows:
+    per-doc signatures over the shared shingle CTE (identical to
+    per-side signatures — min over a doc's own shingles), band keys,
+    the new-vs-old two-corpus join (id_a >= boundary > id_b), the
+    exact-Jaccard verify, and the per-new-doc match rollup."""
+    min_aggs = ", ".join(
+        f"min(md5('{i}|' || sh)) AS m{i}" for i in range(dedup.N_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(m{2 * b} || m{2 * b + 1}) AS bk FROM sig"
+        for b in range(dedup.N_BANDS)
+    )
+    bd = 1_000_000
+    return f"""
+WITH {_AUG_CTE.strip().rstrip()},
+corpus AS (
+  SELECT doc_id, text FROM aug
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id % 43 = 0
+),
+norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM corpus),
+toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r
+  WHERE len(ts) >= 3
+),
+sig AS (SELECT doc_id, {min_aggs} FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+  FROM bands n JOIN bands o
+    ON n.band = o.band AND n.bk = o.bk
+   AND n.doc_id >= {bd} AND o.doc_id < {bd}
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_int
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.id_a
+  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+  GROUP BY c.id_a, c.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+ver AS (
+  SELECT i.id_a, i.id_b,
+         floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000 AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000
+        >= {dedup.JACCARD_MIN}
+)
+SELECT id_a AS doc_id, count(*) AS n_old_matches,
+       min(id_b) AS first_old_id, max(jaccard) AS max_jaccard
+FROM ver GROUP BY id_a ORDER BY doc_id
 """
 
 
@@ -2621,6 +2699,7 @@ SELECT query_id, neighbor_id, dot, rank FROM ranked WHERE rank <= {similarity.TO
             source="cl", prefix_cte=_clustered_cte() + ",\n"
         ),
         "semdedup_prune": _oracle_semdedup(),
+        "dedup_incremental": _oracle_incremental(),
         "ann_ivf_topk": f"""
 WITH q AS (
   SELECT vec_id,

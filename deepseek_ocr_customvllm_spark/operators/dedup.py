@@ -139,14 +139,12 @@ def _cap_hot_buckets(
     )
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, max_bucket: int | None = None
-) -> DataFrame:
-    """Band the signatures (2 hashes per band) and self-join on bucket.
-
-    Bands come from one ``posexplode`` over an array of band keys (a
-    4-way union compiles 4x the operators for the same result).
-    ``max_bucket`` is the hot-bucket cap (see ``_cap_hot_buckets``)."""
+def _banded(sig: DataFrame) -> DataFrame:
+    """``(doc_id, band, bk)`` band keys (2 hashes per band) from a
+    signature frame — one ``posexplode`` over an array of band keys (a
+    4-way union would compile 4x the operators for the same result).
+    Shared by the self-join (:func:`lsh_candidate_pairs`) and the
+    two-corpus join (:func:`incremental_dedup`)."""
     band_keys = F.array(
         *[
             F.md5(
@@ -155,10 +153,16 @@ def lsh_candidate_pairs(
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "bk")
-    )
-    bands = _cap_hot_buckets(bands, max_bucket)
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band", "bk"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Band the signatures and self-join on bucket.
+
+    ``max_bucket`` is the hot-bucket cap (see ``_cap_hot_buckets``)."""
+    bands = _cap_hot_buckets(_banded(sig), max_bucket)
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
@@ -240,6 +244,68 @@ def minhash_lsh_duplicates(
         out = out.localCheckpoint()  # eager: safe to drop the cache now
         sh.unpersist()
     return out
+
+
+def incremental_dedup(
+    df: DataFrame,
+    boundary: int = 1_000_000,
+    max_bucket: int | None = None,
+    jaccard_min: float = JACCARD_MIN,
+) -> DataFrame:
+    """Snapshot-vs-corpus dedup: which NEW documents are near-duplicates
+    of the EXISTING corpus — the join every production crawl pipeline
+    runs per snapshot (each Common-Crawl dump is deduped against all
+    previous dumps, not just against itself; cf. Lee et al. 2022 §3,
+    Penedo et al. 2024 §3.3's per-dump-vs-global discussion).
+
+    The two-corpus shape differs from :func:`minhash_lsh_duplicates` in
+    the join: band keys of the NEW side equi-join the OLD side's —
+    never a self-join — so the candidate count is |new ∩ buckets|, not
+    |corpus|², and the old side's band table is exactly what a
+    production store keeps precomputed between snapshots (append-only:
+    each finished snapshot's bands append to it).  Here the split is a
+    ``doc_id >= boundary`` predicate over one input frame (the sandbox
+    corpus encodes snapshot membership in the id space); the operator
+    body is the general shape for any old/new partition.
+
+    The hot-bucket cap applies to the OLD side only — the accumulated
+    corpus is what carries the boilerplate head; a fresh snapshot's
+    buckets are bounded by the snapshot size.
+
+    Returns one row per DROPPED new document:
+    ``(doc_id, n_old_matches, first_old_id, max_jaccard)`` — the
+    verified old-corpus matches, their lowest id (the canonical doc the
+    production pipeline records as the duplicate target), and the best
+    Jaccard, ordered by doc_id.
+    """
+    is_new = F.col("doc_id") >= boundary
+    old_sig = minhash_signatures(shingles(df.filter(~is_new), distinct=False))
+    new_sig = minhash_signatures(shingles(df.filter(is_new), distinct=False))
+    bo = _cap_hot_buckets(_banded(old_sig), max_bucket)
+    bn = _banded(new_sig)
+    cand = (
+        bn.alias("n")
+        .join(
+            bo.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bk") == F.col("o.bk")),
+        )
+        .select(
+            F.col("n.doc_id").alias("id_a"),
+            F.col("o.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ver = jaccard_verify(cand, shingles(df), jaccard_min)
+    return (
+        ver.groupBy(F.col("id_a").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_old_matches"),
+            F.min("id_b").alias("first_old_id"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def ngram_jaccard_pairs(

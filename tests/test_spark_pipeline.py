@@ -1620,6 +1620,39 @@ class TestSemDeDup:
         )
 
 
+class TestIncrementalDedup:
+    """Round-5: snapshot-vs-corpus dedup against planted truth — every
+    planted duplicate in the new snapshot drops against the old corpus
+    (verified exhaustively at sf0.001), exact duplicates verify at
+    Jaccard 1.0, and no fresh (reversed-text) row is ever dropped."""
+
+    def test_planted_drops_and_fresh_survival(self, spark):
+        import __spark_entry__ as em
+
+        rows = {
+            r["doc_id"]: r
+            for r in em.queries()["dedup_incremental"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        near = {
+            r["doc_id"] + 1_000_000
+            for r in docs.filter(F.col("doc_id") % 37 == 0).collect()
+        }
+        exact = {
+            r["doc_id"] + 2_000_000
+            for r in docs.filter(F.col("doc_id") % 41 == 0).collect()
+        }
+        assert set(rows) == near | exact  # all planted drop, nothing else
+        for d in exact:
+            assert rows[d]["max_jaccard"] == 1.0
+            assert rows[d]["first_old_id"] <= d - 2_000_000
+        for d in near:
+            assert 0.5 <= rows[d]["max_jaccard"] < 1.0
+        assert not any(d >= 3_000_000 for d in rows), "fresh doc dropped"
+
+
 class TestVerticalAndType3ThroughSparkPath:
     """Round-5 extraction features ride the full distributed path: a
     WMode-1 (Identity-V) column and a Type3 /FontMatrix page must
