@@ -1450,23 +1450,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracles (DuckDB dialect)
 # ---------------------------------------------------------------------------
 
-def _oracle_minhash() -> str:
-    min_aggs = ", ".join(
+def _minhash_min_aggs() -> str:
+    """The m0..m7 min-hash aggregate list — ONE definition for every
+    dedup oracle (Spark twin: dedup.minhash_signatures)."""
+    return ", ".join(
         f"min(md5('{i}|' || sh)) AS m{i}" for i in range(dedup.N_HASHES)
     )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band, md5(m{2 * b} || m{2 * b + 1}) AS bk FROM sig"
+
+
+def _minhash_band_selects(sig: str = "sig") -> str:
+    """The banded-signature UNION block over ``sig`` — ONE definition
+    (Spark twin: dedup._banded)."""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(m{2 * b} || m{2 * b + 1}) AS bk FROM {sig}"
         for b in range(dedup.N_BANDS)
     )
-    return f"""
-WITH {_AUG_CTE.strip().rstrip()},
-norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM aug),
+
+
+def _shingle_cte(source: str) -> str:
+    """norm -> toks -> sh (distinct 3-gram shingles) over ``source`` —
+    ONE definition shared by the dedup oracles (Spark twin:
+    dedup.shingles; DuckDB range() is 1-based where Spark sequence()
+    is 0-based, hence ts[i]..ts[i+2] from range(1, len(ts) - 1))."""
+    return f"""norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM {source}),
 toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
 sh AS (
   SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
   FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r
   WHERE len(ts) >= 3
+)"""
+
+
+# the exact-Jaccard verify core over ``cand`` — shared verbatim by the
+# minhash / ngram / incremental oracles (Spark twin: dedup.jaccard_verify)
+_INTER_SIZES_CTE = """inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_int
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.id_a
+  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+  GROUP BY c.id_a, c.id_b
 ),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+def _oracle_minhash() -> str:
+    min_aggs = _minhash_min_aggs()
+    band_selects = _minhash_band_selects()
+    return f"""
+WITH {_AUG_CTE.strip().rstrip()},
+{_shingle_cte('aug')},
 sig AS (SELECT doc_id, {min_aggs} FROM sh GROUP BY doc_id),
 bands AS (
 {band_selects}
@@ -1476,14 +1508,7 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
 ),
-inter AS (
-  SELECT c.id_a, c.id_b, count(*) AS n_int
-  FROM cand c
-  JOIN sh s1 ON s1.doc_id = c.id_a
-  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
-  GROUP BY c.id_a, c.id_b
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+{_INTER_SIZES_CTE}
 SELECT i.id_a, i.id_b,
        floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000 AS jaccard
 FROM inter i
@@ -1499,13 +1524,8 @@ def _oracle_incremental() -> str:
     per-side signatures — min over a doc's own shingles), band keys,
     the new-vs-old two-corpus join (id_a >= boundary > id_b), the
     exact-Jaccard verify, and the per-new-doc match rollup."""
-    min_aggs = ", ".join(
-        f"min(md5('{i}|' || sh)) AS m{i}" for i in range(dedup.N_HASHES)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band, md5(m{2 * b} || m{2 * b + 1}) AS bk FROM sig"
-        for b in range(dedup.N_BANDS)
-    )
+    min_aggs = _minhash_min_aggs()
+    band_selects = _minhash_band_selects()
     bd = 1_000_000
     return f"""
 WITH {_AUG_CTE.strip().rstrip()},
@@ -1515,13 +1535,7 @@ corpus AS (
   SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text
   FROM documents WHERE doc_id % 43 = 0
 ),
-norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM corpus),
-toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
-sh AS (
-  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
-  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r
-  WHERE len(ts) >= 3
-),
+{_shingle_cte('corpus')},
 sig AS (SELECT doc_id, {min_aggs} FROM sh GROUP BY doc_id),
 bands AS (
 {band_selects}
@@ -1532,14 +1546,7 @@ cand AS (
     ON n.band = o.band AND n.bk = o.bk
    AND n.doc_id >= {bd} AND o.doc_id < {bd}
 ),
-inter AS (
-  SELECT c.id_a, c.id_b, count(*) AS n_int
-  FROM cand c
-  JOIN sh s1 ON s1.doc_id = c.id_a
-  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
-  GROUP BY c.id_a, c.id_b
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+{_INTER_SIZES_CTE},
 ver AS (
   SELECT i.id_a, i.id_b,
          floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000 AS jaccard
@@ -1560,13 +1567,8 @@ def _oracle_dedup_recall() -> str:
     + the minhash-LSH and simhash tiers on the doc_id % 4 == 0 subset,
     then pair recall per method.  Division order mirrors Spark's
     dtrunc(n_hits / n_truth, 4)."""
-    min_aggs = ", ".join(
-        f"min(md5('{i}|' || sh)) AS m{i}" for i in range(dedup.N_HASHES)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band, md5(m{2 * b} || m{2 * b + 1}) AS bk FROM msig"
-        for b in range(dedup.N_BANDS)
-    )
+    min_aggs = _minhash_min_aggs()
+    band_selects = _minhash_band_selects("msig")
     v = dedup.hex_to_bigint_sql("tok", 15)
     nbits = dedup.SIMHASH_BITS
     bit_aggs = ",\n    ".join(
@@ -1587,13 +1589,7 @@ def _oracle_dedup_recall() -> str:
     return f"""
 WITH {_AUG_CTE.strip().rstrip()},
 sub AS (SELECT doc_id, text FROM aug WHERE doc_id % 4 = 0),
-norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM sub),
-toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
-sh AS (
-  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
-  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r
-  WHERE len(ts) >= 3
-),
+{_shingle_cte('sub')},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 tcand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1670,31 +1666,16 @@ FROM tstats
 
 def _oracle_ngram_jaccard() -> str:
     """Twin of dedup.ngram_jaccard_pairs: m0-blocking + exact Jaccard."""
-    min_aggs = ", ".join(
-        f"min(md5('{i}|' || sh)) AS m{i}" for i in range(dedup.N_HASHES)
-    )
+    min_aggs = _minhash_min_aggs()
     return f"""
 WITH {_AUG_CTE.strip().rstrip()},
-norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM aug),
-toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
-sh AS (
-  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
-  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r
-  WHERE len(ts) >= 3
-),
+{_shingle_cte('aug')},
 sig AS (SELECT doc_id, {min_aggs} FROM sh GROUP BY doc_id),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sig a JOIN sig b ON a.m0 = b.m0 AND a.doc_id < b.doc_id
 ),
-inter AS (
-  SELECT c.id_a, c.id_b, count(*) AS n_int
-  FROM cand c
-  JOIN sh s1 ON s1.doc_id = c.id_a
-  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
-  GROUP BY c.id_a, c.id_b
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+{_INTER_SIZES_CTE}
 SELECT i.id_a, i.id_b,
        floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000 AS jaccard
 FROM inter i
@@ -2249,13 +2230,7 @@ LEFT JOIN nd USING (doc_id)
 """.replace("{aug}", aug),
         "decontaminate": f"""
 WITH {{aug}},
-norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM aug),
-toks AS (SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''),
-sh AS (
-  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
-  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) r
-  WHERE len(ts) >= 3
-),
+{_shingle_cte('aug')},
 eval_sh AS (
   SELECT DISTINCT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0
 ),

@@ -1644,13 +1644,46 @@ class TestIncrementalDedup:
             r["doc_id"] + 2_000_000
             for r in docs.filter(F.col("doc_id") % 41 == 0).collect()
         }
+        # the targeted diagnostic first: set-equality below subsumes it
+        # but would mask WHICH failure happened
+        assert not any(d >= 3_000_000 for d in rows), "fresh doc dropped"
         assert set(rows) == near | exact  # all planted drop, nothing else
         for d in exact:
             assert rows[d]["max_jaccard"] == 1.0
             assert rows[d]["first_old_id"] <= d - 2_000_000
         for d in near:
             assert 0.5 <= rows[d]["max_jaccard"] < 1.0
-        assert not any(d >= 3_000_000 for d in rows), "fresh doc dropped"
+
+    def test_cap_applies_to_old_side_only(self, spark):
+        """The hot-bucket cap must drop only OLD-side buckets: a new doc
+        duplicating a k-member boilerplate family in the old corpus is
+        not matched once k exceeds the cap (every band bucket of that
+        family has k members), while a new doc duplicating a UNIQUE old
+        doc still matches under the same cap — and with the cap off,
+        both match."""
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        boiler = "the same boilerplate page body repeated verbatim " * 4
+        uniq = "a one of a kind page about something quite specific " * 4
+        rows = [(i, boiler) for i in range(10)]  # old: 10-member family
+        rows.append((20, uniq))  # old: unique doc
+        rows.append((1_000_000, boiler))  # new: dup of the family
+        rows.append((1_000_001, uniq))  # new: dup of the unique doc
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        capped = {
+            r["doc_id"]: r
+            for r in dedup.incremental_dedup(df, max_bucket=5).collect()
+        }
+        assert 1_000_001 in capped  # unique-doc buckets (size 1) survive
+        assert 1_000_000 not in capped  # family buckets (size 10) capped
+
+        uncapped = {
+            r["doc_id"]: r for r in dedup.incremental_dedup(df).collect()
+        }
+        assert set(uncapped) == {1_000_000, 1_000_001}
+        assert uncapped[1_000_000]["n_old_matches"] == 10
+        assert uncapped[1_000_000]["max_jaccard"] == 1.0
 
 
 class TestVerticalAndType3ThroughSparkPath:
