@@ -1566,7 +1566,9 @@ def _oracle_dedup_recall() -> str:
     """Twin of dedup.dedup_recall_report: exhaustive shingle-join truth
     + the minhash-LSH and simhash tiers on the doc_id % 4 == 0 subset,
     then pair recall per method.  Division order mirrors Spark's
-    dtrunc(n_hits / n_truth, 4)."""
+    dtrunc(n_hits / greatest(n_truth, 1), 4) — the greatest() guard keeps
+    a zero-ground-truth corpus from diverging (Spark NULL vs DuckDB
+    division-by-zero error)."""
     min_aggs = _minhash_min_aggs()
     band_selects = _minhash_band_selects("msig")
     v = dedup.hex_to_bigint_sql("tok", 15)
@@ -1652,14 +1654,14 @@ SELECT 'minhash_lsh' AS method, n_truth,
        (SELECT count(*) FROM mh) AS n_found,
        (SELECT count(*) FROM truth t JOIN mh USING (id_a, id_b)) AS n_hits,
        floor((SELECT count(*) FROM truth t JOIN mh USING (id_a, id_b))
-             / n_truth * 10000) / 10000 AS recall
+             / greatest(n_truth, 1) * 10000) / 10000 AS recall
 FROM tstats
 UNION ALL
 SELECT 'simhash' AS method, n_truth,
        (SELECT count(*) FROM sh_pairs) AS n_found,
        (SELECT count(*) FROM truth t JOIN sh_pairs USING (id_a, id_b)) AS n_hits,
        floor((SELECT count(*) FROM truth t JOIN sh_pairs USING (id_a, id_b))
-             / n_truth * 10000) / 10000 AS recall
+             / greatest(n_truth, 1) * 10000) / 10000 AS recall
 FROM tstats
 """
 

@@ -1587,9 +1587,11 @@ _FONT_MATRIX_RE = re.compile(rb"/FontMatrix\s*\[([^\]]*)\]")
 def _type3_unit_scale(fd: bytes) -> Optional[float]:
     """Type3 glyph-space scale from ``/FontMatrix`` (spec §9.6.5):
     glyph widths map through the font matrix instead of the standard
-    1/1000.  The horizontal advance scale is the matrix ``a`` component
-    (``|b|`` when ``a`` is 0 — rotated-glyph fonts); missing or
-    unparsable matrices fall back to the common 0.001."""
+    1/1000.  The horizontal advance scale is the matrix ``|a|`` component
+    (``|b|`` when ``a`` is 0 — rotated-glyph fonts); both branches are
+    non-negative so a mirrored font (negative ``a``) never walks text
+    positions backwards; missing or unparsable matrices fall back to
+    the common 0.001."""
     m = _FONT_MATRIX_RE.search(fd)
     if not m:
         return 0.001
@@ -1600,7 +1602,7 @@ def _type3_unit_scale(fd: bytes) -> Optional[float]:
         a, b = float(nums[0]), float(nums[1])
     except ValueError:
         return 0.001
-    return a if a != 0.0 else abs(b) or 0.001
+    return abs(a) if a != 0.0 else abs(b) or 0.001
 
 
 def _font_maps(

@@ -22,6 +22,8 @@ between engines.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -29,10 +31,21 @@ from pyspark.sql.window import Window
 from .textstats import with_norm
 
 
+_SALT_SAFE = re.compile(r"^[A-Za-z0-9_.:|-]*$")
+
+
 def _md5_bigint(expr: str, salt: str, nibbles: int = 8) -> F.Column:
     """First ``nibbles`` hex chars of ``md5(salt || expr)`` as bigint —
     the same portable hash used by ``doc_sample`` (DuckDB twin:
-    ``dedup.hex_to_bigint_sql``)."""
+    ``dedup.hex_to_bigint_sql``).
+
+    ``salt`` is interpolated into a SQL fragment, so it is validated
+    against a safe charset — a quote or backslash would otherwise break
+    (or worse, rewrite) the generated expression."""
+    if not _SALT_SAFE.match(salt):
+        raise ValueError(
+            "salt must match [A-Za-z0-9_.:|-]*, got %r" % (salt,)
+        )
     return F.expr(
         f"cast(conv(substring(md5(concat('{salt}', {expr})), 1, {nibbles}),"
         " 16, 10) as bigint)"

@@ -680,9 +680,10 @@ def dedup_recall_report(
                 "n_truth",
                 "n_found",
                 "n_hits",
-                dtrunc(F.col("n_hits") / F.col("n_truth"), 4).alias(
-                    "recall"
-                ),
+                dtrunc(
+                    F.col("n_hits") / F.greatest(F.col("n_truth"), F.lit(1)),
+                    4,
+                ).alias("recall"),
             )
         )
     return rows[0].unionByName(rows[1])
@@ -797,6 +798,13 @@ def dedup_spans_apply(
     md5 expression then appears exactly once across the job's plans.
     ``persist=False`` keeps the operator a pure lazy DataFrame for
     callers composing larger plans.
+
+    .. note:: release-note semantics (round 5): the default flipped
+       from ``persist=False`` to ``True``, so merely *constructing*
+       this DataFrame now fires Spark jobs (the localCheckpoints are
+       eager).  Callers that need a fully lazy plan — e.g. building a
+       plan against a session that is not yet ready to execute — must
+       pass ``persist=False`` explicitly.
     """
     d = docs.select("doc_id", norm_text("text").alias("t"))
     spans = duplicate_spans(docs, n=n, min_docs=min_docs)

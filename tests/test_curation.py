@@ -333,3 +333,15 @@ def test_training_set_assembly_is_parallelism_invariant(spark, docs):
     a = [tuple(r) for r in training_set_assembly(docs.repartition(3)).collect()]
     b = [tuple(r) for r in training_set_assembly(docs.repartition(11)).collect()]
     assert a == b and len(a) > 0
+
+
+def test_md5_bigint_rejects_unsafe_salt(spark):
+    """The salt is interpolated into a SQL fragment — a quote must be
+    rejected up front, never reach the generated expression."""
+    import pytest
+    from deepseek_ocr_customvllm_spark.operators.curation import _md5_bigint
+
+    _md5_bigint("text", "pack.v1:a-b|c_d")  # safe charset builds fine
+    for bad in ("it's", 'a"b', "a\\b", "a;b", "a b"):
+        with pytest.raises(ValueError):
+            _md5_bigint("text", bad)

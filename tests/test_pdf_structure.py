@@ -1652,6 +1652,19 @@ class TestType3Fonts:
         assert _type3_unit_scale(b"<< >>") == 0.001
         assert _type3_unit_scale(b"<< /FontMatrix [garbage] >>") == 0.001
 
+    def test_mirrored_matrix_yields_positive_advance(self):
+        """A mirrored Type3 font (negative ``a``) must still advance
+        text positions forward — both branches return |component|."""
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _type3_unit_scale,
+        )
+        assert _type3_unit_scale(
+            b"<< /FontMatrix [-0.01 0 0 0.01 0 0] >>"
+        ) == 0.01
+        assert _type3_unit_scale(
+            b"<< /FontMatrix [0 -0.02 0.02 0 0 0] >>"
+        ) == 0.02
+
 
 class TestVerticalWriting:
     """WMode 1 (Identity-V / predefined -V CMaps, spec §9.7.5.2):

@@ -1564,6 +1564,21 @@ class TestDedupRecallReport:
         ground truth loses its guaranteed hits."""
         assert 1000000 % 4 == 0 and 2000000 % 4 == 0
 
+    def test_zero_truth_corpus_yields_zero_recall_not_null(self, spark):
+        """A corpus with no ground-truth pairs must report recall 0.0
+        (greatest(n_truth, 1) guard), never NULL / division-by-zero —
+        the engines diverge without the guard."""
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{j}" for j in range(40)))
+             for i in range(8)],
+            "doc_id bigint, text string",
+        )
+        for r in dedup.dedup_recall_report(docs).collect():
+            assert r["n_truth"] == 0
+            assert r["recall"] is not None and float(r["recall"]) == 0.0
+
 
 class TestSemDeDup:
     """Round-5: SemDeDup pruning (Abbas et al. 2023) against its
