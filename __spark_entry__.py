@@ -1350,78 +1350,22 @@ def _q_extract_synth_summary(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is deliberate — the driver records ~the first 50
-    # entries per round (r01 32/32, r02 43/43, r03 50/55, r04 50/60:
-    # always exactly the registry-order prefix).  STANDING ROTATION RULE
-    # (NOTES.md "driver query budget"): every entry WITHOUT a row in
-    # round N runs in the first 50 of round N+1, so no entry's driver
-    # row is ever more than one round stale.  Round 5 order:
-    # 1-10   the ten entries without an r04 row (all r03-green);
-    # 11-21  the round-5 additions (sequence_pack / dsir_select /
-    #        semdedup_prune / temperature_sample / ccnet_bucket /
-    #        training_set_assembly,
-    #        brand-new — a first row beats any rotation claim) +
-    #        dedup_spans_apply (its persist default changed this
-    #        round — fresh row wanted);
-    # 22-50  r04-green entries (ann_lsh_topk onward land at
-    #        51+ — r04-green, within the one-round staleness bound);
-    # 51-70  the pushed-out r04-green entries, the r04 front group, and
-    #        three triple-green cheap-oracle queries — the freshest
-    #        evidence, so a truncation here loses the least (they
-    #        rotate forward in round 6).
+    # entries per round (always exactly the registry-order prefix; see
+    # NOTES.md "driver query budget").  STANDING ROTATION RULE: every
+    # entry WITHOUT a row in round N runs in the first 50 of round N+1,
+    # so no entry's driver row is ever more than one round stale.
+    # Round 6 order:
+    # 1-20   the twenty entries without an r05 row (tail 51-70 last
+    #        round, all r04-green) — must get an r06 row;
+    # 21+    round-6 additions/changes (brand-new or semantics-changed
+    #        operators — a fresh row beats any rotation claim), then
+    #        r05-green entries; whatever the additions push past ~50
+    #        is r05-green and rotates forward in round 7;
+    # tail   r05-green entries, cheapest/heaviest-oracle ones last
+    #        (the two biggest VALUES oracles close the list so a driver
+    #        truncation also trims the most runtime).
     return {
-        # --- 1-10: r04-stale, must get an r05 row ---
-        "events_sessionize": _q_events_sessionize,
-        "events_funnel": _q_events_funnel,
-        "multimodal_inspect": _q_multimodal_inspect,
-        "image_features": _q_image_features,
-        "audio_features": _q_audio_features,
-        "lineitem_rollup": _q_lineitem_rollup,
-        "events_pivot": _q_events_pivot,
-        "lineage_rollup": _q_lineage_rollup,
-        "status_counts": _q_status_counts,
-        "quarantine_oversize": _q_quarantine_oversize,
-        # --- 11-21: round-5 additions + this round's changed operator ---
-        "ann_recall_clustered": _q_ann_recall_clustered,
-        "corpus_length_report_hist": _q_corpus_length_report_hist,
-        "dedup_recall_report": _q_dedup_recall_report,
-        "dedup_spans_apply": _q_dedup_spans_apply,
-        "sequence_pack": _q_sequence_pack,
-        "dsir_select": _q_dsir_select,
-        "semdedup_prune": _q_semdedup_prune,
-        "temperature_sample": _q_temperature_sample,
-        "ccnet_bucket": _q_ccnet_bucket,
-        "training_set_assembly": _q_training_set_assembly,
-        "dedup_incremental": _q_dedup_incremental,
-        # --- 22-50: r04-green (tail shifts; see rotation note above) ---
-        "token_count": _q_token_count,
-        "lang_id": _q_lang_id,
-        "lang_id_multi": _q_lang_id_multi,
-        "quality_score": _q_quality_score,
-        "corpus_filter": _q_corpus_filter,
-        "vocab_topk": _q_vocab_topk,
-        "doc_sample": _q_doc_sample,
-        "domain_stats": _q_domain_stats,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
-        "lang_stratified_sample": _q_lang_stratified_sample,
-        "duplicate_spans": _q_duplicate_spans,
-        "decontaminate": _q_decontaminate,
-        "doc_chunks": _q_doc_chunks,
-        "corpus_dedup_apply": _q_corpus_dedup_apply,
-        "embedding_kmeans": _q_embedding_kmeans,
-        "events_retention": _q_events_retention,
-        "gopher_quality": _q_gopher_quality,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "url_canonical_dedup": _q_url_canonical_dedup,
-        "pii_redact": _q_pii_redact,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_components": _q_dedup_components,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        # --- 1-20: r04-green, no r05 row — must get an r06 row ---
         "ann_topk_dot": _q_ann_topk_dot,
         "ann_lsh_bucket": _q_ann_lsh_bucket,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1429,8 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_quality": _q_compression_quality,
         "source_quality_report": _q_source_quality_report,
         "embedding_norm_stats": _q_embedding_norm_stats,
-        "resume_anti_join": _q_resume_anti_join,  # position 51 (r04-green)
-        # --- 52-63: freshest r04 evidence; rotate forward in round 6 ---
+        "resume_anti_join": _q_resume_anti_join,
         "events_asof_join": _q_events_asof_join,
         "customer_running_revenue": _q_customer_running_revenue,
         "extract_documents_pipeline": _q_extract_documents_pipeline,
@@ -1443,6 +1386,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_doc_stats": _q_flagship_doc_stats,
         "tpch_q1": _q_tpch_q1,
         "top_customers_per_region": _q_top_customers_per_region,
+        # --- 21+: round-6 additions / changed operators ---
+        # (new entries insert here as they land)
+        # --- r05-green; the prefix survivors get an r06 row, the
+        #     overflow rotates forward in round 7 ---
+        "dedup_recall_report": _q_dedup_recall_report,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_components": _q_dedup_components,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "dedup_incremental": _q_dedup_incremental,
+        "dedup_spans_apply": _q_dedup_spans_apply,
+        "duplicate_spans": _q_duplicate_spans,
+        "decontaminate": _q_decontaminate,
+        "corpus_dedup_apply": _q_corpus_dedup_apply,
+        "sequence_pack": _q_sequence_pack,
+        "dsir_select": _q_dsir_select,
+        "semdedup_prune": _q_semdedup_prune,
+        "temperature_sample": _q_temperature_sample,
+        "ccnet_bucket": _q_ccnet_bucket,
+        "training_set_assembly": _q_training_set_assembly,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "lang_id_multi": _q_lang_id_multi,
+        "quality_score": _q_quality_score,
+        "corpus_filter": _q_corpus_filter,
+        "vocab_topk": _q_vocab_topk,
+        "doc_sample": _q_doc_sample,
+        "domain_stats": _q_domain_stats,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
+        "lang_stratified_sample": _q_lang_stratified_sample,
+        # --- tail: r05-green, rotate forward in round 7 ---
+        "ann_recall_clustered": _q_ann_recall_clustered,
+        "corpus_length_report_hist": _q_corpus_length_report_hist,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "url_canonical_dedup": _q_url_canonical_dedup,
+        "pii_redact": _q_pii_redact,
+        "doc_chunks": _q_doc_chunks,
+        "embedding_kmeans": _q_embedding_kmeans,
+        "events_retention": _q_events_retention,
+        "gopher_quality": _q_gopher_quality,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "events_sessionize": _q_events_sessionize,
+        "events_funnel": _q_events_funnel,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "events_pivot": _q_events_pivot,
+        "lineage_rollup": _q_lineage_rollup,
+        "status_counts": _q_status_counts,
+        "quarantine_oversize": _q_quarantine_oversize,
+        "multimodal_inspect": _q_multimodal_inspect,
+        "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
     }
 
 
