@@ -599,6 +599,13 @@ def _q_sequence_pack(spark, sf_dir):
     return curation.sequence_pack(_docs(spark, sf_dir))
 
 
+def _q_sequence_pack_rows(spark, sf_dir):
+    """Materialized packed training sequences (seq_len=64): the actual
+    64-token packs, gapless per shard, trailing partials dropped —
+    the writer side of sequence_pack."""
+    return curation.sequence_pack_rows(_docs(spark, sf_dir), seq_len=64)
+
+
 def _q_dsir_select(spark, sf_dir):
     """DSIR-style targeted selection: hashed-unigram importance scores
     toward the src0 slice, top-50 raw docs (integer-exact variant)."""
@@ -1387,7 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "top_customers_per_region": _q_top_customers_per_region,
         # --- 21+: round-6 additions / changed operators ---
-        # (new entries insert here as they land)
+        "sequence_pack_rows": _q_sequence_pack_rows,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2489,6 +2496,45 @@ SELECT doc_id, shard, n_tokens, e - n_tokens AS start_tok,
        (e - 1) // 2048 AS pack_last,
        cast((e - 1) // 2048 - (e - n_tokens) // 2048 + 1 AS int) AS n_packs
 FROM cum
+""",
+        "sequence_pack_rows": f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+toks AS (
+  SELECT doc_id, t,
+         cast(CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END
+              AS bigint) AS n_tokens
+  FROM norm
+),
+sharded AS (
+  SELECT doc_id, t, n_tokens,
+         cast({dedup.hex_to_bigint_sql("'pack-v1' || cast(doc_id as varchar)", 8)} % 8 AS int) AS shard,
+         md5('pack-v1' || cast(doc_id as varchar)) AS sort_key
+  FROM toks WHERE n_tokens > 0
+),
+cum AS (
+  SELECT doc_id, t, shard, n_tokens,
+         cast(sum(n_tokens) OVER (PARTITION BY shard
+              ORDER BY sort_key, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS bigint) AS e
+  FROM sharded
+),
+placed AS (
+  SELECT doc_id, shard,
+         (e - n_tokens) + generate_subscripts(string_split(t, ' '), 1) - 1
+             AS gpos,
+         unnest(string_split(t, ' ')) AS tok
+  FROM cum
+),
+packs AS (
+  SELECT shard, gpos // 64 AS pack_id,
+         cast(count(*) AS bigint) AS n_tokens,
+         cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+         string_agg(tok, ' ' ORDER BY gpos) AS text
+  FROM placed GROUP BY 1, 2
+)
+SELECT shard, pack_id, n_docs, n_tokens, text
+FROM packs WHERE n_tokens = 64
 """,
         "dsir_select": f"""
 WITH norm AS (

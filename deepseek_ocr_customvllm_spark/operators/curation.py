@@ -147,6 +147,107 @@ def _pack_layout(
     )
 
 
+def sequence_pack_rows(
+    df: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 8,
+    salt: str = "pack-v1",
+    drop_tail: bool = True,
+) -> DataFrame:
+    """MATERIALIZE the packed training sequences: one row per
+    ``(shard, pack_id)`` carrying the actual ``seq_len``-token sequence
+    (space-joined — lossless under the whitespace tokenizer), plus how
+    many documents contributed.  This is the writer side of
+    :func:`sequence_pack`: the layout says where every document lands;
+    this emits the packs themselves, ready to train on (the reference's
+    analogue is its token-budget batch assembly,
+    ``process/image_process.py:510-518``, which feeds real batches —
+    not an audit plan).
+
+    Frozen conventions: documents are concatenated in the layout's
+    deterministic (salt, doc_id) order and sliced into exact
+    ``seq_len``-token sequences; with ``drop_tail=True`` (the T5 /
+    GPT-3 "concat and chunk, drop the remainder" rule, Raffel 2020
+    §3.1.2) each shard's final partial pack is dropped, so EVERY emitted
+    pack has exactly ``seq_len`` tokens and the shard's stream is
+    gapless from slot 0 of pack 0.
+
+    Scale shape: the narrow layout (doc_id, shard, start_tok) computes
+    first (window over ~16-byte rows, see :func:`_pack_layout`), then
+    joins text back on doc_id — one doc_id-keyed shuffle — and explodes
+    to (shard, pack_id, slot, token) rows that aggregate straight into
+    packs on the (shard, pack_id) key.  Token rows never carry text
+    larger than one token, packs are bounded at ``seq_len`` tokens, and
+    every stage is a plain hash shuffle — no corpus-wide sort, no
+    driver collection.  Write the result with
+    :func:`write_packed_shards` for the shard-partitioned layout.
+
+    Determinism: slots are unique within a pack (global positions are
+    unique within a shard), so the ordered rebuild is a pure function
+    of (salt, corpus content) — byte-stable across any input
+    partitioning; pinned by ``tests/test_curation.py``.
+    """
+    d = with_norm(df).select("doc_id", "t")
+    toks = d.select("doc_id", "t", _n_ws_tokens().alias("n_tokens"))
+    layout = _pack_layout(
+        toks.select("doc_id", "n_tokens"), seq_len, n_shards, salt
+    )
+    joined = toks.select("doc_id", "t").join(
+        layout.select("doc_id", "shard", "start_tok"), "doc_id"
+    )
+    placed = joined.select(
+        "doc_id",
+        "shard",
+        F.posexplode(F.split("t", " ")).alias("pos", "tok"),
+        "start_tok",
+    ).select(
+        "doc_id",
+        "shard",
+        "tok",
+        (F.col("start_tok") + F.col("pos")).alias("gpos"),
+    )
+    packs = (
+        placed.select(
+            "doc_id",
+            "shard",
+            "tok",
+            F.expr(f"gpos div {seq_len}").alias("pack_id"),
+            (F.col("gpos") % seq_len).cast("int").alias("slot"),
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(slot, tok))),"
+                    " x -> x.tok)"
+                ),
+            ).alias("text"),
+        )
+    )
+    if drop_tail:
+        packs = packs.filter(F.col("n_tokens") == seq_len)
+    return packs.select("shard", "pack_id", "n_docs", "n_tokens", "text")
+
+
+def write_packed_shards(packs: DataFrame, path: str) -> None:
+    """Write materialized packs (:func:`sequence_pack_rows`) as the
+    production training-shard layout: parquet partitioned by ``shard``,
+    so each training worker reads exactly its shard's directory and the
+    pack files stream in ``pack_id`` order.  Overwrite semantics keep
+    re-runs idempotent (the pack layout is deterministic, so a re-run
+    writes byte-identical content)."""
+    (
+        packs.repartition("shard")
+        .sortWithinPartitions("pack_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def dsir_select(
     df: DataFrame,
     target_source: str = "src0",

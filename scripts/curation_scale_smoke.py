@@ -128,6 +128,44 @@ def main() -> None:
             pos += r.n_tokens
     results["assembly_packed_tokens"] = sum(r.n_tokens for r in layout)
 
+    # --- sequence_pack_rows: MATERIALIZE real shards -------------------
+    # Invariants assert JVM-side (never collect pack texts to the
+    # driver): every written pack is exactly seq_len tokens, each
+    # shard's pack_ids are gapless 0..n-1, and the shard-partitioned
+    # parquet reads back with the same row count.
+    import tempfile
+
+    t_pack = time.time()
+    pack_dir = tempfile.mkdtemp(prefix="packed_shards_")
+    packs = curation.sequence_pack_rows(docs, seq_len=2048)
+    curation.write_packed_shards(packs, pack_dir)
+    back = spark.read.parquet(pack_dir)
+    results["pack_wall_s"] = round(time.time() - t_pack, 2)
+    n_packs = back.count()
+    results["pack_rows"] = n_packs
+    assert n_packs > 0
+    assert back.filter(F.col("n_tokens") != 2048).count() == 0, (
+        "a materialized pack is not exactly seq_len tokens"
+    )
+    shard_stats = back.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pack_id").alias("maxp"),
+        F.count_distinct("pack_id").alias("ndist"),
+    ).collect()
+    for r in shard_stats:
+        assert r.maxp == r.n - 1 and r.ndist == r.n, (
+            f"shard {r.shard} pack stream has holes"
+        )
+    # token conservation: written tokens == total stream div seq_len
+    total_toks = (
+        curation.sequence_pack(docs, seq_len=2048)
+        .groupBy("shard").agg(F.sum("n_tokens").alias("tt")).collect()
+    )
+    want_packs = sum(r.tt // 2048 for r in total_toks)
+    assert n_packs == want_packs, (n_packs, want_packs)
+    import shutil
+
+    shutil.rmtree(pack_dir, ignore_errors=True)
+
     # --- ccnet_bucket --------------------------------------------------
     t1 = time.time()
     tersizes = (

@@ -345,3 +345,123 @@ def test_md5_bigint_rejects_unsafe_salt(spark):
     for bad in ("it's", 'a"b', "a\\b", "a;b", "a b"):
         with pytest.raises(ValueError):
             _md5_bigint("text", bad)
+
+
+class TestSequencePackRows:
+    """Materialized packs (sequence_pack_rows): every emitted pack is
+    exactly seq_len tokens, shards are gapless prefixes of the layout's
+    concatenated stream, and the result is byte-stable across input
+    partitionings."""
+
+    def test_every_pack_exactly_seq_len_and_gapless(self, spark, docs):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            sequence_pack,
+            sequence_pack_rows,
+        )
+
+        packs = sequence_pack_rows(docs, seq_len=64).collect()
+        assert packs
+        by_shard = {}
+        for r in packs:
+            assert r.n_tokens == 64
+            assert len(r.text.split(" ")) == 64
+            by_shard.setdefault(r.shard, []).append(r)
+        # pack_ids per shard are 0..n-1 with no holes (gapless stream)
+        for shard, rows in by_shard.items():
+            ids = sorted(r.pack_id for r in rows)
+            assert ids == list(range(len(ids)))
+        # cross-check against the layout: the layout's total stream per
+        # shard div seq_len = number of full packs emitted
+        layout = sequence_pack(docs, seq_len=64).collect()
+        per_shard_tokens = {}
+        for r in layout:
+            per_shard_tokens[r.shard] = (
+                per_shard_tokens.get(r.shard, 0) + r.n_tokens
+            )
+        for shard, total in per_shard_tokens.items():
+            assert len(by_shard.get(shard, [])) == total // 64
+
+    def test_packs_are_the_concatenated_doc_stream(self, spark, docs):
+        """Joining a shard's packs in pack_id order reproduces the
+        concatenation of its documents in layout order, truncated to
+        the last full pack — the pack writer invents and loses
+        nothing."""
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            sequence_pack,
+            sequence_pack_rows,
+        )
+        from deepseek_ocr_customvllm_spark.operators.textstats import (
+            with_norm,
+        )
+
+        texts = {
+            r.doc_id: r.t
+            for r in with_norm(docs).select("doc_id", "t").collect()
+        }
+        layout = sorted(
+            sequence_pack(docs, seq_len=64).collect(),
+            key=lambda r: (r.shard, r.start_tok),
+        )
+        streams = {}
+        for r in layout:
+            streams.setdefault(r.shard, []).extend(
+                texts[r.doc_id].split(" ")
+            )
+        packs = sequence_pack_rows(docs, seq_len=64).collect()
+        by_shard = {}
+        for r in packs:
+            by_shard.setdefault(r.shard, {})[r.pack_id] = r.text
+        for shard, stream in streams.items():
+            got = " ".join(
+                by_shard.get(shard, {})[i]
+                for i in range(len(by_shard.get(shard, {})))
+            )
+            want = " ".join(stream[: (len(stream) // 64) * 64])
+            assert got == want
+
+    def test_drop_tail_false_keeps_partials(self, spark, docs):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            sequence_pack_rows,
+        )
+
+        full = sequence_pack_rows(docs, seq_len=64, drop_tail=False)
+        partials = full.filter(F.col("n_tokens") != 64).collect()
+        # at most one partial per shard, each strictly under seq_len
+        shards = [r.shard for r in partials]
+        assert len(shards) == len(set(shards))
+        assert all(0 < r.n_tokens < 64 for r in partials)
+
+    def test_byte_stable_across_parallelism(self, spark, docs):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            sequence_pack_rows,
+        )
+
+        a = sorted(
+            map(tuple, sequence_pack_rows(docs.repartition(3), seq_len=64).collect())
+        )
+        b = sorted(
+            map(tuple, sequence_pack_rows(docs.repartition(13), seq_len=64).collect())
+        )
+        assert a == b and len(a) > 0
+
+    def test_write_packed_shards_layout(self, spark, docs, tmp_path):
+        """The written layout is shard-partitioned parquet that reads
+        back identical to the DataFrame."""
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            sequence_pack_rows,
+            write_packed_shards,
+        )
+
+        packs = sequence_pack_rows(docs, seq_len=64)
+        out = str(tmp_path / "packed")
+        write_packed_shards(packs, out)
+        import os
+
+        part_dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+        assert part_dirs, "expected shard= partition directories"
+        back = spark.read.parquet(out)
+        a = sorted(
+            map(tuple, back.select(*packs.columns).collect())
+        )
+        b = sorted(map(tuple, packs.collect()))
+        assert a == b
