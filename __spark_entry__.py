@@ -1591,6 +1591,16 @@ def _oracle_dedup_recall() -> str:
         f" (simhash // {band_mod ** k}) % {band_mod} AS bk FROM ssig"
         for k in range(dedup.SIMHASH_BANDS)
     )
+    # second, independent signature family (the x2 tier): identical
+    # machinery over the salted token hash
+    v2 = dedup.hex_to_bigint_sql(
+        f"'{dedup.SIMHASH_X2_SALT}' || tok", 15
+    )
+    s2band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {k} AS band,"
+        f" (simhash // {band_mod ** k}) % {band_mod} AS bk FROM s2sig"
+        for k in range(dedup.SIMHASH_BANDS)
+    )
     jm = dedup.JACCARD_MIN
     jacc = "floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000"
     return f"""
@@ -1654,6 +1664,27 @@ sh_pairs AS (
   SELECT id_a, id_b FROM spairs
   WHERE bit_count(xor(sim_a, sim_b)) <= {dedup.HAMMING_MAX}
 ),
+s2vals AS (SELECT doc_id, {v2} AS v FROM stoks),
+s2bits AS (SELECT doc_id, {bit_aggs} FROM s2vals GROUP BY doc_id),
+s2sig AS (SELECT doc_id, cast({sim} as bigint) AS simhash FROM s2bits),
+s2bands AS (
+{s2band_selects}
+),
+s2pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM s2bands a JOIN s2bands b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+s2h_pairs AS (
+  SELECT id_a, id_b FROM s2pairs
+  WHERE bit_count(xor(sim_a, sim_b)) <= {dedup.HAMMING_MAX}
+),
+x2_pairs AS (
+  SELECT id_a, id_b FROM sh_pairs
+  UNION
+  SELECT id_a, id_b FROM s2h_pairs
+),
 tstats AS (SELECT count(*) AS n_truth FROM truth)
 SELECT 'minhash_lsh' AS method, n_truth,
        (SELECT count(*) FROM mh) AS n_found,
@@ -1666,6 +1697,13 @@ SELECT 'simhash' AS method, n_truth,
        (SELECT count(*) FROM sh_pairs) AS n_found,
        (SELECT count(*) FROM truth t JOIN sh_pairs USING (id_a, id_b)) AS n_hits,
        floor((SELECT count(*) FROM truth t JOIN sh_pairs USING (id_a, id_b))
+             / greatest(n_truth, 1) * 10000) / 10000 AS recall
+FROM tstats
+UNION ALL
+SELECT 'simhash_x2' AS method, n_truth,
+       (SELECT count(*) FROM x2_pairs) AS n_found,
+       (SELECT count(*) FROM truth t JOIN x2_pairs USING (id_a, id_b)) AS n_hits,
+       floor((SELECT count(*) FROM truth t JOIN x2_pairs USING (id_a, id_b))
              / greatest(n_truth, 1) * 10000) / 10000 AS recall
 FROM tstats
 """

@@ -1550,12 +1550,18 @@ class TestDedupRecallReport:
             ).collect()
         }
         mh, sh = rows["minhash_lsh"], rows["simhash"]
-        assert mh["n_truth"] == sh["n_truth"] > 0
+        x2 = rows["simhash_x2"]
+        assert mh["n_truth"] == sh["n_truth"] == x2["n_truth"] > 0
         # the banded production tier must find every planted pair here
         assert float(mh["recall"]) == 1.0
         # the bit-signature tier trades recall for cost — measured, and
         # bounded below so a silent collapse would fail the suite
         assert 0.5 <= float(sh["recall"]) <= 1.0
+        # the two-signature tier dominates the single one (a union can
+        # only add hits) and stays bounded below
+        assert float(x2["recall"]) >= float(sh["recall"])
+        assert x2["n_hits"] >= sh["n_hits"]
+        assert 0.8 <= float(x2["recall"]) <= 1.0
         # in-sample precision: every found pair is a true pair
         assert mh["n_hits"] == mh["n_found"]
 
