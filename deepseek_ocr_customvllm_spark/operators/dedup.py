@@ -180,8 +180,27 @@ def lsh_candidate_pairs(
 def jaccard_verify(
     cand: DataFrame, sh: DataFrame, jaccard_min: float = JACCARD_MIN
 ) -> DataFrame:
-    """Exact n-gram Jaccard for the LSH candidates."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    """Exact n-gram Jaccard for the LSH candidates.
+
+    Two shapes, chosen by the shingle frame's schema:
+
+    - ``(doc_id, sh)``: the historical shape — per-doc set sizes are a
+      separate aggregate joined back twice.
+    - ``(doc_id, sh, n)`` with ``n`` = the doc's distinct-shingle count
+      carried on every row (round 6, built by
+      :func:`minhash_lsh_duplicates` ``persist=True``): sizes ride the
+      verification join itself — ``max(n)`` lands in the same
+      ``(id_a, id_b)`` aggregation as the intersection count, deleting
+      the corpus-wide sizes aggregate AND both size joins (3 fewer
+      scheduled stages; at 10^12 docs, two fewer corpus-wide joins).
+    """
+    carried_n = "n" in sh.columns
+    inter_aggs = [F.count("*").alias("n_int")]
+    if carried_n:
+        # n is constant within a doc, so max() is just "pick it up"
+        inter_aggs += [
+            F.max("s1.n").alias("_na"), F.max("s2.n").alias("_nb"),
+        ]
     inter = (
         cand.join(sh.alias("s1"), F.col("id_a") == F.col("s1.doc_id"))
         .join(
@@ -189,61 +208,99 @@ def jaccard_verify(
             (F.col("id_b") == F.col("s2.doc_id")) & (F.col("s1.sh") == F.col("s2.sh")),
         )
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_int"))
+        .agg(*inter_aggs)
     )
-    joined = (
-        inter.join(sizes.alias("na"), F.col("id_a") == F.col("na.doc_id"))
-        .join(sizes.alias("nb"), F.col("id_b") == F.col("nb.doc_id"))
-        .select(
-            "id_a",
-            "id_b",
-            # floor-truncation, not round(): portable across engines
-            (
-                F.floor(
-                    F.col("n_int")
-                    * F.lit(10000.0)
-                    / (F.col("na.n") + F.col("nb.n") - F.col("n_int"))
-                )
-                / 10000
-            ).alias("jaccard"),
-        )
+    if carried_n:
+        na, nb = F.col("_na"), F.col("_nb")
+        joined = inter
+    else:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        na, nb = F.col("na.n"), F.col("nb.n")
+        joined = inter.join(
+            sizes.alias("na"), F.col("id_a") == F.col("na.doc_id")
+        ).join(sizes.alias("nb"), F.col("id_b") == F.col("nb.doc_id"))
+    out = joined.select(
+        "id_a",
+        "id_b",
+        # floor-truncation, not round(): portable across engines
+        (
+            F.floor(
+                F.col("n_int") * F.lit(10000.0) / (na + nb - F.col("n_int"))
+            )
+            / 10000
+        ).alias("jaccard"),
     )
-    return joined.filter(F.col("jaccard") >= jaccard_min)
+    return out.filter(F.col("jaccard") >= jaccard_min)
 
 
 def minhash_lsh_duplicates(
-    df: DataFrame, persist: bool = False, max_bucket: int | None = None
+    df: DataFrame, persist: bool = True, max_bucket: int | None = None
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline over ``documents``.
 
-    The distinct-shingle table is consumed THREE times (signatures, and
-    both sides of the verification join) and Catalyst does not
-    common-subexpression DataFrame lineage, so the scan + shingle explode
-    recomputes 3x.  ``persist`` trades that recompute for a
-    MEMORY_AND_DISK cache — measured NOT worth it at sandbox scale (cache
-    write ≈ recompute cost for the exploded rows); at cluster scale the
-    honest equivalent is writing the shingle table to a bucketed
-    checkpoint once and joining against that, not executor memory.
-    With ``persist=True`` the result is eagerly materialized (via
-    ``localCheckpoint``) so the cache can be released before returning —
-    no executor storage leaks across invocations in a long-lived session.
+    ``persist=True`` (the DEFAULT since round 6) derives EVERYTHING from
+    ONE checkpointed distinct-shingle scan: the signature aggregation,
+    and both sides of the Jaccard verification join, all read the
+    materialized ``(doc_id, sh)`` table.  Value-identical to the lazy
+    shape because ``min()`` over a shingle multiset equals ``min()``
+    over its set — the signature branch loses nothing by reading the
+    distinct table, with each row carrying its doc's shingle-set size
+    so verification needs no sizes aggregate or size joins
+    (:func:`_shingle_table_with_sizes`, :func:`jaccard_verify`).
+    Measured effect (round 6, sf0.1, local[8]): scheduled jobs drop
+    9 → 7 and the corpus-wide stage count falls by a sizes aggregate
+    plus two joins — the per-query serial floor is stage schedulings,
+    so fusing scans is how it shrinks (BASELINE.md "Query-engine
+    scaling").  At cluster scale the checkpoint is the bucketed shingle
+    table a production pipeline would materialize anyway between the
+    signature and verify stages.
+
+    NOTE: ``persist=True`` is eager at construction (the
+    localCheckpoint runs Spark jobs before this function returns).
+    ``persist=False`` keeps the historical fully-lazy plan: the shingle
+    pipeline recomputes per consumer (3x), with the signature branch
+    reading the cheaper non-distinct stream — the right shape when a
+    caller embeds this operator inside a larger plan it will optimize
+    as a whole.
 
     ``max_bucket`` caps hot LSH buckets (see ``_cap_hot_buckets``).
     """
-    sh = shingles(df)
     if persist:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    # signatures from the NON-distinct stream: min is duplicate-blind, so
-    # the signature branch skips the distinct shuffle
-    sig = minhash_signatures(shingles(df, distinct=False))
+        sh = _shingle_table_with_sizes(df)
+        sig = minhash_signatures(sh.select("doc_id", "sh"))
+    else:
+        sh = shingles(df)
+        # min is duplicate-blind, so the lazy signature branch skips the
+        # distinct shuffle by reading the raw stream
+        sig = minhash_signatures(shingles(df, distinct=False))
     cand = lsh_candidate_pairs(sig, max_bucket=max_bucket)
-    out = jaccard_verify(cand, sh)
-    if persist:
-        out = out.localCheckpoint()  # eager: safe to drop the cache now
-        sh.unpersist()
-    return out
+    return jaccard_verify(cand, sh)
+
+
+def _shingle_table_with_sizes(df: DataFrame) -> DataFrame:
+    """The fused pipeline's checkpointed shingle table:
+    ``(doc_id, sh, n)`` — distinct shingles with the doc's
+    distinct-shingle count carried on every row — built behind ONE
+    Exchange (pinned by ``tests/test_plans.py``): the explicit
+    ``repartition(doc_id)`` satisfies both the (doc_id, sh) dedup (hash
+    partitioning on a subset of the grouping keys co-locates every
+    group) and the window count, so neither adds a shuffle.
+
+    Trade vs ``shingles(df)`` (distinct): the repartition ships the RAW
+    shingle stream (no map-side partial dedup — within-doc duplicate
+    shingles, typically a 10-20% overhead on natural text) but saves a
+    second corpus-wide Exchange for the sizes, the sizes aggregate, and
+    two corpus-wide joins downstream.  A document is bounded by the
+    ingest size gate, so the per-doc grouping cannot skew a partition.
+    """
+    raw = shingles(df, distinct=False)
+    w = Window.partitionBy("doc_id")
+    return (
+        raw.repartition("doc_id")
+        .dropDuplicates(["doc_id", "sh"])
+        .withColumn("n", F.count("*").over(w))
+        .localCheckpoint()
+    )
 
 
 def incremental_dedup(
@@ -279,8 +336,16 @@ def incremental_dedup(
     Jaccard, ordered by doc_id.
     """
     is_new = F.col("doc_id") >= boundary
-    old_sig = minhash_signatures(shingles(df.filter(~is_new), distinct=False))
-    new_sig = minhash_signatures(shingles(df.filter(is_new), distinct=False))
+    # round 6: ONE checkpointed shingle scan feeds both signature sides
+    # and the verification join (was 3 independent corpus scans); the
+    # old/new split is a post-checkpoint filter on the narrow table
+    sh_all = _shingle_table_with_sizes(df)
+    old_sig = minhash_signatures(
+        sh_all.filter(~is_new).select("doc_id", "sh")
+    )
+    new_sig = minhash_signatures(
+        sh_all.filter(is_new).select("doc_id", "sh")
+    )
     bo = _cap_hot_buckets(_banded(old_sig), max_bucket)
     bn = _banded(new_sig)
     cand = (
@@ -296,7 +361,7 @@ def incremental_dedup(
         )
         .distinct()
     )
-    ver = jaccard_verify(cand, shingles(df), jaccard_min)
+    ver = jaccard_verify(cand, sh_all, jaccard_min)
     return (
         ver.groupBy(F.col("id_a").alias("doc_id"))
         .agg(

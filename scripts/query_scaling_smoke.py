@@ -21,20 +21,23 @@ Each arm is a fresh SparkSession (a stopped context leaves the JVM
 gateway alive, ~2 s to swap masters); rep 1 pays plan/codegen, rep 2
 is the steady state and is the reported wall — bench.py's convention.
 
-Measured findings (round 5, recorded in BASELINE.md "Query-engine
-scaling"): at x12 the minhash pipeline's 2->8 pairwise efficiency is
-0.57-0.87 across 9 pairs (medians 0.62-0.68) while a pure-JVM compute
-kernel on the same host scales at
-0.80-0.92 — the gap is a per-query SERIAL FLOOR (driver planning, AQE
-re-planning, ~10 stage schedulings ~= 8.7 s, vs ~55 core-seconds of
-parallel work at x12), not a shuffle-scaling defect: local[32] runs
-the same job in ~13 s, barely under local[8]'s ~15 s, exactly the
-signature of a fixed floor.  On a real cluster the floor amortizes
-(stages process GB-hours, not seconds).  Replication does NOT raise
-the signal cheaply: the Jaccard-verify stage's shingle join grows
-super-linearly with replicas (a x48 attempt ran >60 min and was
-abandoned), so REPLICAS stays 12 and the floor analysis is the
-honest statement.
+Measured findings (rounds 5-6, recorded in BASELINE.md "Query-engine
+scaling"): round 5 quantified a per-query SERIAL FLOOR (driver
+planning, AQE re-planning, ~10 stage schedulings ~= 8.7 s, vs ~55
+core-seconds of parallel work at x12) against a pure-JVM calibration
+of 0.80-0.92 on the same host.  Round 6 CUT the floor and the
+parallel work together (fused single-scan shingle table, sizes
+carried per row, jobs 9 -> 7): walls fell to 23-26 s at local[2]
+(was 36-52) and 10-13 s at local[8] (was ~15).  NOTE the efficiency
+statistic correctly FALLS when the job gets cheaper — wall-ratio
+efficiency (s+W/2)/(4(s+W/8)) tends to 0.25 as the parallel work W
+shrinks over a fixed floor s, so compare WALLS across rounds, and
+efficiencies only within a round.  Decomposition after the cut:
+W ~= 32 core-s, s ~= 7.4 s ~= 7 irreducible shuffle-boundary stages.
+Replication does NOT raise the signal cheaply: the Jaccard-verify
+stage's shingle join grows super-linearly with replicas (a x48
+attempt ran >60 min and was abandoned), so REPLICAS stays 12 and the
+floor analysis is the honest statement.
 
 Prints ONE JSON line: {"metric": "query_scaling_smoke", ...}.
 """

@@ -470,3 +470,51 @@ def test_semdedup_prune_joins_once_inside_checkpoints(spark):
     plan_lazy = _formatted(similarity.semdedup_prune(corpus, persist=False))
     assert plan_lazy.count("Join") >= 2
     assert plan_lazy.count("Scan parquet") >= 4
+
+
+def test_minhash_fused_shingle_table_is_one_exchange(spark):
+    """Round-6 serial-floor cut: the fused pipeline's checkpointed
+    shingle table (distinct shingles + carried set size) must build
+    behind ONE Exchange — the explicit repartition(doc_id) satisfies
+    both the (doc_id, sh) dedup and the window count.  A second
+    Exchange here means Catalyst stopped recognizing the partitioning
+    subsumption and the fusion silently regressed to the old cost."""
+    from deepseek_ocr_customvllm_spark.operators import dedup
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    raw = dedup.shingles(docs, distinct=False)
+    pre_ckpt = (
+        raw.repartition("doc_id")
+        .dropDuplicates(["doc_id", "sh"])
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    plan = _formatted(pre_ckpt)
+    # formatted explain prints each Exchange twice (tree + detail)
+    assert plan.count("Exchange") <= 2, plan
+
+    # and the fused verify reads the checkpoint, never re-aggregating
+    # sizes: no second groupBy(doc_id) aggregate in the final plan
+    out = dedup.minhash_lsh_duplicates(docs)  # persist=True default
+    final = _formatted(out)
+    assert "Scan ExistingRDD" in final  # reads the checkpointed table
+
+
+def test_minhash_fused_matches_lazy_shape(spark):
+    """The fused (persist=True) and historical lazy (persist=False)
+    pipelines must agree pair-for-pair — min() over a multiset equals
+    min() over its set, and the carried-n verify is value-identical to
+    the sizes-join verify."""
+    from deepseek_ocr_customvllm_spark.operators import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    a = sorted(map(tuple, dedup.minhash_lsh_duplicates(docs).collect()))
+    b = sorted(
+        map(tuple, dedup.minhash_lsh_duplicates(docs, persist=False).collect())
+    )
+    assert a == b

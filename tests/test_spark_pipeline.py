@@ -1775,3 +1775,49 @@ class TestVerticalAndType3ThroughSparkPath:
         t = out["https://ex.org/type3.pdf"]
         assert t["status"] == "SUCCESS"
         assert "A M B" in t["markdown_raw"]  # FontMatrix-scaled x order
+
+
+class TestDedupJobDefaults:
+    """The production entry point (dedup_job) must run with the SCALE
+    knobs on by default — the hot-bucket cap active, unlike the
+    oracle-compared registry path which pins exact recall (NOTES.md
+    "scale-knob defaults" rule, round 6)."""
+
+    def test_default_cap_is_on_and_active(self, spark):
+        from deepseek_ocr_customvllm_spark import dedup_job
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        assert dedup_job.DEFAULT_MAX_BUCKET is not None
+
+        # a degenerate corpus: one boilerplate bucket larger than a
+        # small cap; under the cap that bucket produces no candidates
+        rows = [(i, "the same boilerplate text repeated for every page "
+                    "here") for i in range(30)]
+        rows += [(100 + i, f"unique document number {i} with its own "
+                           f"words alpha{i} beta{i} gamma{i}")
+                 for i in range(5)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        capped = dedup_job.run_dedup_job(docs, max_bucket=5)
+        uncapped = dedup_job.run_dedup_job(docs, max_bucket=None)
+        # uncapped: the 30-clone cluster collapses to 1 canonical doc;
+        # capped: its bucket is dropped, the clones all survive — the
+        # cap is demonstrably wired through the job path
+        assert uncapped.count() == 1 + 5
+        assert capped.count() == 30 + 5
+
+    def test_job_default_keeps_registry_semantics_on_clean_corpus(
+        self, spark
+    ):
+        """On a corpus without degenerate buckets the production
+        default (cap=100) and the exact-recall path agree exactly."""
+        from deepseek_ocr_customvllm_spark import dedup_job
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        a = sorted(r.doc_id for r in dedup_job.run_dedup_job(docs).collect())
+        b = sorted(
+            r.doc_id
+            for r in dedup_job.run_dedup_job(docs, max_bucket=None).collect()
+        )
+        assert a == b and len(a) > 0
