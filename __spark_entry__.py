@@ -606,6 +606,14 @@ def _q_sequence_pack_rows(spark, sf_dir):
     return curation.sequence_pack_rows(_docs(spark, sf_dir), seq_len=64)
 
 
+def _q_token_count_subword(spark, sf_dir):
+    """Deterministic frozen greedy-merge subword token counts (the
+    tokenizer-shaped budget behind sequence packing) next to the
+    whitespace counts; the segmentation recursive-CTE text is shared
+    verbatim with the DuckDB oracle."""
+    return textstats.subword_token_counts(_docs(spark, sf_dir))
+
+
 def _q_dsir_select(spark, sf_dir):
     """DSIR-style targeted selection: hashed-unigram importance scores
     toward the src0 slice, top-50 raw docs (integer-exact variant)."""
@@ -1395,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_per_region": _q_top_customers_per_region,
         # --- 21+: round-6 additions / changed operators ---
         "sequence_pack_rows": _q_sequence_pack_rows,
+        "token_count_subword": _q_token_count_subword,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2534,6 +2543,34 @@ SELECT doc_id, shard, n_tokens, e - n_tokens AS start_tok,
        (e - 1) // 2048 AS pack_last,
        cast((e - 1) // 2048 - (e - n_tokens) // 2048 + 1 AS int) AS n_packs
 FROM cum
+""",
+        "token_count_subword": f"""
+WITH RECURSIVE norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+occs0 AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS word0
+  FROM norm WHERE t <> ''
+),
+occs AS (
+  SELECT doc_id,
+         substring(word0, 1, {textstats.SUBWORD_MAX_WORD_CHARS}) AS word
+  FROM occs0
+),
+per_word AS (
+  SELECT doc_id, word, count(*) AS cnt FROM occs GROUP BY 1, 2
+),
+vocab AS (SELECT DISTINCT word FROM per_word),
+{textstats.subword_segment_sql('vocab')},
+per_doc AS (
+  SELECT pw.doc_id,
+         cast(sum(pw.cnt * p.n_pieces) AS bigint) AS n_subword_tokens
+  FROM per_word pw JOIN pieces p USING (word)
+  GROUP BY 1
+)
+SELECT n.doc_id,
+       cast(CASE WHEN n.t = '' THEN 0
+            ELSE len(string_split(n.t, ' ')) END AS bigint) AS n_ws_tokens,
+       cast(coalesce(d.n_subword_tokens, 0) AS bigint) AS n_subword_tokens
+FROM norm n LEFT JOIN per_doc d USING (doc_id)
 """,
         "sequence_pack_rows": f"""
 WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),

@@ -57,6 +57,7 @@ def sequence_pack(
     seq_len: int = 2048,
     n_shards: int = 8,
     salt: str = "pack-v1",
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: assign every document its
     token span in the packed training layout.
@@ -83,8 +84,31 @@ def sequence_pack(
     (salt, doc_id), so the packed layout is reproducible bit-for-bit —
     the property that makes training-data audits and resumable packing
     possible.  All outputs are integers (no floats anywhere).
+
+    ``tokenizer`` selects the token-budget definition: ``"ws"`` (the
+    default — whitespace tokens, the definition every sibling operator
+    shares) or ``"subword"`` (the frozen greedy-merge scheme,
+    :func:`textstats.subword_token_counts` — tokenizer-shaped budgets
+    that transfer to a real training stack).  The layout invariants
+    (gapless per-shard streams, exact seq_len slicing, parallelism
+    invariance) are tokenizer-independent and re-proven under both
+    modes in ``tests/test_curation.py``.  Note
+    :func:`sequence_pack_rows` materializes token STREAMS and is
+    whitespace-only — under a subword budget the packed unit is the
+    subword piece, which the space-joined text column cannot carry.
     """
-    toks = with_norm(df).select("doc_id", _n_ws_tokens().alias("n_tokens"))
+    if tokenizer == "ws":
+        toks = with_norm(df).select(
+            "doc_id", _n_ws_tokens().alias("n_tokens")
+        )
+    elif tokenizer == "subword":
+        from .textstats import subword_token_counts
+
+        toks = subword_token_counts(df).select(
+            "doc_id", F.col("n_subword_tokens").alias("n_tokens")
+        )
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     return _pack_layout(toks, seq_len, n_shards, salt)
 
 

@@ -49,6 +49,133 @@ def token_counts(df: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# deterministic subword tokenization (frozen greedy-merge scheme)
+# ---------------------------------------------------------------------------
+
+#: Frozen BPE-style merge vocabulary: multi-character pieces a greedy
+#: longest-match segmenter may consume in one step (single characters
+#: are the implicit fallback).  Learned-once-and-frozen is the defining
+#: property of a production tokenizer — this table IS the "integer
+#: merges table" of the scheme, and changing it changes every
+#: downstream token budget, so it is append-only by convention.
+SUBWORD_VOCAB = (
+    "ation", "ition", "ement",
+    "tion", "ment", "ness", "able", "ible", "ight", "ough",
+    "ing", "ent", "ant", "est", "ers", "ion", "ous", "ive", "age",
+    "ed", "er", "es", "ly", "al", "ar", "or", "an", "en", "in", "on",
+    "at", "it", "is", "th", "he", "re", "nd", "st", "le", "se", "de",
+    "te", "ti", "ce", "co", "ro", "ra", "li", "la", "ur", "un",
+)
+
+#: Words are truncated to this many characters before segmentation —
+#: bounds the recursion depth in both engines (frozen rule; a 10^12-doc
+#: corpus will contain arbitrarily long junk "words").
+SUBWORD_MAX_WORD_CHARS = 32
+
+
+def _subword_step_case() -> str:
+    """The greedy step: length consumed at position ``pos`` of ``word``
+    — the longest vocabulary piece that matches, else one character.
+    Dialect-portable (``substring`` is 1-based in Spark AND DuckDB)."""
+    arms = "\n      ".join(
+        f"WHEN substring(word, pos, {len(p)}) = '{p}' THEN {len(p)}"
+        for p in sorted(SUBWORD_VOCAB, key=lambda p: (-len(p), p))
+    )
+    return f"CASE\n      {arms}\n      ELSE 1 END"
+
+
+def subword_segment_sql(words_rel: str) -> str:
+    """The recursive greedy-segmentation CTE body over a relation
+    ``words_rel(word)`` of distinct (truncated) words — the SAME text
+    runs on Spark and DuckDB (both support ``WITH RECURSIVE``; the
+    caller supplies the WITH RECURSIVE header).  Yields
+    ``pieces(word, n_pieces)``.
+
+    Termination: ``pos`` strictly grows every step, so the recursion
+    depth is bounded by :data:`SUBWORD_MAX_WORD_CHARS` (Spark's default
+    recursion limit is 100).  ``n`` increments once per consumed piece;
+    the per-word piece count is its max.
+    """
+    return f"""seg(word, pos, n) AS (
+  SELECT word, 1, 0 FROM {words_rel}
+  UNION ALL
+  SELECT word,
+         pos + {_subword_step_case()},
+         n + 1
+  FROM seg WHERE pos <= length(word)
+),
+pieces AS (SELECT word, max(n) AS n_pieces FROM seg GROUP BY word)"""
+
+
+def subword_token_counts(df: DataFrame) -> DataFrame:
+    """Per-document counts under the FROZEN greedy-merge subword
+    scheme: ``(doc_id, n_ws_tokens, n_subword_tokens)``.
+
+    Real packing budgets are tokenizer-specific (the reference's
+    analogue is its token math at ``process/image_process.py:510-518``);
+    the whitespace count under-budgets long words and over-budgets
+    short ones.  This scheme is deterministic, engine-portable (the
+    segmentation is ONE shared recursive-CTE text, run by Spark and the
+    DuckDB oracle verbatim), and integer-only — the properties that
+    make packed layouts transferable and auditable.  It is NOT a
+    trained tokenizer; it is the frozen stand-in with the same shape
+    (greedy longest-match over a merges-derived vocabulary, cf.
+    Sennrich et al. 2016 / WordPiece's left-to-right longest-match).
+
+    Scale shape: the recursion runs over the DISTINCT truncated words
+    (the corpus vocabulary — Heaps-law-bounded, orders of magnitude
+    smaller than the token stream), never over occurrences; per-doc
+    counts come from one (word)-keyed join of occurrences against the
+    segmented vocabulary and a map-side-combined sum.  The explode and
+    the vocabulary both partial-aggregate before shuffling.
+    """
+    spark = df.sparkSession
+    d = with_norm(df)
+    occs = (
+        d.filter(F.col("t") != "")
+        .select("doc_id", F.explode(F.split("t", " ")).alias("word"))
+        .select(
+            "doc_id",
+            F.expr(f"substring(word, 1, {SUBWORD_MAX_WORD_CHARS})").alias(
+                "word"
+            ),
+        )
+    )
+    per_word = occs.groupBy("doc_id", "word").agg(
+        F.count("*").alias("cnt")
+    )
+    vocab = per_word.select("word").distinct()
+    pieces = spark.sql(
+        "WITH RECURSIVE " + subword_segment_sql("{vocab}")
+        + "\nSELECT word, n_pieces FROM pieces",
+        vocab=vocab,
+    )
+    per_doc = (
+        per_word.join(pieces, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("n_pieces")).alias(
+                "n_subword_tokens"
+            )
+        )
+    )
+    n_ws = F.when(F.col("t") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("t"), " "))
+    )
+    return (
+        d.select("doc_id", n_ws.cast("bigint").alias("n_ws_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            F.coalesce(F.col("n_subword_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_subword_tokens"),
+        )
+    )
+
+
 def language_id(df: DataFrame) -> DataFrame:
     """N-gram/stopword-marker language identification.
 

@@ -465,3 +465,131 @@ class TestSequencePackRows:
         )
         b = sorted(map(tuple, packs.collect()))
         assert a == b
+
+
+class TestSubwordTokenizer:
+    """The frozen greedy-merge subword scheme: known segmentations,
+    truncation bound, empty docs, and the packing invariants re-proven
+    under the subword budget."""
+
+    def test_known_segmentations(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.textstats import (
+            subword_token_counts,
+        )
+
+        # nation -> na|tion? greedy left-to-right: 'n' 'ation' = 2
+        # ('ation' matches at pos 2); packing -> p|ac|k|ing
+        cases = {
+            1: ("nation", 2),          # n + ation
+            2: ("ing", 1),             # exact piece
+            3: ("xyz", 3),             # no pieces, char fallback
+            4: ("", 0),                # empty doc
+            5: ("the cat", 4),         # th|e + c|at
+        }
+        df = spark.createDataFrame(
+            [(k, v[0]) for k, v in cases.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.n_subword_tokens
+            for r in subword_token_counts(df).collect()
+        }
+        # independent python greedy over the frozen vocab
+        from deepseek_ocr_customvllm_spark.operators.textstats import (
+            SUBWORD_VOCAB,
+        )
+
+        vocab = sorted(SUBWORD_VOCAB, key=lambda p: (-len(p), p))
+
+        def seg(word):
+            pos = n = 0
+            word = word[:32]
+            while pos < len(word):
+                for p in vocab:
+                    if word.startswith(p, pos):
+                        pos += len(p)
+                        break
+                else:
+                    pos += 1
+                n += 1
+            return n
+
+        for k, (text, expected) in cases.items():
+            want = sum(seg(w) for w in text.split()) if text else 0
+            assert got[k] == want, (text, got[k], want)
+            assert got[k] == expected, (text, got[k], expected)
+
+    def test_truncation_bounds_recursion(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.textstats import (
+            SUBWORD_MAX_WORD_CHARS,
+            subword_token_counts,
+        )
+
+        long_word = "z" * 500  # no vocab piece contains z
+        df = spark.createDataFrame(
+            [(1, long_word)], "doc_id long, text string"
+        )
+        [r] = subword_token_counts(df).collect()
+        assert r.n_subword_tokens == SUBWORD_MAX_WORD_CHARS
+
+    def test_subword_counts_never_exceed_chars_nor_undershoot(
+        self, spark, docs
+    ):
+        """Structural bounds: ws <= subword (a word is >= 1 piece) and
+        subword <= normalized char count (a piece is >= 1 char)."""
+        from deepseek_ocr_customvllm_spark.operators.textstats import (
+            subword_token_counts, with_norm,
+        )
+        from pyspark.sql import functions as F
+
+        out = subword_token_counts(docs).join(
+            with_norm(docs).select("doc_id", F.length("t").alias("nc")),
+            "doc_id",
+        )
+        bad = out.filter(
+            (F.col("n_subword_tokens") < F.col("n_ws_tokens"))
+            | (F.col("n_subword_tokens") > F.col("nc"))
+        ).count()
+        assert bad == 0
+
+    def test_packing_invariants_hold_under_subword_budget(
+        self, spark, docs
+    ):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            sequence_pack,
+        )
+
+        rows = sequence_pack(docs, seq_len=64, tokenizer="subword").collect()
+        assert rows
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, rs in by_shard.items():
+            rs.sort(key=lambda r: r.start_tok)
+            pos = 0
+            for r in rs:
+                assert r.start_tok == pos, (shard, r)
+                assert r.n_tokens > 0
+                end0 = r.start_tok + r.n_tokens - 1
+                assert r.pack_first == r.start_tok // 64
+                assert r.pack_last == end0 // 64
+                pos += r.n_tokens
+
+    def test_subword_packing_is_parallelism_invariant(self, spark, docs):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            sequence_pack,
+        )
+
+        a = sorted(map(tuple, sequence_pack(
+            docs.repartition(3), tokenizer="subword").collect()))
+        b = sorted(map(tuple, sequence_pack(
+            docs.repartition(11), tokenizer="subword").collect()))
+        assert a == b and len(a) > 0
+
+    def test_unknown_tokenizer_rejected(self, spark, docs):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            sequence_pack,
+        )
+
+        with pytest.raises(ValueError):
+            sequence_pack(docs, tokenizer="bpe-gpt2")
