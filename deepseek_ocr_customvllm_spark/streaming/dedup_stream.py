@@ -222,3 +222,185 @@ def bounded_first_seen_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental NEAR-dup dedup (round 6)
+# ---------------------------------------------------------------------------
+
+INCR_STREAM_ID = "incremental_dedup"
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def run_incremental_dedup_stream(
+    spark,
+    landing_glob: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    state_dir: str,
+    max_bucket: int | None = 100,
+    jaccard_min: float | None = None,
+) -> int:
+    """Streaming incremental near-duplicate dedup: each micro-batch's
+    documents are banded against the ACCUMULATED band store of every
+    previously admitted document — the streaming face of
+    :func:`operators.dedup.incremental_dedup` (the per-dump join every
+    production crawl pipeline runs), under the same exactly-once ledger
+    as the extraction stream.
+
+    Per micro-batch:
+
+    1. replay guard — a batch id at or below the state ledger's
+       ``last_applied`` is skipped outright;
+    2. in-batch near-dups: banded self-join + exact Jaccard verify;
+       the LOWER doc_id of each verified pair is kept (a doc pairing
+       with any lower admitted id drops);
+    3. cross-batch: the batch's band keys equi-join the accumulated
+       band store (never a self-join — the two-corpus shape of
+       ``incremental_dedup``), verified against the union shingle
+       table; matches drop;
+    4. admitted docs, their band keys, and their ``(doc_id, sh, n)``
+       shingle rows are written with batch-id-keyed OVERWRITE (a
+       replayed batch rewrites the same partitions — idempotent, never
+       duplicates);
+    5. the ledger MERGE commits LAST, riding the state store's atomic
+       manifest rename: admitted doc_ids land as ``ADMITTED`` rows.
+
+    Crash-replay correctness: if the job dies between (4) and (5), the
+    replayed batch recomputes against the old side **filtered to
+    ``batch < batch_id``** — its own half-written store partitions are
+    excluded, so the replay sees exactly the pre-crash world and
+    rewrites identical partitions.  Stream state itself is empty (the
+    checkpoint only tracks source offsets); ALL durable state lives in
+    the band/shingle store and the ledger, so state is bounded by the
+    admitted corpus, never by stream lifetime.
+
+    Scale shape: the old side is what a production store keeps
+    precomputed between snapshots (append-only band + shingle tables,
+    partitioned by admission batch); ``max_bucket`` caps the old side's
+    degenerate buckets (production default ON per NOTES.md "scale-knob
+    defaults"; pass ``None`` for exact recall).  Returns total admitted
+    rows in ``out_dir`` after draining.
+    """
+    import os
+
+    from ..operators import dedup as D
+    from ..plans.state import ParquetStateStore
+
+    jm = D.JACCARD_MIN if jaccard_min is None else jaccard_min
+    store = ParquetStateStore(spark, state_dir)
+    bands_dir = os.path.join(store_dir, "bands")
+    sh_dir = os.path.join(store_dir, "shingles")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= store.last_applied(INCR_STREAM_ID):
+            return
+        docs = batch_df.select("doc_id", "text")
+        sh_new = D._shingle_table_with_sizes(docs)  # ckpt (doc_id, sh, n)
+        sig_new = D.minhash_signatures(sh_new.select("doc_id", "sh"))
+        bands_new = D._banded(sig_new).localCheckpoint()
+
+        # (2) in-batch: lower id of a verified pair wins
+        a, b = bands_new.alias("a"), bands_new.alias("b")
+        cand_in = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        drops = D.jaccard_verify(cand_in, sh_new, jm).select(
+            F.col("id_b").alias("doc_id")
+        )
+
+        # (3) cross-batch against the accumulated store, excluding any
+        # half-written partitions of THIS batch (crash replay)
+        if os.path.exists(bands_dir):
+            old_bands = D._cap_hot_buckets(
+                spark.read.parquet(bands_dir)
+                .filter(F.col("batch") < batch_id)
+                .select("doc_id", "band", "bk"),
+                max_bucket,
+            )
+            cand_x = (
+                bands_new.alias("n")
+                .join(
+                    old_bands.alias("o"),
+                    (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.bk") == F.col("o.bk")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("id_a"),
+                    F.col("o.doc_id").alias("id_b"),
+                )
+                .distinct()
+            )
+            old_sh = (
+                spark.read.parquet(sh_dir)
+                .filter(F.col("batch") < batch_id)
+                .select("doc_id", "sh", "n")
+            )
+            sh_all = sh_new.unionByName(old_sh)
+            drops = drops.unionByName(
+                D.jaccard_verify(cand_x, sh_all, jm).select(
+                    F.col("id_a").alias("doc_id")
+                )
+            )
+
+        admitted = docs.join(
+            drops.distinct(), "doc_id", "left_anti"
+        ).localCheckpoint()
+
+        # (4) batch-id-keyed overwrites: idempotent under replay
+        admitted.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+        adm_ids = admitted.select("doc_id")
+        bands_new.join(adm_ids, "doc_id").write.mode("overwrite").parquet(
+            f"{bands_dir}/batch={batch_id}"
+        )
+        sh_new.join(adm_ids, "doc_id").write.mode("overwrite").parquet(
+            f"{sh_dir}/batch={batch_id}"
+        )
+
+        # (5) ledger commit LAST — the atomic admission record
+        store.merge(
+            admitted.select(
+                F.col("doc_id").cast("string").alias("url"),
+                F.lit("ADMITTED").alias("status"),
+                F.expr(f"timestamp_seconds({batch_id})").alias(
+                    "updated_at"
+                ),
+            ),
+            stream_id=INCR_STREAM_ID,
+            batch_id=batch_id,
+        )
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_glob)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.exists(out_dir):
+        return 0
+    return spark.read.parquet(out_dir).count()

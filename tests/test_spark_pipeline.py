@@ -1821,3 +1821,111 @@ class TestDedupJobDefaults:
             for r in dedup_job.run_dedup_job(docs, max_bucket=None).collect()
         )
         assert a == b and len(a) > 0
+
+
+class TestIncrementalDedupStream:
+    """Streaming incremental near-dup dedup (round 6): micro-batches
+    band against the accumulated store under the exactly-once ledger —
+    no duplicate admissions across restarts, near-dups of previously
+    admitted docs drop, fresh docs survive."""
+
+    @staticmethod
+    def _doc(i, words, mutate_at=None):
+        toks = [f"w{i % 3}x{j}" if j == mutate_at else f"base{j}"
+                for j in range(words)]
+        return (i, " ".join(toks))
+
+    def _mk_docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_two_batches_then_checkpoint_loss_replay(self, spark, tmpdir):
+        import shutil as _sh
+
+        from deepseek_ocr_customvllm_spark.plans.state import (
+            ParquetStateStore,
+        )
+        from deepseek_ocr_customvllm_spark.streaming.dedup_stream import (
+            run_incremental_dedup_stream,
+        )
+
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        base = " ".join(f"base{j}" for j in range(40))
+        near = " ".join(
+            (f"mut{j}" if j == 0 else f"base{j}") for j in range(40)
+        )
+        fresh1 = " ".join(f"uno{j}" for j in range(40))
+        fresh2 = " ".join(f"dos{j}" for j in range(40))
+        # batch 1: 10=base, 11=near-dup of 10 (in-batch), 12=fresh
+        self._mk_docs(
+            spark, [(10, base), (11, near), (12, fresh1)]
+        ).coalesce(1).write.parquet(os.path.join(landing, "b1"))
+        args = (
+            landing + "/*",
+            os.path.join(tmpdir, "out"),
+            os.path.join(tmpdir, "ckpt"),
+            os.path.join(tmpdir, "store"),
+            os.path.join(tmpdir, "state"),
+        )
+        n = run_incremental_dedup_stream(spark, *args)
+        assert n == 2  # 11 dropped against 10 (lower id wins)
+        admitted1 = {
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(tmpdir, "out")).collect()
+        }
+        assert admitted1 == {10, 12}
+
+        # batch 2: 20=exact dup of base, 21=near-dup of base, 22=fresh
+        self._mk_docs(
+            spark, [(20, base), (21, near), (22, fresh2)]
+        ).coalesce(1).write.parquet(os.path.join(landing, "b2"))
+        n = run_incremental_dedup_stream(spark, *args)
+        out = spark.read.parquet(os.path.join(tmpdir, "out"))
+        admitted = {r.doc_id for r in out.collect()}
+        assert admitted == {10, 12, 22}, admitted  # 20/21 drop vs store
+        assert out.count() == 3
+
+        # ledger: every admitted doc exactly once
+        store = ParquetStateStore(spark, os.path.join(tmpdir, "state"))
+        state = {r["url"]: r["attempt"] for r in store.read().collect()}
+        assert state == {"10": 1, "12": 1, "22": 1}
+
+        # checkpoint loss: full replay from batch 0 must change NOTHING
+        _sh.rmtree(os.path.join(tmpdir, "ckpt"))
+        run_incremental_dedup_stream(spark, *args)
+        out2 = spark.read.parquet(os.path.join(tmpdir, "out"))
+        assert {r.doc_id for r in out2.collect()} == {10, 12, 22}
+        assert out2.count() == 3  # no duplicate admissions
+        state2 = {
+            r["url"]: r["attempt"]
+            for r in ParquetStateStore(
+                spark, os.path.join(tmpdir, "state")
+            ).read().collect()
+        }
+        assert state2 == state  # attempts unchanged: ledger suppressed
+
+        # bounded durable state: the store holds rows only for ADMITTED
+        # docs (dropped docs contribute nothing)
+        bands = spark.read.parquet(os.path.join(tmpdir, "store", "bands"))
+        assert {r.doc_id for r in bands.select("doc_id").distinct().collect()} == {
+            10, 12, 22,
+        }
+
+    def test_empty_landing_returns_zero(self, spark, tmpdir):
+        from deepseek_ocr_customvllm_spark.streaming.dedup_stream import (
+            run_incremental_dedup_stream,
+        )
+
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        assert (
+            run_incremental_dedup_stream(
+                spark,
+                landing,
+                os.path.join(tmpdir, "out"),
+                os.path.join(tmpdir, "ckpt"),
+                os.path.join(tmpdir, "store"),
+                os.path.join(tmpdir, "state"),
+            )
+            == 0
+        )
