@@ -675,6 +675,32 @@ def _q_decontaminate(spark, sf_dir):
     return dedup.contaminated_docs(train, eval_docs)
 
 
+def _q_eval_contamination_report(spark, sf_dir):
+    """Eval-side contamination audit (GPT-3 appendix-C accounting): per
+    eval doc (doc_id % 97 == 0, as in `decontaminate`), the fraction of
+    its distinct 3-grams found anywhere in the training split, with the
+    10%-dirty flag computed in pure integers."""
+    aug = _augmented_docs(_docs(spark, sf_dir))
+    eval_docs = aug.filter(F.col("doc_id") % 97 == 0)
+    train = aug.filter(F.col("doc_id") % 97 != 0)
+    return dedup.eval_contamination_report(train, eval_docs)
+
+
+def _q_lsh_bucket_audit(spark, sf_dir):
+    """Per-band LSH bucket-skew telemetry: exact candidate-pair volume
+    the banded self-join would produce, uncapped vs under the production
+    cap of 100 — computed arithmetically from bucket counts, never by
+    materializing a pair."""
+    return dedup.lsh_bucket_audit(_augmented_docs(_docs(spark, sf_dir)), cap=100)
+
+
+def _q_doc_novelty(spark, sf_dir):
+    """Per-document shingle novelty vs the corpus in doc_id (admission)
+    order: the fraction of a doc's distinct 3-grams first seen in the
+    doc itself.  The planted duplicates (augmented rows) score ~0."""
+    return dedup.doc_novelty(_augmented_docs(_docs(spark, sf_dir)))
+
+
 def _q_doc_chunks(spark, sf_dir):
     """Fixed-size token windows with overlap (training-sample prep):
     40-token chunks every 32 tokens."""
@@ -1404,6 +1430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 21+: round-6 additions / changed operators ---
         "sequence_pack_rows": _q_sequence_pack_rows,
         "token_count_subword": _q_token_count_subword,
+        "eval_contamination_report": _q_eval_contamination_report,
+        "lsh_bucket_audit": _q_lsh_bucket_audit,
+        "doc_novelty": _q_doc_novelty,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2293,6 +2322,62 @@ SELECT t.doc_id, count(DISTINCT t.sh) AS n_hits,
        count(DISTINCT e.eval_id) AS n_eval_docs
 FROM train_sh t JOIN eval_sh e USING (sh)
 GROUP BY t.doc_id HAVING count(DISTINCT t.sh) >= 2
+""".replace("{aug}", aug),
+        "eval_contamination_report": f"""
+WITH {{aug}},
+{_shingle_cte('aug')},
+eval_sh AS (
+  SELECT DISTINCT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0
+),
+train_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 <> 0),
+totals AS (SELECT eval_id, count(*) AS n_shingles FROM eval_sh GROUP BY 1),
+hits AS (
+  SELECT e.eval_id, count(DISTINCT e.sh) AS n_hit
+  FROM eval_sh e JOIN train_sh t USING (sh)
+  GROUP BY 1
+)
+SELECT t.eval_id, t.n_shingles,
+       coalesce(h.n_hit, 0) AS n_hit,
+       floor(coalesce(h.n_hit, 0) * 10000.0 / t.n_shingles) / 10000
+         AS overlap_frac,
+       coalesce(h.n_hit, 0) * 10000 >= 1000 * t.n_shingles AS is_dirty
+FROM totals t LEFT JOIN hits h USING (eval_id)
+""".replace("{aug}", aug),
+        "lsh_bucket_audit": f"""
+WITH {{aug}},
+{_shingle_cte('aug')},
+sig AS (SELECT doc_id, {_minhash_min_aggs()} FROM sh GROUP BY doc_id),
+bands AS (
+{_minhash_band_selects()}
+),
+buckets AS (SELECT band, bk, count(*) AS k FROM bands GROUP BY 1, 2)
+SELECT band,
+       cast(sum(k) AS bigint) AS n_docs,
+       count(*) AS n_buckets,
+       cast(max(k) AS bigint) AS max_bucket,
+       cast(sum(cast(k * (k - 1) / 2 AS bigint)) AS bigint)
+         AS n_pairs_uncapped,
+       cast(sum(CASE WHEN k > 100 THEN 1 ELSE 0 END) AS bigint)
+         AS n_buckets_over_cap,
+       cast(sum(CASE WHEN k > 100 THEN k ELSE 0 END) AS bigint)
+         AS n_docs_over_cap,
+       cast(sum(CASE WHEN k > 100 THEN 0
+           ELSE cast(k * (k - 1) / 2 AS bigint) END) AS bigint)
+         AS n_pairs_capped
+FROM buckets GROUP BY band
+""".replace("{aug}", aug),
+        "doc_novelty": f"""
+WITH {{aug}},
+{_shingle_cte('aug')},
+first_seen AS (SELECT sh, min(doc_id) AS first_id FROM sh GROUP BY 1)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       cast(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS bigint)
+         AS n_novel,
+       floor(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+             * 10000.0 / count(*)) / 10000 AS novelty_frac
+FROM sh s JOIN first_seen f USING (sh)
+GROUP BY s.doc_id
 """.replace("{aug}", aug),
         "doc_chunks": f"""
 WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),

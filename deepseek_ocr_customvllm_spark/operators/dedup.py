@@ -561,7 +561,19 @@ def simhash_signatures(df: DataFrame, salt: str | None = None) -> DataFrame:
         .filter(F.col("t") != "")
         .select("doc_id", F.explode(F.split("t", " ")).alias("tok"))
     )
-    tok_expr = "tok" if salt is None else f"'{salt}' || tok"
+    if salt is None:
+        tok_expr = "tok"
+    else:
+        # salt is interpolated into a SQL fragment — same safe-charset
+        # rule as curation._md5_bigint (a quote would break or rewrite
+        # the generated expression)
+        import re
+
+        if not re.match(r"^[A-Za-z0-9_.:|-]*$", salt):
+            raise ValueError(
+                "salt must match [A-Za-z0-9_.:|-]*, got %r" % (salt,)
+            )
+        tok_expr = f"'{salt}' || tok"
     vals = toks.select(
         "doc_id", F.expr(hex_to_bigint_sql(tok_expr, 15)).alias("v")
     )
@@ -870,6 +882,167 @@ def contaminated_docs(
             F.count_distinct("eval_id").alias("n_eval_docs"),
         )
         .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def eval_contamination_report(
+    train: DataFrame, eval_docs: DataFrame, dirty_bp: int = 1000
+) -> DataFrame:
+    """The eval-side view of decontamination: for EVERY eval document,
+    what fraction of its distinct word n-grams appears anywhere in the
+    training corpus — the "percent clean / percent dirty" accounting
+    GPT-3 appendix C and Llama 2 §A.6 publish alongside their results
+    (:func:`contaminated_docs` is the train-side drop list; this is the
+    audit you hand to the eval's consumers).
+
+    ``(eval_id, n_shingles, n_hit, overlap_frac, is_dirty)``, one row
+    per eval doc (zero-overlap docs included — an audit that omits the
+    clean rows isn't an audit).  ``dirty_bp`` is the dirtiness
+    threshold in basis points (1000 = 10%); the flag compares
+    ``n_hit * 10000 >= dirty_bp * n_shingles`` in pure integers, so the
+    boundary case is exact in every engine.  ``overlap_frac`` is
+    floor-truncated to 4 decimals for display only.
+
+    Scale shape (the mirror of :func:`contaminated_docs`): the eval
+    side is tiny by definition, so its distinct shingle set broadcasts
+    into ONE pass over the training corpus; hits dedup per
+    ``(eval_id, sh)`` with a map-side-combined aggregate keyed by the
+    broadcast-small eval side — the 10^12-row train side is scanned
+    once and never shuffled on its own key.  Production runs use
+    13-grams (GPT-3's choice); the shared 3-gram shingle core keeps the
+    oracle twin verbatim-comparable here.
+    """
+    from ..functions.columns import dtrunc
+
+    eval_sh = (
+        shingles(eval_docs)
+        .select(F.col("doc_id").alias("eval_id"), "sh")
+        .distinct()
+    )
+    totals = eval_sh.groupBy("eval_id").agg(
+        F.count("*").alias("n_shingles")
+    )
+    # distinct=False: the count_distinct below is duplicate-proof, so
+    # the train-side distinct shuffle buys nothing (cf. contaminated_docs)
+    hits = (
+        shingles(train, distinct=False)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("eval_id")
+        .agg(F.count_distinct("sh").alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "eval_id", "left")
+        .select(
+            "eval_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "eval_id",
+            "n_shingles",
+            "n_hit",
+            dtrunc(F.col("n_hit") / F.col("n_shingles"), 4).alias(
+                "overlap_frac"
+            ),
+            (
+                F.col("n_hit") * 10000 >= F.lit(dirty_bp) * F.col("n_shingles")
+            ).alias("is_dirty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket audit: the skew telemetry a corpus-scale dedup run watches
+# ---------------------------------------------------------------------------
+
+def lsh_bucket_audit(docs: DataFrame, cap: int = 100) -> DataFrame:
+    """Per-band LSH bucket-skew telemetry for the MinHash tier: the
+    numbers an operator of a 10^12-document dedup run watches to know
+    whether the banded self-join is about to explode.
+
+    One row per band: ``(band, n_docs, n_buckets, max_bucket,
+    n_pairs_uncapped, n_buckets_over_cap, n_docs_over_cap,
+    n_pairs_capped)`` where ``n_pairs_uncapped = Σ k·(k−1)/2`` over the
+    band's bucket sizes k (the exact candidate volume the self-join
+    would produce) and ``n_pairs_capped`` is the same sum restricted to
+    buckets with ``k <= cap`` — the volume after
+    :func:`_cap_hot_buckets`.  All columns are integers; the
+    uncapped-vs-capped pair is exactly the evidence behind the
+    production cap default (NOTES.md "scale-knob defaults"; the 100k
+    smoke's "4.6% of budget" figure is this report's bottom line).
+
+    Scale shape: signatures -> band explode -> ONE (band, bk) count
+    aggregate (map-side combined) -> a 4-row per-band rollup.  Nothing
+    here ever materializes a candidate pair; the quadratic term is
+    computed arithmetically from bucket counts, which is why the audit
+    is safe to run where the join it predicts is not.
+    """
+    bands = _banded(minhash_signatures(shingles(docs)))
+    buckets = bands.groupBy("band", "bk").agg(F.count("*").alias("k"))
+    k = F.col("k")
+    pairs = (k * (k - 1) / 2).cast("bigint")
+    over = k > F.lit(cap)
+    return buckets.groupBy("band").agg(
+        F.sum(k).cast("bigint").alias("n_docs"),
+        F.count("*").alias("n_buckets"),
+        F.max(k).cast("bigint").alias("max_bucket"),
+        F.sum(pairs).cast("bigint").alias("n_pairs_uncapped"),
+        F.sum(over.cast("bigint")).alias("n_buckets_over_cap"),
+        F.sum(F.when(over, k).otherwise(0)).cast("bigint").alias(
+            "n_docs_over_cap"
+        ),
+        F.sum(F.when(over, F.lit(0)).otherwise(pairs))
+        .cast("bigint")
+        .alias("n_pairs_capped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle novelty: how much of each doc the corpus hasn't seen before
+# ---------------------------------------------------------------------------
+
+def doc_novelty(docs: DataFrame) -> DataFrame:
+    """Per-document novelty against the corpus in ``doc_id`` order:
+    the fraction of a doc's distinct word 3-grams whose FIRST
+    occurrence (minimum ``doc_id`` over the corpus) is the doc itself.
+
+    ``(doc_id, n_shingles, n_novel, novelty_frac)``.  Novelty is the
+    content-freshness signal crawl pipelines rank sources by (a dump
+    whose docs are mostly first-occurrences is worth keeping; one whose
+    shingles all predate it is a re-crawl) and the doc-level complement
+    of :func:`duplicate_spans` — span dedup cuts repeats, novelty
+    scores how much would survive.  With ``doc_id`` assigned by
+    admission time, "lower id" = "seen earlier", the same convention
+    as :func:`incremental_dedup`'s boundary.
+
+    Scale shape: one distinct-shingle scan; first-seen is a map-side-
+    combined ``min(doc_id)`` per shingle; novelty is ONE equi-join of
+    the doc's shingles against that aggregate on the shingle key — the
+    same shuffle key both sides already have, so AQE coalesces it into
+    a single co-partitioned pass.  No self-join, no window over the
+    corpus.
+    """
+    from ..functions.columns import dtrunc
+
+    sh = shingles(docs)
+    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("first_id"))
+    return (
+        sh.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("first_id") == F.col("doc_id")).cast("bigint")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            dtrunc(F.col("n_novel") / F.col("n_shingles"), 4).alias(
+                "novelty_frac"
+            ),
+        )
     )
 
 

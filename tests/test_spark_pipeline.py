@@ -1929,3 +1929,122 @@ class TestIncrementalDedupStream:
             )
             == 0
         )
+
+
+class TestDedupAuditOperators:
+    """Round-6 audit family: eval-side contamination accounting,
+    LSH bucket-skew telemetry, and doc-level shingle novelty."""
+
+    def test_contamination_flags_verbatim_eval_leak(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        leaked = "the quick brown fox jumps over the lazy dog tonight"
+        train = spark.createDataFrame(
+            [(1, leaked), (2, "completely different training words "
+                              "about spark shuffles and partitions")],
+            ["doc_id", "text"],
+        )
+        eval_docs = spark.createDataFrame(
+            [(10, leaked),  # verbatim leak: overlap 1.0
+             (11, "pristine held out sentence with novel vocabulary "
+                  "zeta eta theta iota kappa")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.eval_id: r
+            for r in dedup.eval_contamination_report(train, eval_docs)
+            .collect()
+        }
+        assert set(got) == {10, 11}  # clean rows are NOT omitted
+        assert got[10].overlap_frac == 1.0 and got[10].is_dirty
+        assert got[11].n_hit == 0 and got[11].overlap_frac == 0.0
+        assert not got[11].is_dirty
+
+    def test_contamination_dirty_boundary_is_exact(self, spark):
+        """Exactly 10% overlap (n_hit*10000 == dirty_bp*n_shingles)
+        must flag dirty — the integer compare has no float fuzz."""
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        # eval doc with exactly 10 distinct shingles (12 distinct words
+        # in fixed order), train containing exactly its first 3-gram
+        words = [f"w{i}" for i in range(12)]
+        eval_docs = spark.createDataFrame(
+            [(1, " ".join(words))], ["doc_id", "text"]
+        )
+        train = spark.createDataFrame(
+            [(2, " ".join(words[:3]))], ["doc_id", "text"]
+        )
+        row = dedup.eval_contamination_report(
+            train, eval_docs, dirty_bp=1000
+        ).collect()[0]
+        assert (row.n_shingles, row.n_hit) == (10, 1)
+        assert row.is_dirty  # 1*10000 >= 1000*10, boundary inclusive
+        assert not dedup.eval_contamination_report(
+            train, eval_docs, dirty_bp=1001
+        ).collect()[0].is_dirty
+
+    def test_bucket_audit_counts_clone_cluster_arithmetically(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        k = 12
+        clones = [(i, "identical boilerplate page body shared by every "
+                      "clone in the cluster") for i in range(k)]
+        uniques = [(100 + i, f"unique document {i} alpha{i} beta{i} "
+                             f"gamma{i} delta{i}") for i in range(4)]
+        docs = spark.createDataFrame(clones + uniques, ["doc_id", "text"])
+        rows = dedup.lsh_bucket_audit(docs, cap=5).collect()
+        assert {r.band for r in rows} == set(range(dedup.N_BANDS))
+        for r in rows:
+            # the clone cluster shares ALL bands: one k-member bucket
+            assert r.max_bucket == k
+            assert r.n_docs == k + 4
+            # pair volume is computed arithmetically: C(k,2) plus
+            # whatever the uniques contribute (0 unless they collide)
+            assert r.n_pairs_uncapped >= k * (k - 1) // 2
+            # cap=5 < k: the clone bucket is over-cap in every band
+            assert r.n_buckets_over_cap >= 1
+            assert r.n_docs_over_cap >= k
+            assert r.n_pairs_capped <= r.n_pairs_uncapped - k * (k - 1) // 2
+
+    def test_bucket_audit_never_materializes_pairs(self, spark):
+        """The audit's plan must contain no self-join — candidate
+        volume is arithmetic over bucket counts (safe to run where the
+        join it predicts is not)."""
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        docs = spark.read.parquet(SF0001 + "/documents.parquet").select(
+            "doc_id", "text"
+        )
+        plan = dedup.lsh_bucket_audit(docs)._jdf.queryExecution().toString()
+        assert "Join" not in plan
+
+    def test_novelty_copy_scores_zero_original_scores_one(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        original = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                (1, original),
+                (2, original),  # exact copy, higher id: novelty 0
+                (3, "totally fresh words omega psi chi phi upsilon tau"),
+                (4, "xy zz"),  # < 3 words: no shingles, absent
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in dedup.doc_novelty(docs).collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[1].novelty_frac == 1.0
+        assert got[2].n_novel == 0 and got[2].novelty_frac == 0.0
+        assert got[3].novelty_frac == 1.0
+        assert got[1].n_shingles == got[2].n_shingles == 6
+
+    def test_simhash_salt_charset_validated(self, spark):
+        """Caller-supplied salt is interpolated into SQL — the same
+        safe-charset rule as curation._md5_bigint applies."""
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="salt"):
+            dedup.simhash_signatures(docs, salt="bad'quote")
+        # the frozen x2 salt itself passes
+        dedup.simhash_signatures(docs, salt=dedup.SIMHASH_X2_SALT)
