@@ -2338,7 +2338,7 @@ hits AS (
 )
 SELECT t.eval_id, t.n_shingles,
        coalesce(h.n_hit, 0) AS n_hit,
-       floor(coalesce(h.n_hit, 0) * 10000.0 / t.n_shingles) / 10000
+       floor(coalesce(h.n_hit, 0) * 1.0 / t.n_shingles * 10000) / 10000
          AS overlap_frac,
        coalesce(h.n_hit, 0) * 10000 >= 1000 * t.n_shingles AS is_dirty
 FROM totals t LEFT JOIN hits h USING (eval_id)
@@ -2355,14 +2355,14 @@ SELECT band,
        cast(sum(k) AS bigint) AS n_docs,
        count(*) AS n_buckets,
        cast(max(k) AS bigint) AS max_bucket,
-       cast(sum(cast(k * (k - 1) / 2 AS bigint)) AS bigint)
+       cast(sum(k * (k - 1) // 2) AS bigint)
          AS n_pairs_uncapped,
        cast(sum(CASE WHEN k > 100 THEN 1 ELSE 0 END) AS bigint)
          AS n_buckets_over_cap,
        cast(sum(CASE WHEN k > 100 THEN k ELSE 0 END) AS bigint)
          AS n_docs_over_cap,
        cast(sum(CASE WHEN k > 100 THEN 0
-           ELSE cast(k * (k - 1) / 2 AS bigint) END) AS bigint)
+           ELSE k * (k - 1) // 2 END) AS bigint)
          AS n_pairs_capped
 FROM buckets GROUP BY band
 """.replace("{aug}", aug),
@@ -2375,7 +2375,7 @@ SELECT s.doc_id,
        cast(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END) AS bigint)
          AS n_novel,
        floor(sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
-             * 10000.0 / count(*)) / 10000 AS novelty_frac
+             * 1.0 / count(*) * 10000) / 10000 AS novelty_frac
 FROM sh s JOIN first_seen f USING (sh)
 GROUP BY s.doc_id
 """.replace("{aug}", aug),

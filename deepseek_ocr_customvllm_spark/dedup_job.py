@@ -59,8 +59,11 @@ def run_dedup_job(
     Returns the surviving ``(doc_id, text)`` rows — the corpus a
     training pipeline feeds downstream.  Scale shape: banded self-join
     with the hot-bucket cap, iterative min-label propagation with
-    per-round localCheckpoint, and a final broadcast-sized anti-join
-    (the non-canonical id list is bounded by the duplicate mass).
+    per-round localCheckpoint, and a final anti-join on the
+    non-canonical id list (bounded by the duplicate mass; AQE picks
+    broadcast when that mass is small, shuffle when it isn't — at
+    10^12 docs the drop list can itself be billions of rows, so the
+    strategy is deliberately not pinned).
     """
     pairs = dedup.minhash_lsh_duplicates(docs, max_bucket=max_bucket)
     comp = dedup.duplicate_components(pairs.select("id_a", "id_b"))

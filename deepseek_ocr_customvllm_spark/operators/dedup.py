@@ -980,7 +980,9 @@ def lsh_bucket_audit(docs: DataFrame, cap: int = 100) -> DataFrame:
     bands = _banded(minhash_signatures(shingles(docs)))
     buckets = bands.groupBy("band", "bk").agg(F.count("*").alias("k"))
     k = F.col("k")
-    pairs = (k * (k - 1) / 2).cast("bigint")
+    # integer DIV, not double /: exact for any bucket a real corpus can
+    # produce (double loses pair counts above k ~ 9.5e7)
+    pairs = F.expr("k * (k - 1) DIV 2")
     over = k > F.lit(cap)
     return buckets.groupBy("band").agg(
         F.sum(k).cast("bigint").alias("n_docs"),
