@@ -20,10 +20,11 @@ configuration (``max_bucket=None``) instead — correctness comparisons
 must never silently drop candidates.  Anything that is NOT
 oracle-compared should come through here.
 
-Run under spark-submit::
+Run under spark-submit (the module file is the application — spark-submit
+has no ``-m`` flag)::
 
     spark-submit --py-files dist/deepseek_ocr_customvllm_spark.zip \\
-        -m deepseek_ocr_customvllm_spark.dedup_job \\
+        deepseek_ocr_customvllm_spark/dedup_job.py \\
         --docs /data/documents_parquet --out /data/deduped \\
         --max-bucket 100
 

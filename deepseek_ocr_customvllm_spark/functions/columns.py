@@ -16,8 +16,27 @@ through these helpers (the portability rules live in NOTES.md):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Charset for caller-supplied salts that get interpolated into generated
+# SQL fragments (curation._md5_bigint, dedup.simhash_signatures).  ONE
+# definition: two copies of a security-relevant charset can drift.
+_SALT_SAFE = re.compile(r"^[A-Za-z0-9_.:|-]*$")
+
+
+def ensure_safe_salt(salt: str) -> str:
+    """Validate a salt destined for SQL-string interpolation.
+
+    A quote or backslash would break — or worse, rewrite — the generated
+    expression, so anything outside the safe charset is rejected."""
+    if not _SALT_SAFE.match(salt):
+        raise ValueError(
+            "salt must match [A-Za-z0-9_.:|-]*, got %r" % (salt,)
+        )
+    return salt
 
 
 # Explicit class, NOT \s: Java's \s includes \x0B while RE2's (the

@@ -22,16 +22,12 @@ between engines.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.columns import ensure_safe_salt
 from .textstats import with_norm
-
-
-_SALT_SAFE = re.compile(r"^[A-Za-z0-9_.:|-]*$")
 
 
 def _md5_bigint(expr: str, salt: str, nibbles: int = 8) -> F.Column:
@@ -40,12 +36,9 @@ def _md5_bigint(expr: str, salt: str, nibbles: int = 8) -> F.Column:
     ``dedup.hex_to_bigint_sql``).
 
     ``salt`` is interpolated into a SQL fragment, so it is validated
-    against a safe charset — a quote or backslash would otherwise break
-    (or worse, rewrite) the generated expression."""
-    if not _SALT_SAFE.match(salt):
-        raise ValueError(
-            "salt must match [A-Za-z0-9_.:|-]*, got %r" % (salt,)
-        )
+    against the shared safe charset (:func:`..functions.columns.
+    ensure_safe_salt`)."""
+    ensure_safe_salt(salt)
     return F.expr(
         f"cast(conv(substring(md5(concat('{salt}', {expr})), 1, {nibbles}),"
         " 16, 10) as bigint)"

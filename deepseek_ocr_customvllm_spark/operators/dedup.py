@@ -156,13 +156,13 @@ def _banded(sig: DataFrame) -> DataFrame:
     return sig.select("doc_id", F.posexplode(band_keys).alias("band", "bk"))
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, max_bucket: int | None = None
+def _pairs_from_bands(
+    bands: DataFrame, max_bucket: int | None = None
 ) -> DataFrame:
-    """Band the signatures and self-join on bucket.
-
-    ``max_bucket`` is the hot-bucket cap (see ``_cap_hot_buckets``)."""
-    bands = _cap_hot_buckets(_banded(sig), max_bucket)
+    """Bucket self-join over an already-banded ``(doc_id, band, bk)``
+    frame (the shared core of :func:`lsh_candidate_pairs` and the
+    streaming sink, which reuses a checkpointed band table)."""
+    bands = _cap_hot_buckets(bands, max_bucket)
     a = bands.alias("a")
     b_ = bands.alias("b")
     return (
@@ -175,6 +175,15 @@ def lsh_candidate_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Band the signatures and self-join on bucket.
+
+    ``max_bucket`` is the hot-bucket cap (see ``_cap_hot_buckets``)."""
+    return _pairs_from_bands(_banded(sig), max_bucket)
 
 
 def jaccard_verify(
@@ -564,15 +573,11 @@ def simhash_signatures(df: DataFrame, salt: str | None = None) -> DataFrame:
     if salt is None:
         tok_expr = "tok"
     else:
-        # salt is interpolated into a SQL fragment — same safe-charset
-        # rule as curation._md5_bigint (a quote would break or rewrite
-        # the generated expression)
-        import re
+        # salt is interpolated into a SQL fragment — shared safe-charset
+        # rule (functions.columns.ensure_safe_salt)
+        from ..functions.columns import ensure_safe_salt
 
-        if not re.match(r"^[A-Za-z0-9_.:|-]*$", salt):
-            raise ValueError(
-                "salt must match [A-Za-z0-9_.:|-]*, got %r" % (salt,)
-            )
+        ensure_safe_salt(salt)
         tok_expr = f"'{salt}' || tok"
     vals = toks.select(
         "doc_id", F.expr(hex_to_bigint_sql(tok_expr, 15)).alias("v")
@@ -686,6 +691,7 @@ def simhash_near_pairs_x2(
     hamming_max: int = HAMMING_MAX,
     n_bands: int = SIMHASH_BANDS,
     max_bucket: int | None = None,
+    s1_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Two-signature simhash tier: a pair is a near-duplicate if EITHER
     of two independent 60-bit signatures (unsalted + salted token hash)
@@ -706,10 +712,19 @@ def simhash_near_pairs_x2(
 
     Output: distinct ``(id_a, id_b, hamming)`` with ``hamming`` = the
     minimum distance across the two signatures (the stronger evidence).
+
+    ``s1_pairs`` lets a caller that ALREADY ran the unsalted tier (e.g.
+    :func:`dedup_recall_report`, which reports it standalone) pass its
+    ``(id_a, id_b, hamming)`` pairs in, so the unsalted token explode +
+    majority vote + banded self-join run once, not twice.
     """
-    s1 = simhash_near_pairs(
-        simhash_signatures(docs),
-        hamming_max=hamming_max, n_bands=n_bands, max_bucket=max_bucket,
+    s1 = (
+        s1_pairs.select("id_a", "id_b", "hamming")
+        if s1_pairs is not None
+        else simhash_near_pairs(
+            simhash_signatures(docs),
+            hamming_max=hamming_max, n_bands=n_bands, max_bucket=max_bucket,
+        )
     )
     s2 = simhash_near_pairs(
         simhash_signatures(docs, salt=SIMHASH_X2_SALT),
@@ -796,6 +811,10 @@ def dedup_recall_report(
         .select("id_a", "id_b")
         .localCheckpoint()
     )
+    # the unsalted simhash tier is BOTH a reported method and half of
+    # the x2 tier: checkpoint it once (with hamming) and feed it to x2
+    # so the unsalted pipeline never runs twice
+    s1 = simhash_near_pairs(simhash_signatures(sub)).localCheckpoint()
     tiers = [
         (
             "minhash_lsh",
@@ -803,15 +822,10 @@ def dedup_recall_report(
             .select("id_a", "id_b")
             .localCheckpoint(),
         ),
-        (
-            "simhash",
-            simhash_near_pairs(simhash_signatures(sub))
-            .select("id_a", "id_b")
-            .localCheckpoint(),
-        ),
+        ("simhash", s1.select("id_a", "id_b")),
         (
             "simhash_x2",
-            simhash_near_pairs_x2(sub)
+            simhash_near_pairs_x2(sub, s1_pairs=s1)
             .select("id_a", "id_b")
             .localCheckpoint(),
         ),

@@ -258,6 +258,16 @@ class ParquetStateStore:
             return -1
         return int(self._manifest_full(v)["applied"].get(stream_id, -1))
 
+    def applied_map(self) -> Dict[str, int]:
+        """The full ``{stream_id: last_batch_id}`` ledger of the current
+        version (empty if no version exists).  The streaming dedup sink
+        uses content-derived stream ids, so listing the ledger IS
+        listing the committed batches."""
+        v = self.current_version()
+        if v is None:
+            return {}
+        return dict(self._manifest_full(v)["applied"])
+
     def merge(
         self,
         batch: DataFrame,
@@ -293,6 +303,25 @@ class ParquetStateStore:
             .collect()
         ]
         if not changed:
+            # An EMPTY ledgered batch must still advance the ledger: a
+            # fully-dropped micro-batch (every doc deduped away) that
+            # never records its batch id is re-executed in full on every
+            # replay, forever.  Commit a data-free version that only
+            # carries the applied update forward.
+            if stream_id is not None:
+                prev = self.current_version()
+                full = (
+                    self._manifest_full(prev)
+                    if prev is not None
+                    else {"buckets": {}, "applied": {}}
+                )
+                full["applied"][stream_id] = int(batch_id)
+                new_version = (prev or 0) + 1
+                # _versions() lists data DIRS (manifest alone is
+                # invisible): materialize an empty one, then commit
+                os.makedirs(self._path(new_version), exist_ok=True)
+                self._commit(new_version, full["buckets"], full["applied"])
+                return new_version
             return self.current_version() or 0
         current = self.read(buckets=changed)
 

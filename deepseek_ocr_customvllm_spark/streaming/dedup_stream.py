@@ -237,6 +237,36 @@ DOCS_STREAM_SCHEMA = T.StructType(
     ]
 )
 
+# Explicit schemas for the durable band/shingle store reads: schema
+# inference samples parquet footers, and a batch that crashed mid-write
+# can leave a torn file in its (uncommitted, filtered-out) partition.
+_BANDS_READ_SCHEMA = "doc_id BIGINT, band INT, bk STRING, batch STRING"
+_SH_READ_SCHEMA = "doc_id BIGINT, sh STRING, n BIGINT, batch STRING"
+
+
+def _content_key(batch_df: DataFrame, *cols: str) -> str:
+    """Deterministic, order-independent key of a micro-batch's CONTENT:
+    ``<row_count>x<bit_xor of xxhash64(*cols)>``.
+
+    Spark's micro-batch ids are ephemeral — after checkpoint loss the
+    file-to-batch-id assignment is NOT guaranteed stable (file-source
+    ordering ties), so a durable exactly-once ledger keyed on batch id
+    could skip a never-processed file and reprocess an admitted one.
+    Keying the ledger and every store partition on the batch's content
+    makes replay decisions independent of batch numbering entirely: the
+    same documents always map to the same ledger entry and the same
+    store partitions, whatever batch id the source hands them.
+    Collision odds: two distinct batches alias only with equal row
+    counts AND a 64-bit xor collision (~2^-64 per pair)."""
+    cols = cols or ("doc_id", "text")
+    hash_args = ", ".join(cols)
+    row = batch_df.agg(
+        F.count("*").alias("n"),
+        F.expr(f"bit_xor(xxhash64({hash_args}))").alias("x"),
+    ).collect()[0]
+    x = row["x"] if row["x"] is not None else 0
+    return f"{row['n']}x{x & 0xFFFFFFFFFFFFFFFF:016x}"
+
 
 def run_incremental_dedup_stream(
     spark,
@@ -255,32 +285,41 @@ def run_incremental_dedup_stream(
     production crawl pipeline runs), under the same exactly-once ledger
     as the extraction stream.
 
-    Per micro-batch:
+    Per micro-batch (all durable keys are CONTENT-derived — see
+    :func:`_content_key` for why batch ids are never trusted across
+    checkpoint loss):
 
-    1. replay guard — a batch id at or below the state ledger's
-       ``last_applied`` is skipped outright;
-    2. in-batch near-dups: banded self-join + exact Jaccard verify;
-       the LOWER doc_id of each verified pair is kept (a doc pairing
-       with any lower admitted id drops);
+    1. replay guard — a batch whose content key is already in the
+       ledger is skipped outright (same documents = same key, whatever
+       batch id the source assigned them on this run);
+    2. in-batch near-dups: banded self-join + exact Jaccard verify
+       (with the hot-bucket cap — a degenerate landing file must not
+       k²-explode inside the sink); the LOWER doc_id of each verified
+       pair is kept;
     3. cross-batch: the batch's band keys equi-join the accumulated
-       band store (never a self-join — the two-corpus shape of
-       ``incremental_dedup``), verified against the union shingle
-       table; matches drop;
+       band store restricted to LEDGER-COMMITTED partitions (never a
+       self-join — the two-corpus shape of ``incremental_dedup``),
+       verified against the union shingle table; matches drop;
     4. admitted docs, their band keys, and their ``(doc_id, sh, n)``
-       shingle rows are written with batch-id-keyed OVERWRITE (a
-       replayed batch rewrites the same partitions — idempotent, never
-       duplicates);
+       shingle rows are written with content-keyed OVERWRITE (a
+       replayed batch rewrites ITS OWN partitions — idempotent, never
+       duplicates, never clobbers another batch's output);
     5. the ledger MERGE commits LAST, riding the state store's atomic
-       manifest rename: admitted doc_ids land as ``ADMITTED`` rows.
+       manifest rename: admitted doc_ids land as ``ADMITTED`` rows and
+       the content key lands in the applied ledger IN THE SAME commit
+       (a fully-dropped batch still advances the ledger).
 
-    Crash-replay correctness: if the job dies between (4) and (5), the
-    replayed batch recomputes against the old side **filtered to
-    ``batch < batch_id``** — its own half-written store partitions are
-    excluded, so the replay sees exactly the pre-crash world and
-    rewrites identical partitions.  Stream state itself is empty (the
-    checkpoint only tracks source offsets); ALL durable state lives in
-    the band/shingle store and the ledger, so state is bounded by the
-    admitted corpus, never by stream lifetime.
+    Crash-replay correctness: if the job dies anywhere between (2) and
+    (5), the content key never reached the ledger, so the replayed
+    batch recomputes against the old side **filtered to committed
+    keys** — its own half-written store partitions are excluded, the
+    replay sees exactly the pre-crash world and rewrites identical
+    partitions.  Stream state itself is empty (the checkpoint only
+    tracks source offsets); ALL durable state lives in the band/shingle
+    store and the ledger, so state is bounded by the admitted corpus,
+    never by stream lifetime — and the whole store survives checkpoint
+    loss: a from-scratch replay skips every committed batch by content,
+    processes only genuinely new files, and admits nothing twice.
 
     Scale shape: the old side is what a production store keeps
     precomputed between snapshots (append-only band + shingle tables,
@@ -299,39 +338,41 @@ def run_incremental_dedup_stream(
     bands_dir = os.path.join(store_dir, "bands")
     sh_dir = os.path.join(store_dir, "shingles")
 
+    ledger_prefix = INCR_STREAM_ID + ":"
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= store.last_applied(INCR_STREAM_ID):
+        # (1) content-keyed replay guard: committed content never
+        # reprocesses, whatever batch id this run assigned it
+        ck = _content_key(batch_df)
+        key = ledger_prefix + ck
+        if store.last_applied(key) >= 0:
             return
+        committed = [
+            s[len(ledger_prefix):]
+            for s in store.applied_map()
+            if s.startswith(ledger_prefix) and s != key
+        ]
         docs = batch_df.select("doc_id", "text")
         sh_new = D._shingle_table_with_sizes(docs)  # ckpt (doc_id, sh, n)
         sig_new = D.minhash_signatures(sh_new.select("doc_id", "sh"))
         bands_new = D._banded(sig_new).localCheckpoint()
 
-        # (2) in-batch: lower id of a verified pair wins
-        a, b = bands_new.alias("a"), bands_new.alias("b")
-        cand_in = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bk") == F.col("b.bk"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-            )
-            .distinct()
-        )
+        # (2) in-batch: lower id of a verified pair wins (shared core
+        # with lsh_candidate_pairs — the hot-bucket cap applies here
+        # too: a degenerate landing file must not k^2-explode)
+        cand_in = D._pairs_from_bands(bands_new, max_bucket)
         drops = D.jaccard_verify(cand_in, sh_new, jm).select(
             F.col("id_b").alias("doc_id")
         )
 
-        # (3) cross-batch against the accumulated store, excluding any
-        # half-written partitions of THIS batch (crash replay)
-        if os.path.exists(bands_dir):
+        # (3) cross-batch against the accumulated store, restricted to
+        # LEDGER-COMMITTED partitions: half-written partitions of a
+        # crashed batch (this one's or any other's) are never visible
+        if committed:
             old_bands = D._cap_hot_buckets(
-                spark.read.parquet(bands_dir)
-                .filter(F.col("batch") < batch_id)
+                spark.read.schema(_BANDS_READ_SCHEMA)
+                .parquet(bands_dir)
+                .filter(F.col("batch").isin(committed))
                 .select("doc_id", "band", "bk"),
                 max_bucket,
             )
@@ -349,8 +390,9 @@ def run_incremental_dedup_stream(
                 .distinct()
             )
             old_sh = (
-                spark.read.parquet(sh_dir)
-                .filter(F.col("batch") < batch_id)
+                spark.read.schema(_SH_READ_SCHEMA)
+                .parquet(sh_dir)
+                .filter(F.col("batch").isin(committed))
                 .select("doc_id", "sh", "n")
             )
             sh_all = sh_new.unionByName(old_sh)
@@ -364,19 +406,21 @@ def run_incremental_dedup_stream(
             drops.distinct(), "doc_id", "left_anti"
         ).localCheckpoint()
 
-        # (4) batch-id-keyed overwrites: idempotent under replay
-        admitted.write.mode("overwrite").parquet(
-            f"{out_dir}/batch={batch_id}"
-        )
+        # (4) content-keyed overwrites: idempotent under replay, and a
+        # remapped batch id can never clobber another batch's output
+        admitted.write.mode("overwrite").parquet(f"{out_dir}/batch={ck}")
         adm_ids = admitted.select("doc_id")
         bands_new.join(adm_ids, "doc_id").write.mode("overwrite").parquet(
-            f"{bands_dir}/batch={batch_id}"
+            f"{bands_dir}/batch={ck}"
         )
         sh_new.join(adm_ids, "doc_id").write.mode("overwrite").parquet(
-            f"{sh_dir}/batch={batch_id}"
+            f"{sh_dir}/batch={ck}"
         )
 
-        # (5) ledger commit LAST — the atomic admission record
+        # (5) ledger commit LAST — the atomic admission record; the
+        # content key rides the same manifest rename (and is recorded
+        # even when admitted is empty — state.merge advances the ledger
+        # for data-free batches)
         store.merge(
             admitted.select(
                 F.col("doc_id").cast("string").alias("url"),
@@ -385,7 +429,7 @@ def run_incremental_dedup_stream(
                     "updated_at"
                 ),
             ),
-            stream_id=INCR_STREAM_ID,
+            stream_id=key,
             batch_id=batch_id,
         )
 

@@ -98,41 +98,53 @@ def run_stream_with_state(
     (``app/tasks/tasks.py:8-37``: process, then ack/update the job row).
 
     ``foreachBatch`` writes the extracted rows and MERGEs
-    ``(url, status, updated_at)`` into the :class:`ParquetStateStore`,
-    passing the micro-batch id so a replayed batch (restart between sink
-    and checkpoint commit) is skipped by the store's atomic
-    stream-ledger — ``attempt`` counts each url exactly once per
-    processed batch.  Returns rows in ``out_dir`` after draining.
+    ``(url, status, updated_at)`` into the :class:`ParquetStateStore`.
+    The replay guard and the output partition are keyed on the batch's
+    CONTENT — ``(url, warc_ts)`` through ``_content_key`` — not on
+    Spark's micro-batch id: after checkpoint loss the file-to-batch-id
+    assignment is not guaranteed stable, and a batch-id guard could
+    skip a never-extracted file while a remapped id clobbered another
+    batch's output partition.  With content keys a replayed batch (with
+    WHATEVER id) rewrites exactly its own partition and is skipped once
+    its key is in the ledger — ``attempt`` counts each url exactly once
+    per processed batch.  Returns rows in ``out_dir`` after draining.
     """
     from pyspark.sql import functions as F
 
     from ..plans.state import ParquetStateStore
+    from .dedup_stream import _content_key
 
     import os
 
     extracted = extraction_stream(spark, landing_dir)
     store = ParquetStateStore(spark, state_dir)
+    ledger_prefix = STREAM_ID + ":"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        # the ledger guards BOTH side effects: a replayed batch must not
-        # re-append data rows any more than it may re-merge state
-        if batch_id <= store.last_applied(STREAM_ID):
-            return
         batch_df.persist()
         try:
-            # batch-id-keyed OVERWRITE, not append: a crash after this
+            # (url, warc_ts): extraction is deterministic per page, and
+            # warc_ts distinguishes a re-crawl of the same url (which
+            # SHOULD re-extract) from a replay of the same file
+            ck = _content_key(batch_df, "url", "warc_ts")
+            key = ledger_prefix + ck
+            # the ledger guards BOTH side effects: a replayed batch must
+            # not re-append data rows any more than it may re-merge state
+            if store.last_applied(key) >= 0:
+                return
+            # content-keyed OVERWRITE, not append: a crash after this
             # write but before the merge commits replays the batch, and
             # the rewrite of the same partition is idempotent (an append
             # would duplicate the rows).  Readers see `batch` as a
             # discovered partition column.
             batch_df.write.mode("overwrite").parquet(
-                f"{out_dir}/batch={batch_id}"
+                f"{out_dir}/batch={ck}"
             )
             store.merge(
                 batch_df.select(
                     "url", "status", F.col("warc_ts").alias("updated_at")
                 ),
-                stream_id=STREAM_ID,
+                stream_id=key,
                 batch_id=batch_id,
             )
         finally:  # a failed write/merge must not leak the cached blocks

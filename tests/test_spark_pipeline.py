@@ -193,6 +193,28 @@ class TestStateStore:
         assert len(state) == 100 and state["u0"] == "FAILED"
         assert state["u1"] == "SUCCESS"
 
+    def test_empty_ledgered_batch_advances_ledger(self, spark, tmpdir):
+        """merge() with stream_id/batch_id but ZERO rows must still
+        record the applied entry (a fully-dropped streaming batch that
+        never advances the ledger replays forever) — and must not
+        disturb existing data."""
+        store = ParquetStateStore(spark, tmpdir, n_buckets=8)
+        b1 = spark.createDataFrame(
+            [("u1", "SUCCESS")], ["url", "status"]
+        ).withColumn("updated_at", F.current_timestamp())
+        store.merge(b1, stream_id="s", batch_id=0)
+        assert store.last_applied("s") == 0
+        empty = spark.createDataFrame(
+            [], "url string, status string, updated_at timestamp"
+        )
+        v = store.merge(empty, stream_id="s", batch_id=1)
+        assert store.last_applied("s") == 1
+        assert v == store.current_version()
+        # data untouched; replay of the empty batch is now suppressed
+        assert {r["url"] for r in store.read().collect()} == {"u1"}
+        store.merge(empty, stream_id="s", batch_id=1)
+        assert store.last_applied("s") == 1
+
     def test_crash_before_manifest_commit_is_invisible(self, spark, tmpdir):
         store = ParquetStateStore(spark, tmpdir)
         b1 = spark.createDataFrame([("u1", "SUCCESS")], ["url", "status"]).withColumn(
@@ -602,6 +624,28 @@ class TestSimhashBanding:
         p4 = {tuple(r) for r in dedup.simhash_near_pairs(sig, n_bands=4).collect()}
         p6 = {tuple(r) for r in dedup.simhash_near_pairs(sig, n_bands=6).collect()}
         assert p4 == p6 and p4
+
+    def test_x2_with_precomputed_s1_is_identical(self, spark):
+        """simhash_near_pairs_x2(s1_pairs=...) (the recall report's
+        run-the-unsalted-tier-once path) must return exactly the same
+        pairs as the self-contained form."""
+        import __spark_entry__ as em
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        aug = em._augmented_docs(
+            spark.read.parquet(os.path.join(SF0001, "documents.parquet"))
+        )
+        full = {
+            tuple(r) for r in dedup.simhash_near_pairs_x2(aug).collect()
+        }
+        s1 = dedup.simhash_near_pairs(
+            dedup.simhash_signatures(aug)
+        ).localCheckpoint()
+        reused = {
+            tuple(r)
+            for r in dedup.simhash_near_pairs_x2(aug, s1_pairs=s1).collect()
+        }
+        assert full == reused and full
 
     def test_candidate_budget_at_default_bands(self, spark):
         """Default 4x15 banding must keep the candidate set (pre-verify
@@ -1232,6 +1276,41 @@ class TestSecondReviewRegressions:
         assert run_stream_with_state(spark, *args) == 20  # NOT 40
         store = ParquetStateStore(spark, os.path.join(tmpdir, "state"))
         assert all(r["attempt"] == 1 for r in store.read().collect())
+
+    def test_checkpoint_loss_with_new_file_does_not_remap(self, spark, tmpdir):
+        """Checkpoint loss AND a new landing file: replay batch ids no
+        longer match the original run's.  The content-keyed ledger must
+        skip the already-extracted file whatever id it gets, extract
+        ONLY the new file, and leave the original output partition
+        intact (a batch-id key would clobber it with the wrong data)."""
+        import shutil as _sh
+
+        from deepseek_ocr_customvllm_spark.plans.state import ParquetStateStore
+        from deepseek_ocr_customvllm_spark.streaming.extract_stream import (
+            run_stream_with_state,
+        )
+
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        synth_pages_df(spark, 10, num_partitions=1).write.parquet(
+            os.path.join(landing, "b1")
+        )
+        args = (
+            landing + "/*",
+            os.path.join(tmpdir, "out"),
+            os.path.join(tmpdir, "ckpt"),
+            os.path.join(tmpdir, "state"),
+        )
+        assert run_stream_with_state(spark, *args) == 10
+        _sh.rmtree(os.path.join(tmpdir, "ckpt"))
+        synth_pages_df(spark, 25, num_partitions=1).filter(
+            "url like '%1_'"  # urls 10-19: disjoint from the first file
+        ).write.parquet(os.path.join(landing, "b2"))
+        n = run_stream_with_state(spark, *args)
+        assert n == 20  # 10 original + 10 new, nothing twice
+        store = ParquetStateStore(spark, os.path.join(tmpdir, "state"))
+        assert all(r["attempt"] == 1 for r in store.read().collect())
+        assert store.read().count() == 20
 
     def test_empty_landing_returns_zero(self, spark, tmpdir):
         from deepseek_ocr_customvllm_spark.streaming.extract_stream import (
@@ -1929,6 +2008,113 @@ class TestIncrementalDedupStream:
             )
             == 0
         )
+
+    def test_checkpoint_loss_with_new_file_remaps_batch_ids(
+        self, spark, tmpdir
+    ):
+        """The failure mode a batch-id-keyed ledger cannot survive:
+        checkpoint loss AND a new landing file, so the replay assigns
+        batch ids that no longer match the original run's.  The
+        content-keyed ledger must skip the two already-admitted files
+        (whatever ids they get now), process ONLY the new file, dedup
+        it against the accumulated store, and leave every previously
+        admitted output partition untouched."""
+        import shutil as _sh
+
+        from deepseek_ocr_customvllm_spark.streaming.dedup_stream import (
+            run_incremental_dedup_stream,
+        )
+
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        base = " ".join(f"base{j}" for j in range(40))
+        near = " ".join(
+            (f"mut{j}" if j == 0 else f"base{j}") for j in range(40)
+        )
+        fresh1 = " ".join(f"uno{j}" for j in range(40))
+        fresh2 = " ".join(f"dos{j}" for j in range(40))
+        self._mk_docs(spark, [(10, base)]).coalesce(1).write.parquet(
+            os.path.join(landing, "b1")
+        )
+        args = (
+            landing + "/*",
+            os.path.join(tmpdir, "out"),
+            os.path.join(tmpdir, "ckpt"),
+            os.path.join(tmpdir, "store"),
+            os.path.join(tmpdir, "state"),
+        )
+        run_incremental_dedup_stream(spark, *args)
+        self._mk_docs(spark, [(20, fresh1)]).coalesce(1).write.parquet(
+            os.path.join(landing, "b2")
+        )
+        run_incremental_dedup_stream(spark, *args)
+        out = os.path.join(tmpdir, "out")
+        assert {r.doc_id for r in spark.read.parquet(out).collect()} == {
+            10, 20,
+        }
+
+        # checkpoint loss + a THIRD file (30 = near-dup of committed
+        # base, 31 = genuinely fresh) lands before the replay: batch
+        # numbering restarts and no longer matches the original run
+        _sh.rmtree(os.path.join(tmpdir, "ckpt"))
+        self._mk_docs(
+            spark, [(30, near), (31, fresh2)]
+        ).coalesce(1).write.parquet(os.path.join(landing, "b3"))
+        n = run_incremental_dedup_stream(spark, *args)
+        admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+        # 30 dropped against the store's base doc; 31 admitted; the two
+        # replayed files admitted nothing twice and clobbered nothing
+        assert admitted == {10, 20, 31}, admitted
+        assert n == 3
+
+    def test_fully_dropped_batch_advances_ledger(self, spark, tmpdir):
+        """A micro-batch whose every doc drops against the store must
+        still commit its content key: otherwise each restart replays it
+        in full, forever."""
+        import shutil as _sh
+
+        from deepseek_ocr_customvllm_spark.plans.state import (
+            ParquetStateStore,
+        )
+        from deepseek_ocr_customvllm_spark.streaming.dedup_stream import (
+            INCR_STREAM_ID,
+            run_incremental_dedup_stream,
+        )
+
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        base = " ".join(f"base{j}" for j in range(40))
+        self._mk_docs(spark, [(10, base)]).coalesce(1).write.parquet(
+            os.path.join(landing, "b1")
+        )
+        args = (
+            landing + "/*",
+            os.path.join(tmpdir, "out"),
+            os.path.join(tmpdir, "ckpt"),
+            os.path.join(tmpdir, "store"),
+            os.path.join(tmpdir, "state"),
+        )
+        run_incremental_dedup_stream(spark, *args)
+        # an exact duplicate file: everything drops, nothing admitted
+        self._mk_docs(spark, [(40, base)]).coalesce(1).write.parquet(
+            os.path.join(landing, "b2")
+        )
+        assert run_incremental_dedup_stream(spark, *args) == 1
+        store = ParquetStateStore(spark, os.path.join(tmpdir, "state"))
+        keys = [
+            k
+            for k in store.applied_map()
+            if k.startswith(INCR_STREAM_ID + ":")
+        ]
+        assert len(keys) == 2, keys  # BOTH batches committed
+        # checkpoint loss: the fully-dropped batch must not re-execute
+        # into a different conclusion (and nothing admits twice)
+        _sh.rmtree(os.path.join(tmpdir, "ckpt"))
+        assert run_incremental_dedup_stream(spark, *args) == 1
+        state = {
+            r["url"]: r["attempt"] for r in store.read().collect()
+        }
+        assert state == {"10": 1}
 
 
 class TestDedupAuditOperators:
