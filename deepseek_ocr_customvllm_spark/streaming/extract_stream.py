@@ -116,7 +116,14 @@ def run_stream_with_state(
 
     import os
 
-    extracted = extraction_stream(spark, landing_dir)
+    # ONE file per micro-batch: the content key identifies a batch by
+    # what's in it, so batches must be STABLE units across replays —
+    # and the only stable unit a file source has is the file.  With >1
+    # file per trigger, a replay after checkpoint loss can group files
+    # differently, making every group key new and re-admitting
+    # everything.  (Landing files are dump-sized in production; the
+    # per-batch overhead is amortized by file size, not file count.)
+    extracted = extraction_stream(spark, landing_dir, max_files_per_trigger=1)
     store = ParquetStateStore(spark, state_dir)
     ledger_prefix = STREAM_ID + ":"
 
