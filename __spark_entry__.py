@@ -701,6 +701,37 @@ def _q_doc_novelty(spark, sf_dir):
     return dedup.doc_novelty(_augmented_docs(_docs(spark, sf_dir)))
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    """Quality-priority dedup retention: in every near-dup cluster keep
+    the highest-quality member (tie: lowest doc_id) instead of the
+    earliest-crawled one; returns the surviving (doc_id, quality_score)."""
+    aug = _augmented_docs(_docs(spark, sf_dir))
+    quality = textstats.quality_scores(aug).select("doc_id", "quality_score")
+    return dedup.dedup_keep_best(aug, quality)
+
+
+def _q_domain_dup_report(spark, sf_dir):
+    """Per-domain near-duplicate rate (template-farm telemetry): the
+    planted duplicates inherit their original's source via the
+    doc_id % 1000000 offset convention."""
+    docs = _docs(spark, sf_dir)
+    aug = _augmented_docs(docs)
+    dom = docs.select(F.col("doc_id").alias("base_id"), "source")
+    with_domain = aug.join(
+        dom, aug.doc_id % 1000000 == F.col("base_id")
+    ).select("doc_id", "text", F.col("source").alias("domain"))
+    return dedup.domain_dup_report(with_domain)
+
+
+def _q_snapshot_dedup_report(spark, sf_dir):
+    """Cross-snapshot exact re-crawl rate: dumps of 100 consecutive
+    doc_ids; the planted +1000000/+2000000 copies land in later dumps
+    and count as redundant."""
+    return dedup.snapshot_dedup_report(
+        _augmented_docs(_docs(spark, sf_dir)), dump_size=100
+    )
+
+
 def _q_doc_chunks(spark, sf_dir):
     """Fixed-size token windows with overlap (training-sample prep):
     40-token chunks every 32 tokens."""
@@ -1433,6 +1464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_contamination_report": _q_eval_contamination_report,
         "lsh_bucket_audit": _q_lsh_bucket_audit,
         "doc_novelty": _q_doc_novelty,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "domain_dup_report": _q_domain_dup_report,
+        "snapshot_dedup_report": _q_snapshot_dedup_report,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -1534,6 +1568,56 @@ _INTER_SIZES_CTE = """inter AS (
   GROUP BY c.id_a, c.id_b
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+def _oracle_components_cte() -> str:
+    """Shared recursive connected-components scaffold over the minhash
+    pairs (twin of ``dedup.duplicate_components``): defines CTEs
+    ``pairs``/``sym``/``walk``/``comp`` with ``comp(doc_id,
+    component_id)``.  Callers splice it directly after WITH RECURSIVE."""
+    return f"""pairs AS (
+  SELECT id_a, id_b FROM ({_oracle_minhash().strip()}) mh
+),
+sym AS (
+  SELECT id_a, id_b FROM pairs
+  UNION
+  SELECT id_b AS id_a, id_a AS id_b FROM pairs
+),
+walk(doc_id, comp) AS (
+  SELECT DISTINCT id_a AS doc_id, id_a AS comp FROM sym
+  UNION
+  SELECT s.id_a AS doc_id, w.comp
+  FROM sym s JOIN walk w ON w.doc_id = s.id_b
+),
+comp AS (SELECT doc_id, min(comp) AS component_id FROM walk GROUP BY doc_id)"""
+
+
+def _oracle_quality_cte(src: str) -> str:
+    """The quality_score computation as splice-able CTEs over ``src``
+    (twin of ``textstats.quality_scores``, identical expressions to the
+    standalone ``quality_score`` oracle): defines ``qnorm``/``qc``/
+    ``qd``/``q`` with ``q(doc_id, quality_score)``."""
+    return f"""qnorm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM {src}),
+qc AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_words,
+         len(regexp_extract_all(t, '{_STOP_RE}')) AS n_stop,
+         length(t) AS n_chars
+  FROM qnorm
+),
+qd AS (
+  SELECT doc_id, n_words,
+         floor((n_chars * 1.0 / greatest(n_words, 1)) * 10000) / 10000 AS awl,
+         floor((n_stop * 1.0 / greatest(n_words, 1)) * 10000) / 10000 AS sr
+  FROM qc
+),
+q AS (
+  SELECT doc_id,
+         floor((least(1.0, n_words / 100.0) * 0.5 + sr * 0.3 +
+                CASE WHEN awl >= 3 AND awl <= 8 THEN 0.2 ELSE 0.0 END)
+               * 10000) / 10000 AS quality_score
+  FROM qd
+)"""
 
 
 def _oracle_minhash() -> str:
@@ -2834,22 +2918,56 @@ FROM r JOIN n USING (lang)
 ORDER BY doc_id
 """,
         "dedup_components": f"""
-WITH RECURSIVE pairs AS (
-  SELECT id_a, id_b FROM ({_oracle_minhash().strip()}) mh
-),
-sym AS (
-  SELECT id_a, id_b FROM pairs
-  UNION
-  SELECT id_b AS id_a, id_a AS id_b FROM pairs
-),
-walk(doc_id, comp) AS (
-  SELECT DISTINCT id_a AS doc_id, id_a AS comp FROM sym
-  UNION
-  SELECT s.id_a AS doc_id, w.comp
-  FROM sym s JOIN walk w ON w.doc_id = s.id_b
-)
-SELECT doc_id, min(comp) AS component_id FROM walk GROUP BY doc_id
+WITH RECURSIVE {_oracle_components_cte()}
+SELECT doc_id, component_id FROM comp
 """,
+        "dedup_keep_best": f"""
+WITH RECURSIVE {_oracle_components_cte()},
+{{aug}},
+{_oracle_quality_cte('aug')}
+, scored AS (
+  SELECT c.doc_id, c.component_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC)
+           AS rn
+  FROM comp c JOIN q USING (doc_id)
+),
+drops AS (SELECT doc_id FROM scored WHERE rn > 1)
+SELECT doc_id, quality_score FROM q
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+""".replace("{aug}", aug),
+        "domain_dup_report": f"""
+WITH RECURSIVE {_oracle_components_cte()},
+{{aug}},
+dom AS (
+  SELECT a.doc_id, d.source AS domain
+  FROM aug a JOIN documents d ON a.doc_id % 1000000 = d.doc_id
+),
+nc AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+SELECT dom.domain,
+       count(*) AS n_docs,
+       cast(sum(CASE WHEN nc.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS bigint) AS n_dup,
+       floor(sum(CASE WHEN nc.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / count(*) * 10000) / 10000 AS dup_frac
+FROM dom LEFT JOIN nc USING (doc_id)
+GROUP BY 1
+""".replace("{aug}", aug),
+        "snapshot_dedup_report": f"""
+WITH {{aug}},
+snorm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM aug),
+f AS (SELECT doc_id, md5(t) AS fp FROM snorm),
+fs AS (SELECT fp, min(doc_id) AS first_id FROM f GROUP BY 1)
+SELECT f.doc_id // 100 AS dump,
+       count(*) AS n_docs,
+       cast(sum(CASE WHEN fs.first_id // 100 < f.doc_id // 100
+                THEN 1 ELSE 0 END) AS bigint) AS n_redundant,
+       floor(sum(CASE WHEN fs.first_id // 100 < f.doc_id // 100
+                 THEN 1 ELSE 0 END)
+             * 1.0 / count(*) * 10000) / 10000 AS redundant_frac
+FROM f JOIN fs USING (fp)
+GROUP BY 1
+""".replace("{aug}", aug),
         "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
         "dedup_simhash": _oracle_simhash(),
         "dedup_simhash_pairs": _oracle_simhash_pairs(),

@@ -857,6 +857,140 @@ def dedup_recall_report(
     return out
 
 
+def dedup_keep_best(docs: DataFrame, quality: DataFrame) -> DataFrame:
+    """Quality-priority canonical selection: in every near-duplicate
+    cluster keep the HIGHEST-quality member, not the earliest-crawled
+    one (``corpus_dedup_apply`` / :func:`dedup_job.run_dedup_job` keep
+    ``min(doc_id)``).
+
+    The retention policy production dedup actually wants: when a page
+    was crawled twice and one extraction is cleaner (boilerplate
+    stripped better, fuller text), dropping by admission order throws
+    the better copy away.  Keeper = max ``quality_score``, ties broken
+    by min ``doc_id`` (deterministic; with identical planted copies the
+    tie-break reproduces the min-id policy exactly).
+
+    ``quality`` is any ``(doc_id, quality_score)`` frame —
+    ``textstats.quality_scores`` in the registry wiring.  Returns the
+    surviving ``(doc_id, quality_score)`` rows.
+
+    Scale shape: pairs -> components as in the min-id path; the keeper
+    choice is ONE ``row_number`` window partitioned by component_id
+    (components are duplicate clusters — small by construction, no skew
+    beyond what the hot-bucket cap already bounds); the drop list is
+    bounded by the duplicate mass and anti-joins the quality frame.
+    The quality projection is scanned twice (cluster scoring + final
+    anti-join); a production run materializes it once alongside the
+    corpus — here it is a stateless single-scan projection.
+    """
+    pairs = minhash_lsh_duplicates(docs).select("id_a", "id_b")
+    comp = duplicate_components(pairs)
+    q = quality.select("doc_id", "quality_score")
+    scored = comp.join(q, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    drops = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("doc_id")
+    )
+    return q.join(drops, "doc_id", "left_anti")
+
+
+def domain_dup_report(docs: DataFrame) -> DataFrame:
+    """Per-domain near-duplicate rate — the telemetry that finds
+    template farms: a domain whose pages are mostly near-duplicates of
+    each other (or of other domains) is boilerplate-heavy, and crawl
+    schedulers down-weight it.
+
+    ``docs`` must carry ``(doc_id, text, domain)``.  One row per domain:
+    ``(domain, n_docs, n_dup, dup_frac)`` where ``n_dup`` counts the
+    NON-CANONICAL members of near-dup components (the docs a dedup pass
+    would drop) and ``dup_frac`` is floor-truncated to 4 decimals.
+
+    Scale shape: the pair/component machinery is the capped banded tier;
+    the domain rollup is one map-side-combined aggregate over a
+    left join against the bounded drop list — Zipf-hot domains are a
+    groupBy skew, not a join explosion.
+    """
+    from ..functions.columns import dtrunc
+
+    pairs = minhash_lsh_duplicates(docs.select("doc_id", "text")).select(
+        "id_a", "id_b"
+    )
+    comp = duplicate_components(pairs)
+    non_canon = (
+        comp.filter(F.col("doc_id") != F.col("component_id"))
+        .select("doc_id")
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "domain")
+        .join(non_canon, "doc_id", "left")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "n_dup",
+            dtrunc(F.col("n_dup") / F.col("n_docs"), 4).alias("dup_frac"),
+        )
+    )
+
+
+def snapshot_dedup_report(docs: DataFrame, dump_size: int = 100) -> DataFrame:
+    """Cross-snapshot exact re-crawl rate: the dedup-rate-over-time
+    curve a crawl team watches across dumps (a snapshot whose content
+    mostly predates it is a re-crawl; rising redundancy = crawl budget
+    wasted).
+
+    Documents are assigned to synthetic dumps of ``dump_size``
+    consecutive ``doc_id``s (admission order — the same convention as
+    :func:`incremental_dedup` and :func:`doc_novelty`).  A doc is
+    REDUNDANT when its exact normalized content (md5 fingerprint, the
+    ``exact_duplicates``/``doc_fingerprint`` convention) first appeared
+    in an EARLIER dump; first-in-corpus copies and same-dump duplicates
+    are not counted (same-dump dups are the in-snapshot dedup pass's
+    job).  One row per dump: ``(dump, n_docs, n_redundant, redundant_frac)``.
+
+    Scale shape: one fingerprint scan; first-seen is a map-side-combined
+    ``min(doc_id)`` per fingerprint (min doc_id ⇒ min dump — ``div`` is
+    monotonic); the join back is on the fingerprint key both sides
+    already shuffle on; the dump rollup is a tiny aggregate.
+    """
+    from ..functions.columns import dtrunc, norm_text
+
+    fp = docs.select("doc_id", F.md5(norm_text("text")).alias("fp"))
+    first = fp.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    dump = F.expr(f"doc_id div {int(dump_size)}")
+    first_dump = F.expr(f"first_id div {int(dump_size)}")
+    per_doc = fp.join(first, "fp").select(
+        dump.alias("dump"),
+        (first_dump < dump).cast("bigint").alias("is_re"),
+    )
+    return (
+        per_doc.groupBy("dump")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_re").cast("bigint").alias("n_redundant"),
+        )
+        .select(
+            "dump",
+            "n_docs",
+            "n_redundant",
+            dtrunc(F.col("n_redundant") / F.col("n_docs"), 4).alias(
+                "redundant_frac"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # eval-set decontamination
 # ---------------------------------------------------------------------------

@@ -2117,6 +2117,86 @@ class TestIncrementalDedupStream:
         assert state == {"10": 1}
 
 
+class TestDedupRetentionAndTelemetry:
+    """Round-6 retention + telemetry family: quality-priority keeper,
+    per-domain dup rate, cross-snapshot re-crawl curve."""
+
+    def test_keep_best_keeps_higher_quality_not_lower_id(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import dedup, textstats
+
+        # 1 and 2 are near-duplicates; 2 (the LATER crawl) has richer
+        # text -> higher quality score, so the min-id policy and the
+        # keep-best policy disagree on purpose
+        stop = "the and of a to in"
+        base = " ".join(f"tok{j}" for j in range(38))
+        docs = spark.createDataFrame(
+            [
+                (1, base + " xx yy"),
+                (2, base + " xx yy " + " ".join([stop] * 12)),
+                (3, "completely unrelated fresh document body here now"),
+            ],
+            ["doc_id", "text"],
+        )
+        quality = textstats.quality_scores(docs).select(
+            "doc_id", "quality_score"
+        )
+        qmap = {r.doc_id: r.quality_score for r in quality.collect()}
+        assert qmap[2] > qmap[1]  # the later copy really is better
+        kept = {r.doc_id for r in dedup.dedup_keep_best(docs, quality).collect()}
+        assert kept == {2, 3}, kept  # min-id would have kept 1
+
+    def test_keep_best_tie_breaks_to_min_id(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import dedup, textstats
+
+        base = " ".join(f"tok{j}" for j in range(40))
+        docs = spark.createDataFrame(
+            [(7, base), (8, base)], ["doc_id", "text"]  # exact copies
+        )
+        quality = textstats.quality_scores(docs).select(
+            "doc_id", "quality_score"
+        )
+        kept = {r.doc_id for r in dedup.dedup_keep_best(docs, quality).collect()}
+        assert kept == {7}
+
+    def test_domain_dup_report_isolates_template_farm(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        tmpl = " ".join(f"boiler{j}" for j in range(40))
+        rows = [(i, tmpl + f" page{i}", "farm.test") for i in range(4)]
+        rows += [
+            (10, " ".join(f"alpha{j}" for j in range(40)), "clean.test"),
+            (11, " ".join(f"beta{j}" for j in range(40)), "clean.test"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "domain"])
+        got = {r.domain: r for r in dedup.domain_dup_report(docs).collect()}
+        assert got["farm.test"].n_dup == 3  # all but the canonical
+        assert got["farm.test"].dup_frac == 0.75
+        assert got["clean.test"].n_dup == 0
+        assert got["clean.test"].dup_frac == 0.0
+
+    def test_snapshot_report_counts_only_cross_dump_recrawls(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        a, b, c = "alpha doc body", "beta doc body", "gamma doc body"
+        docs = spark.createDataFrame(
+            [
+                (0, a), (1, b), (2, b),   # dump 0: 2 is a SAME-dump dup
+                (100, a),                 # dump 1: re-crawl of dump 0
+                (101, c),                 # dump 1: fresh
+                (200, a), (201, b),       # dump 2: both re-crawls
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.dump: r
+            for r in dedup.snapshot_dedup_report(docs, dump_size=100).collect()
+        }
+        assert got[0].n_redundant == 0  # same-dump dup is NOT a re-crawl
+        assert got[1].n_redundant == 1 and got[1].n_docs == 2
+        assert got[2].n_redundant == 2
+        assert got[2].redundant_frac == 1.0
+
+
 class TestDedupAuditOperators:
     """Round-6 audit family: eval-side contamination accounting,
     LSH bucket-skew telemetry, and doc-level shingle novelty."""
