@@ -53,6 +53,7 @@ DEFAULT_MAX_BUCKET = 100
 def run_dedup_job(
     docs: DataFrame,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    keep: str = "min_id",
 ) -> DataFrame:
     """The deduped corpus: near-dup pairs (capped, checkpointed) ->
     connected components -> every non-canonical member dropped.
@@ -65,12 +66,38 @@ def run_dedup_job(
     broadcast when that mass is small, shuffle when it isn't — at
     10^12 docs the drop list can itself be billions of rows, so the
     strategy is deliberately not pinned).
+
+    ``keep`` picks the retention policy: ``"min_id"`` (default — the
+    earliest-admitted member of each cluster survives) or ``"best"``
+    (the highest-``quality_score`` member survives, tie min doc_id —
+    :func:`operators.dedup.dedup_keep_best`'s policy; keeps the cleaner
+    extraction when a page was crawled twice).
     """
+    if keep not in ("min_id", "best"):
+        raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
     pairs = dedup.minhash_lsh_duplicates(docs, max_bucket=max_bucket)
     comp = dedup.duplicate_components(pairs.select("id_a", "id_b"))
-    non_canon = comp.filter(
-        F.col("doc_id") != F.col("component_id")
-    ).select("doc_id")
+    if keep == "best":
+        from pyspark.sql.window import Window
+
+        from deepseek_ocr_customvllm_spark.operators import textstats
+
+        quality = textstats.quality_scores(docs).select(
+            "doc_id", "quality_score"
+        )
+        scored = comp.join(quality, "doc_id")
+        w = Window.partitionBy("component_id").orderBy(
+            F.col("quality_score").desc(), F.col("doc_id").asc()
+        )
+        non_canon = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("doc_id")
+        )
+    else:
+        non_canon = comp.filter(
+            F.col("doc_id") != F.col("component_id")
+        ).select("doc_id")
     return docs.join(non_canon, "doc_id", "left_anti")
 
 
@@ -89,6 +116,13 @@ def main(argv=None) -> None:
         action="store_true",
         help="disable the hot-bucket cap (audit/oracle runs only)",
     )
+    parser.add_argument(
+        "--keep",
+        choices=("min_id", "best"),
+        default="min_id",
+        help="cluster retention policy: earliest-admitted (min_id) or "
+        "highest-quality member (best)",
+    )
     parser.add_argument("--master", default=None)
     parser.add_argument("--partitions", type=int, default=None)
     args = parser.parse_args(argv)
@@ -101,7 +135,7 @@ def main(argv=None) -> None:
     cap = None if args.exact_recall else args.max_bucket
     t0 = time.time()
     docs = spark.read.parquet(args.docs)
-    kept = run_dedup_job(docs, max_bucket=cap)
+    kept = run_dedup_job(docs, max_bucket=cap, keep=args.keep)
     kept.write.mode("overwrite").parquet(args.out)
     n_in = docs.count()
     n_out = spark.read.parquet(args.out).count()
@@ -110,6 +144,7 @@ def main(argv=None) -> None:
             {
                 "job": "dedup_job",
                 "max_bucket": cap,
+                "keep": args.keep,
                 "rows_in": n_in,
                 "rows_kept": n_out,
                 "rows_dropped": n_in - n_out,

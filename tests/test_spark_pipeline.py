@@ -1884,6 +1884,34 @@ class TestDedupJobDefaults:
         assert uncapped.count() == 1 + 5
         assert capped.count() == 30 + 5
 
+    def test_keep_best_policy_wired_through_job(self, spark):
+        """--keep best must survive the higher-quality cluster member
+        (agreeing with dedup.dedup_keep_best), while the default keeps
+        min doc_id."""
+        from deepseek_ocr_customvllm_spark import dedup_job
+
+        stop = "the and of a to in"
+        base = " ".join(f"tok{j}" for j in range(38))
+        docs = spark.createDataFrame(
+            [
+                (1, base + " xx yy"),
+                (2, base + " xx yy " + " ".join([stop] * 12)),
+                (3, "completely unrelated fresh document body here now"),
+            ],
+            ["doc_id", "text"],
+        )
+        kept_min = {
+            r.doc_id for r in dedup_job.run_dedup_job(docs).collect()
+        }
+        kept_best = {
+            r.doc_id
+            for r in dedup_job.run_dedup_job(docs, keep="best").collect()
+        }
+        assert kept_min == {1, 3}
+        assert kept_best == {2, 3}
+        with pytest.raises(ValueError, match="keep"):
+            dedup_job.run_dedup_job(docs, keep="newest")
+
     def test_job_default_keeps_registry_semantics_on_clean_corpus(
         self, spark
     ):
