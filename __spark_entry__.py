@@ -2414,7 +2414,13 @@ eval_sh AS (
   SELECT DISTINCT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0
 ),
 train_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 <> 0),
-totals AS (SELECT eval_id, count(*) AS n_shingles FROM eval_sh GROUP BY 1),
+totals AS (
+  SELECT i.eval_id, coalesce(c.n_shingles, 0) AS n_shingles
+  FROM (SELECT DISTINCT doc_id AS eval_id FROM aug WHERE doc_id % 97 = 0) i
+  LEFT JOIN (
+    SELECT eval_id, count(*) AS n_shingles FROM eval_sh GROUP BY 1
+  ) c USING (eval_id)
+),
 hits AS (
   SELECT e.eval_id, count(DISTINCT e.sh) AS n_hit
   FROM eval_sh e JOIN train_sh t USING (sh)
@@ -2422,9 +2428,12 @@ hits AS (
 )
 SELECT t.eval_id, t.n_shingles,
        coalesce(h.n_hit, 0) AS n_hit,
-       floor(coalesce(h.n_hit, 0) * 1.0 / t.n_shingles * 10000) / 10000
-         AS overlap_frac,
-       coalesce(h.n_hit, 0) * 10000 >= 1000 * t.n_shingles AS is_dirty
+       CASE WHEN t.n_shingles = 0 THEN 0.0
+            ELSE floor(coalesce(h.n_hit, 0) * 1.0 / t.n_shingles * 10000)
+                 / 10000 END AS overlap_frac,
+       t.n_shingles > 0
+         AND coalesce(h.n_hit, 0) * 10000 >= 1000 * t.n_shingles
+         AS is_dirty
 FROM totals t LEFT JOIN hits h USING (eval_id)
 """.replace("{aug}", aug),
         "lsh_bucket_audit": f"""

@@ -31,8 +31,10 @@ def ensure_safe_salt(salt: str) -> str:
     """Validate a salt destined for SQL-string interpolation.
 
     A quote or backslash would break — or worse, rewrite — the generated
-    expression, so anything outside the safe charset is rejected."""
-    if not _SALT_SAFE.match(salt):
+    expression, so anything outside the safe charset is rejected.
+    ``fullmatch``, not ``match``: ``$`` would accept a trailing
+    newline."""
+    if not _SALT_SAFE.fullmatch(salt):
         raise ValueError(
             "salt must match [A-Za-z0-9_.:|-]*, got %r" % (salt,)
         )

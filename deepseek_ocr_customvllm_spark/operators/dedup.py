@@ -872,7 +872,12 @@ def dedup_keep_best(docs: DataFrame, quality: DataFrame) -> DataFrame:
 
     ``quality`` is any ``(doc_id, quality_score)`` frame —
     ``textstats.quality_scores`` in the registry wiring.  Returns the
-    surviving ``(doc_id, quality_score)`` rows.
+    surviving ``(doc_id, quality_score)`` rows, one per kept doc;
+    cluster members MISSING from ``quality`` rank below every scored
+    member (sentinel −1; real scores live in [0, 1]) and surviving
+    unscored docs carry a NULL ``quality_score`` — a partial quality
+    frame must not exempt a doc from deduplication or drop it from the
+    corpus.
 
     Scale shape: pairs -> components as in the min-id path; the keeper
     choice is ONE ``row_number`` window partitioned by component_id
@@ -886,7 +891,13 @@ def dedup_keep_best(docs: DataFrame, quality: DataFrame) -> DataFrame:
     pairs = minhash_lsh_duplicates(docs).select("id_a", "id_b")
     comp = duplicate_components(pairs)
     q = quality.select("doc_id", "quality_score")
-    scored = comp.join(q, "doc_id")
+    scored = comp.join(q, "doc_id", "left").select(
+        "doc_id",
+        "component_id",
+        F.coalesce(F.col("quality_score"), F.lit(-1.0)).alias(
+            "quality_score"
+        ),
+    )
     w = Window.partitionBy("component_id").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc()
     )
@@ -895,7 +906,12 @@ def dedup_keep_best(docs: DataFrame, quality: DataFrame) -> DataFrame:
         .filter(F.col("_rn") > 1)
         .select("doc_id")
     )
-    return q.join(drops, "doc_id", "left_anti")
+    return (
+        docs.select("doc_id")
+        .join(drops, "doc_id", "left_anti")
+        .join(q, "doc_id", "left")
+        .select("doc_id", "quality_score")
+    )
 
 
 def domain_dup_report(docs: DataFrame) -> DataFrame:
@@ -1045,11 +1061,13 @@ def eval_contamination_report(
 
     ``(eval_id, n_shingles, n_hit, overlap_frac, is_dirty)``, one row
     per eval doc (zero-overlap docs included — an audit that omits the
-    clean rows isn't an audit).  ``dirty_bp`` is the dirtiness
-    threshold in basis points (1000 = 10%); the flag compares
-    ``n_hit * 10000 >= dirty_bp * n_shingles`` in pure integers, so the
-    boundary case is exact in every engine.  ``overlap_frac`` is
-    floor-truncated to 4 decimals for display only.
+    clean rows isn't an audit; docs too short to shingle, under 3
+    normalized words, appear with ``n_shingles = 0``, overlap 0, not
+    dirty).  ``dirty_bp`` is the dirtiness threshold in basis points
+    (1000 = 10%); the flag compares ``n_hit * 10000 >= dirty_bp *
+    n_shingles`` in pure integers ON SHINGLED DOCS, so the boundary
+    case is exact in every engine.  ``overlap_frac`` is floor-truncated
+    to 4 decimals for display only.
 
     Scale shape (the mirror of :func:`contaminated_docs`): the eval
     side is tiny by definition, so its distinct shingle set broadcasts
@@ -1067,8 +1085,20 @@ def eval_contamination_report(
         .select(F.col("doc_id").alias("eval_id"), "sh")
         .distinct()
     )
-    totals = eval_sh.groupBy("eval_id").agg(
-        F.count("*").alias("n_shingles")
+    # left join from the eval ids, not from the shingle table: a doc
+    # too short to shingle must still get its audit row
+    totals = (
+        eval_docs.select(F.col("doc_id").alias("eval_id"))
+        .distinct()
+        .join(
+            eval_sh.groupBy("eval_id").agg(F.count("*").alias("n_shingles")),
+            "eval_id",
+            "left",
+        )
+        .select(
+            "eval_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+        )
     )
     # distinct=False: the count_distinct below is duplicate-proof, so
     # the train-side distinct shuffle buys nothing (cf. contaminated_docs)
@@ -1089,11 +1119,17 @@ def eval_contamination_report(
             "eval_id",
             "n_shingles",
             "n_hit",
-            dtrunc(F.col("n_hit") / F.col("n_shingles"), 4).alias(
-                "overlap_frac"
-            ),
+            # zero-shingle docs: overlap 0, never dirty (0/0 would be
+            # NULL here and an error in the oracle engine)
+            F.when(F.col("n_shingles") == 0, F.lit(0.0))
+            .otherwise(dtrunc(F.col("n_hit") / F.col("n_shingles"), 4))
+            .alias("overlap_frac"),
             (
-                F.col("n_hit") * 10000 >= F.lit(dirty_bp) * F.col("n_shingles")
+                (F.col("n_shingles") > 0)
+                & (
+                    F.col("n_hit") * 10000
+                    >= F.lit(dirty_bp) * F.col("n_shingles")
+                )
             ).alias("is_dirty"),
         )
     )

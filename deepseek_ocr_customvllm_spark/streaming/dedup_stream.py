@@ -246,7 +246,7 @@ _SH_READ_SCHEMA = "doc_id BIGINT, sh STRING, n BIGINT, batch STRING"
 
 def _content_key(batch_df: DataFrame, *cols: str) -> str:
     """Deterministic, order-independent key of a micro-batch's CONTENT:
-    ``<row_count>x<bit_xor of xxhash64(*cols)>``.
+    ``<row_count>x<sum of xxhash64(*cols) mod 2^64>``.
 
     Spark's micro-batch ids are ephemeral — after checkpoint loss the
     file-to-batch-id assignment is NOT guaranteed stable (file-source
@@ -256,16 +256,23 @@ def _content_key(batch_df: DataFrame, *cols: str) -> str:
     makes replay decisions independent of batch numbering entirely: the
     same documents always map to the same ledger entry and the same
     store partitions, whatever batch id the source hands them.
-    Collision odds: two distinct batches alias only with equal row
-    counts AND a 64-bit xor collision (~2^-64 per pair)."""
+
+    SUM (decimal-exact, folded mod 2^64 driver-side), NOT bit_xor: xor
+    cancels even-multiplicity rows, so two batches each consisting of
+    one row duplicated twice would collide at probability 1.  The sum
+    keeps multiplicity (a decimal(38,0) accumulator is exact far beyond
+    10^18 rows); distinct batches then alias only with equal row counts
+    AND a 64-bit sum collision (~2^-64 per pair)."""
     cols = cols or ("doc_id", "text")
     hash_args = ", ".join(cols)
     row = batch_df.agg(
         F.count("*").alias("n"),
-        F.expr(f"bit_xor(xxhash64({hash_args}))").alias("x"),
+        F.sum(
+            F.expr(f"cast(xxhash64({hash_args}) as decimal(38, 0))")
+        ).alias("x"),
     ).collect()[0]
-    x = row["x"] if row["x"] is not None else 0
-    return f"{row['n']}x{x & 0xFFFFFFFFFFFFFFFF:016x}"
+    x = int(row["x"]) if row["x"] is not None else 0
+    return f"{row['n']}x{x % (1 << 64):016x}"
 
 
 def run_incremental_dedup_stream(
@@ -366,13 +373,20 @@ def run_incremental_dedup_stream(
         )
 
         # (3) cross-batch against the accumulated store, restricted to
-        # LEDGER-COMMITTED partitions: half-written partitions of a
-        # crashed batch (this one's or any other's) are never visible
+        # LEDGER-COMMITTED partitions — by reading exactly those
+        # partition PATHS, not an isin() filter: the path list never
+        # touches a half-written (torn) partition of a crashed batch,
+        # and an in-list would grow into unbounded codegen as batches
+        # accumulate.  (The path list itself is one entry per committed
+        # batch; a production store compacts committed batches
+        # periodically, which folds this — and the ledger — back down.)
         if committed:
+            band_paths = [f"{bands_dir}/batch={c}" for c in committed]
+            sh_paths = [f"{sh_dir}/batch={c}" for c in committed]
             old_bands = D._cap_hot_buckets(
                 spark.read.schema(_BANDS_READ_SCHEMA)
-                .parquet(bands_dir)
-                .filter(F.col("batch").isin(committed))
+                .option("basePath", bands_dir)
+                .parquet(*band_paths)
                 .select("doc_id", "band", "bk"),
                 max_bucket,
             )
@@ -391,8 +405,8 @@ def run_incremental_dedup_stream(
             )
             old_sh = (
                 spark.read.schema(_SH_READ_SCHEMA)
-                .parquet(sh_dir)
-                .filter(F.col("batch").isin(committed))
+                .option("basePath", sh_dir)
+                .parquet(*sh_paths)
                 .select("doc_id", "sh", "n")
             )
             sh_all = sh_new.unionByName(old_sh)

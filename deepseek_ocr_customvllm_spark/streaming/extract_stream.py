@@ -116,49 +116,60 @@ def run_stream_with_state(
 
     import os
 
-    # ONE file per micro-batch: the content key identifies a batch by
-    # what's in it, so batches must be STABLE units across replays —
-    # and the only stable unit a file source has is the file.  With >1
-    # file per trigger, a replay after checkpoint loss can group files
-    # differently, making every group key new and re-admitting
-    # everything.  (Landing files are dump-sized in production; the
-    # per-batch overhead is amortized by file size, not file count.)
-    extracted = extraction_stream(spark, landing_dir, max_files_per_trigger=1)
+    # Stream the RAW pages and extract inside the sink, AFTER the
+    # replay guard: the content key hashes two pass-through source
+    # columns, and Spark cannot column-prune through the extraction
+    # mapInPandas — keying a post-extraction frame would make every
+    # replay-skip pay a full extraction run.  ONE file per micro-batch:
+    # the content key identifies a batch by what's in it, so batches
+    # must be STABLE units across replays — and the only stable unit a
+    # file source has is the file.  (Landing files are dump-sized in
+    # production; per-batch overhead is amortized by file size, not
+    # file count.)
+    pages = (
+        spark.readStream.schema(PAGES_SPARK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+    cores = spark.sparkContext.defaultParallelism
     store = ParquetStateStore(spark, state_dir)
     ledger_prefix = STREAM_ID + ":"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
+        # (url, warc_ts): extraction is deterministic per page, and
+        # warc_ts distinguishes a re-crawl of the same url (which
+        # SHOULD re-extract) from a replay of the same file.  The
+        # ledger guards BOTH side effects: a replayed batch must not
+        # re-append data rows any more than it may re-merge state —
+        # and it skips BEFORE any extraction work happens.
+        ck = _content_key(batch_df, "url", "warc_ts")
+        key = ledger_prefix + ck
+        if store.last_applied(key) >= 0:
+            return
+        extracted_batch = extract_pages(
+            batch_df, num_partitions=cores
+        ).persist()
         try:
-            # (url, warc_ts): extraction is deterministic per page, and
-            # warc_ts distinguishes a re-crawl of the same url (which
-            # SHOULD re-extract) from a replay of the same file
-            ck = _content_key(batch_df, "url", "warc_ts")
-            key = ledger_prefix + ck
-            # the ledger guards BOTH side effects: a replayed batch must
-            # not re-append data rows any more than it may re-merge state
-            if store.last_applied(key) >= 0:
-                return
             # content-keyed OVERWRITE, not append: a crash after this
             # write but before the merge commits replays the batch, and
             # the rewrite of the same partition is idempotent (an append
             # would duplicate the rows).  Readers see `batch` as a
             # discovered partition column.
-            batch_df.write.mode("overwrite").parquet(
+            extracted_batch.write.mode("overwrite").parquet(
                 f"{out_dir}/batch={ck}"
             )
             store.merge(
-                batch_df.select(
+                extracted_batch.select(
                     "url", "status", F.col("warc_ts").alias("updated_at")
                 ),
                 stream_id=key,
                 batch_id=batch_id,
             )
         finally:  # a failed write/merge must not leak the cached blocks
-            batch_df.unpersist()
+            extracted_batch.unpersist()
 
     q = (
-        extracted.writeStream.foreachBatch(_sink)
+        pages.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -105,6 +105,10 @@ def main() -> None:
         os.path.join(root, "state"),
     )
     n, nf = args.docs_per_file, args.files
+    # the planted-duplicate slot arithmetic (%10 re-crawls, %20 clones,
+    # target slot id-n-1 ≡ 6 mod 10) assumes dump size is a multiple of
+    # 20 — anything else shifts the slots and the expected counts lie
+    assert n % 20 == 0, "--docs-per-file must be a multiple of 20"
     for i in range(nf):
         _mk_file(spark, os.path.join(landing, f"dump_{i:03d}"), i, n)
 

@@ -342,7 +342,8 @@ def test_md5_bigint_rejects_unsafe_salt(spark):
     from deepseek_ocr_customvllm_spark.operators.curation import _md5_bigint
 
     _md5_bigint("text", "pack.v1:a-b|c_d")  # safe charset builds fine
-    for bad in ("it's", 'a"b', "a\\b", "a;b", "a b"):
+    # trailing newline included: re.match + '$' would accept it
+    for bad in ("it's", 'a"b', "a\\b", "a;b", "a b", "ok\n"):
         with pytest.raises(ValueError):
             _md5_bigint("text", bad)
 

@@ -2186,6 +2186,31 @@ class TestDedupRetentionAndTelemetry:
         kept = {r.doc_id for r in dedup.dedup_keep_best(docs, quality).collect()}
         assert kept == {7}
 
+    def test_keep_best_partial_quality_cannot_exempt_or_lose_docs(
+        self, spark
+    ):
+        """A cluster member MISSING from the quality frame must still be
+        droppable (sentinel rank below every scored member), and an
+        unscored doc outside any cluster must survive with a NULL score
+        — a partial quality frame neither exempts nor loses docs."""
+        from deepseek_ocr_customvllm_spark.operators import dedup
+
+        base = " ".join(f"tok{j}" for j in range(40))
+        docs = spark.createDataFrame(
+            [(4, base), (5, base),
+             (6, "lonely unscored unique document body words here")],
+            ["doc_id", "text"],
+        )
+        quality = spark.createDataFrame(
+            [(4, 0.5)], ["doc_id", "quality_score"]  # 5 and 6 unscored
+        )
+        kept = {
+            r.doc_id: r.quality_score
+            for r in dedup.dedup_keep_best(docs, quality).collect()
+        }
+        assert set(kept) == {4, 6}, kept  # 5 dropped despite no score
+        assert kept[4] == 0.5 and kept[6] is None
+
     def test_domain_dup_report_isolates_template_farm(self, spark):
         from deepseek_ocr_customvllm_spark.operators import dedup
 
@@ -2241,7 +2266,8 @@ class TestDedupAuditOperators:
         eval_docs = spark.createDataFrame(
             [(10, leaked),  # verbatim leak: overlap 1.0
              (11, "pristine held out sentence with novel vocabulary "
-                  "zeta eta theta iota kappa")],
+                  "zeta eta theta iota kappa"),
+             (12, "tiny")],  # under 3 words: no shingles at all
             ["doc_id", "text"],
         )
         got = {
@@ -2249,9 +2275,11 @@ class TestDedupAuditOperators:
             for r in dedup.eval_contamination_report(train, eval_docs)
             .collect()
         }
-        assert set(got) == {10, 11}  # clean rows are NOT omitted
+        assert set(got) == {10, 11, 12}  # clean AND short rows included
         assert got[10].overlap_frac == 1.0 and got[10].is_dirty
         assert got[11].n_hit == 0 and got[11].overlap_frac == 0.0
+        assert got[12].n_shingles == 0 and not got[12].is_dirty
+        assert got[12].overlap_frac == 0.0
         assert not got[11].is_dirty
 
     def test_contamination_dirty_boundary_is_exact(self, spark):
