@@ -1040,6 +1040,12 @@ def _q_ccnet_bucket(spark, sf_dir):
     return curation.ccnet_bucket(_docs(spark, sf_dir))
 
 
+def _q_bigram_surprisal(spark, sf_dir):
+    """Order-2 LM surprisal: per-doc mean bigram bits under the corpus's
+    own conditional bigram model, bigint-exact end to end."""
+    return curation.bigram_surprisal(_docs(spark, sf_dir))
+
+
 def _q_training_set_assembly(spark, sf_dir):
     """The curation capstone as one composed lineage: exact dedup
     (fingerprint keeper) → min-length gate → temperature (alpha=0.5)
@@ -1467,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "domain_dup_report": _q_domain_dup_report,
         "snapshot_dedup_report": _q_snapshot_dedup_report,
+        "bigram_surprisal": _q_bigram_surprisal,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2890,6 +2897,32 @@ SELECT doc_id, lang, shard, n_tokens, e - n_tokens AS start_tok,
        cast((e - 1) // 512 - (e - n_tokens) // 512 + 1 AS int) AS n_packs
 FROM cum
 ORDER BY doc_id
+""",
+        "bigram_surprisal": f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+toks AS (
+  SELECT doc_id, string_split(t, ' ') AS ts FROM norm WHERE t <> ''
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i+1])) AS bg
+  FROM toks WHERE len(ts) >= 2
+),
+c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM bg GROUP BY 1
+),
+sc AS (
+  SELECT b.doc_id,
+         cast(length(bin(c1.c1 // c12.c12)) AS bigint) AS bits
+  FROM bg b
+  JOIN c12 USING (bg)
+  JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       cast((1000 * sum(bits)) // count(*) AS bigint) AS bits_x1000
+FROM sc GROUP BY 1
 """,
         "ccnet_bucket": f"""
 WITH norm AS (SELECT doc_id, lang, {_NORM_DUCK} AS t FROM documents),

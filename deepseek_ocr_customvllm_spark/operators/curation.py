@@ -520,6 +520,77 @@ def ccnet_bucket(
     ).orderBy("doc_id")
 
 
+def bigram_surprisal(df: DataFrame, persist: bool = True) -> DataFrame:
+    """Per-document mean BIGRAM surprisal under the corpus's own
+    order-2 LM — one order up from :func:`ccnet_bucket`'s unigram
+    model, the next step toward CCNet's KenLM-5 scoring (Wenzek et al.
+    2020): boilerplate prose built from common word SEQUENCES scores
+    low even when its individual words are rare, and word salad built
+    from common words scores high even though unigram surprisal loves
+    it.
+
+    Model and measure, all bigint-exact (the ccnet_bucket device):
+    ``P(w2|w1) = c(w1 w2) / c(w1·)`` with ``c(w1·)`` the count of
+    bigrams STARTING with w1 (so the conditional sums to 1), and
+    ``bits(bigram) = length(bin(c(w1·) div c(w1 w2)))`` — the
+    engine-portable ``floor(log2(1/P)) + 1``.  Returns
+    ``(doc_id, n_bigrams, bits_x1000)`` with ``bits_x1000 =
+    (1000 * sum(bits)) div n_bigrams``; documents with fewer than two
+    normalized tokens carry no bigram and emit NO row (the standing
+    token-explode convention).
+
+    Scale shape: ONE bigram explode feeds three consumers (the bigram
+    counts, the first-token counts, and the per-doc scoring join), so
+    it is localCheckpointed by default; both count aggregates are
+    map-side-combined; the scoring joins are on the keys the counts
+    were just aggregated by.  The explode is ~n_tokens rows — the same
+    volume every shingle operator here already shuffles.
+    """
+    d = with_norm(df)
+    toks = (
+        d.filter(F.col("t") != "")
+        .withColumn("ts", F.split("t", " "))
+        .filter(F.size("ts") >= 2)
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 2), "
+                "i -> concat(ts[i], ' ', ts[i+1]))"
+            )
+        ).alias("bg"),
+    )
+    if persist:
+        bg = bg.localCheckpoint()
+    c12 = bg.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = (
+        bg.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    scored = (
+        bg.join(c12, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.expr("cast(length(bin(c1 div c12)) as bigint)").alias("bits"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("bits").alias("_sb"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("(1000 * _sb) div n_bigrams").cast("bigint").alias(
+                "bits_x1000"
+            ),
+        )
+    )
+
+
 def training_set_assembly(
     df: DataFrame,
     budget: int = 200,

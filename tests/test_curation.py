@@ -335,6 +335,33 @@ def test_training_set_assembly_is_parallelism_invariant(spark, docs):
     assert a == b and len(a) > 0
 
 
+def test_bigram_surprisal_hand_computed(spark):
+    """Integer-exact order-2 surprisal on a corpus small enough to do by
+    hand.  Corpus bigrams: 'a b'x3, 'b a'x1, 'b c'x1; first-token
+    counts: a->3, b->2.  bits('a b') = len(bin(3//3)) = 1,
+    bits('b a') = bits('b c') = len(bin(2//1)) = 2."""
+    from deepseek_ocr_customvllm_spark.operators.curation import (
+        bigram_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in bigram_surprisal(docs).collect()}
+    assert set(got) == {1, 2}  # doc 3 has no bigram, no row
+    # doc 1: bits (1, 2, 1) over 3 bigrams -> 1000*4 div 3
+    assert got[1].n_bigrams == 3 and got[1].bits_x1000 == 1333
+    # doc 2: bits (1, 2) over 2 bigrams -> 1500
+    assert got[2].n_bigrams == 2 and got[2].bits_x1000 == 1500
+    # persist=False is value-identical (the default only saves re-runs)
+    lazy = {
+        (r.doc_id, r.n_bigrams, r.bits_x1000)
+        for r in bigram_surprisal(docs, persist=False).collect()
+    }
+    assert lazy == {(1, 3, 1333), (2, 2, 1500)}
+
+
 def test_md5_bigint_rejects_unsafe_salt(spark):
     """The salt is interpolated into a SQL fragment — a quote must be
     rejected up front, never reach the generated expression."""
