@@ -518,3 +518,22 @@ def test_minhash_fused_matches_lazy_shape(spark):
         map(tuple, dedup.minhash_lsh_duplicates(docs, persist=False).collect())
     )
     assert a == b
+
+
+def test_bigram_surprisal_explodes_once(spark):
+    """bigram_surprisal's explode feeds three consumers (bigram counts,
+    first-token counts, scoring join); with the default persist=True the
+    final plan must read the checkpointed bigram table and contain NO
+    transform/sequence expression (the explode ran exactly once)."""
+    from deepseek_ocr_customvllm_spark.operators.curation import (
+        bigram_surprisal,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    plan = _formatted(bigram_surprisal(docs))
+    assert "Scan ExistingRDD" in plan          # reads the checkpoint
+    assert "sequence(0" not in plan, plan      # never re-derives bigrams
+    lazy = _formatted(bigram_surprisal(docs, persist=False))
+    assert lazy.count("sequence(0") >= 3       # the lazy shape would
