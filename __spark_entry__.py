@@ -34,10 +34,12 @@ from deepseek_ocr_customvllm_spark.operators import (
     similarity,
     textstats,
 )
+from deepseek_ocr_customvllm_spark.operators import graph
 from deepseek_ocr_customvllm_spark.operators.extract import extract_pages
 from deepseek_ocr_customvllm_spark.operators.multimodal import inspect_payloads
 from deepseek_ocr_customvllm_spark.sources.pages import pages_from_documents
 from deepseek_ocr_customvllm_spark.sources.tables import load_table, register_views
+from deepseek_ocr_customvllm_spark.sources.warc import warc_roundtrip_report
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -314,6 +316,31 @@ def _oracle_extract_documents_pipeline() -> str:
     return _values_oracle(
         rows, ["url", "content_type", "status", "n_pages", "n_blocks", "n_chars"]
     )
+
+
+def _oracle_warc_roundtrip() -> str:
+    """Pure-SQL twin of the WARC round-trip: rebuild the page html
+    template (same concat as sources.pages.pages_from_documents) and
+    fingerprint it directly — the round-trip being lossless means the
+    parsed output must equal this straight-from-documents projection."""
+    from deepseek_ocr_customvllm_spark.sources.pages import _FOOTER_HTML, _NAV_HTML
+
+    nav = _NAV_HTML.replace("'", "''")
+    footer = _FOOTER_HTML.replace("'", "''")
+    return f"""
+WITH h AS (
+  SELECT 'https://docs.test/' || source || '/' || cast(doc_id AS varchar) AS url,
+         TIMESTAMP '2025-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+         '<html><head><title>doc</title></head><body>{nav}<article><h1>Document '
+           || cast(doc_id AS varchar) || '</h1><p>' || text || '</p></article>'
+           || '{footer}</body></html>' AS html
+  FROM documents
+)
+SELECT url, warc_ts,
+       cast(octet_length(encode(html)) AS bigint) AS n_bytes,
+       md5(html) AS payload_md5
+FROM h
+"""
 
 
 def _extract_synth_results(n_docs: int = 300, max_bytes: int = 64 * 1024):
@@ -1046,6 +1073,20 @@ def _q_bigram_surprisal(spark, sf_dir):
     return curation.bigram_surprisal(_docs(spark, sf_dir))
 
 
+def _q_warc_roundtrip(spark, sf_dir):
+    """WARC shard encode → distributed parse → per-page byte fingerprint.
+    The oracle recomputes length+md5 straight from the documents table,
+    so a green row proves the serialize/shard/parse path is lossless."""
+    _ensure_utc(spark)
+    return warc_roundtrip_report(pages_from_documents(_docs(spark, sf_dir)))
+
+
+def _q_host_pagerank(spark, sf_dir):
+    """3 rounds of integer-exact damped PageRank over the derived host
+    graph (broadcast rank table; per-round lineage truncation)."""
+    return graph.host_pagerank(_docs(spark, sf_dir))
+
+
 def _q_training_set_assembly(spark, sf_dir):
     """The curation capstone as one composed lineage: exact dedup
     (fingerprint keeper) → min-length gate → temperature (alpha=0.5)
@@ -1474,6 +1515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_dup_report": _q_domain_dup_report,
         "snapshot_dedup_report": _q_snapshot_dedup_report,
         "bigram_surprisal": _q_bigram_surprisal,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "host_pagerank": _q_host_pagerank,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2924,6 +2967,8 @@ SELECT doc_id, count(*) AS n_bigrams,
        cast((1000 * sum(bits)) // count(*) AS bigint) AS bits_x1000
 FROM sc GROUP BY 1
 """,
+        "warc_roundtrip": _oracle_warc_roundtrip(),
+        "host_pagerank": graph.host_pagerank_oracle_sql(),
         "ccnet_bucket": f"""
 WITH norm AS (SELECT doc_id, lang, {_NORM_DUCK} AS t FROM documents),
 words AS (

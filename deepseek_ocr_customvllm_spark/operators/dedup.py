@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.columns import norm_text
+from ..plans.iterate import RoundCheckpointer
 
 N_HASHES = 8  # minhash signature length
 N_BANDS = 4  # bands of 2 hashes each
@@ -464,41 +465,15 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     pipeline that is data corruption, not degradation.  Raise ``max_iter``
     for pathological chain-shaped graphs.
     """
-    sc = pairs.sparkSession.sparkContext
-
-    def _persistent_rdds() -> dict:
-        jmap = sc._jsc.getPersistentRDDs()
-        return {k: jmap[k] for k in jmap.keySet().toArray()}
-
-    outside = set(_persistent_rdds())  # caller-owned caches: never touched
-
-    def _ckpt(df: DataFrame):
-        """Eager localCheckpoint + handles to the JVM RDDs it registered,
-        so this round's blocks can be freed once the next round exists
-        (DataFrame.unpersist() does not release localCheckpoint blocks —
-        they live in the block manager, not the cache manager).
-
-        Attribution is by diffing the session's persistent-RDD registry
-        around the call, which assumes NO CONCURRENT thread persists
-        RDDs in this session while a round runs (the same single-writer
-        scope the state store declares); a concurrently-created cache
-        could otherwise be mis-attributed and freed."""
-        before = set(_persistent_rdds()) | outside
-        out = df.localCheckpoint()  # eager by default: materialized now
-        created = [v for k, v in _persistent_rdds().items() if k not in before]
-        return out, created
-
-    def _free(rdds) -> None:
-        for r in rdds:
-            r.unpersist(False)
+    ck = RoundCheckpointer(pairs)
 
     edges = pairs.select("id_a", "id_b")
-    sym, sym_blocks = _ckpt(
+    sym = ck.pin(
         edges.unionByName(
             edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
         )
     )
-    labels, prev_blocks = _ckpt(
+    labels = ck.ckpt(
         sym.select(F.col("id_a").alias("doc_id"))
         .distinct()
         .withColumn("comp", F.col("doc_id"))
@@ -510,14 +485,17 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("id_a")
             .agg(F.min("comp").alias("nbr_min"))
         )
-        new_labels, new_blocks = _ckpt(
+        # The convergence diff below still reads the PREVIOUS round, so
+        # its blocks are freed by rotate() only after the count.
+        new_labels = ck.ckpt(
             labels.join(nbr_min, labels["doc_id"] == nbr_min["id_a"], "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
                 ).alias("comp"),
-            )
+            ),
+            free_previous=False,
         )
         changed = (
             new_labels.alias("n")
@@ -525,14 +503,14 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        _free(prev_blocks)  # new round is materialized; old blocks can go
-        labels, prev_blocks = new_labels, new_blocks
+        ck.rotate()  # new round is materialized; old blocks can go
+        labels = new_labels
         if changed == 0:
             converged = True
             break
-    _free(sym_blocks)  # labels is checkpointed; it no longer reads sym
+    ck.release_pinned()  # labels is checkpointed; it no longer reads sym
     if not converged:
-        _free(prev_blocks)
+        ck.free()
         raise RuntimeError(
             f"duplicate_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter); raise max_iter"

@@ -1,0 +1,177 @@
+"""Host-graph analytics over the corpus: integer-exact PageRank.
+
+Web-corpus curation ranks hosts to prioritize crawling and to weight
+quality signals (Common Crawl publishes exactly this as its host-level
+webgraph ranks).  The reference repo processes one uploaded document at
+a time and has no corpus-level graph view; at 10^12-document scale the
+host graph is a first-class curation input, so the Spark rebuild adds
+it as an operator family.
+
+Design notes, Spark-first:
+
+- **Edges are derived JVM-side** (`host_edges`): pure column arithmetic
+  over ``doc_id`` — no UDF.  The synthetic link structure
+  (``doc_id % n_hosts`` linking to two affine images) is a stand-in
+  for a real outlink extraction; the PageRank itself is
+  structure-agnostic.
+- **Each iteration is one shuffle**: ``join(ranks, edges on src)`` →
+  ``groupBy(dst).sum`` — the textbook distributed PageRank data flow
+  (Page et al. 1999; GraphX's ``staticPageRank`` runs the same rounds).
+  The rank table is tiny (one row per HOST, not per doc) so it is
+  broadcast into the edge join: the big edge table never shuffles
+  after its initial aggregation.
+- **Integer-exact arithmetic**: ranks are scaled to ``SCALE = 10^12``
+  and every step uses bigint ``div`` (truncating division, identical in
+  Spark and DuckDB — see NOTES.md).  Floating-point PageRank is
+  non-associative under Spark's nondeterministic partial-aggregation
+  order; integer sums are order-independent, so the result is
+  bit-reproducible at any parallelism AND oracle-checkable.
+- **Lineage truncation per round** via ``plans.iterate.RoundCheckpointer``
+  (same contract as ``dedup.duplicate_components``): iterative plans
+  must checkpoint or the nested plan doubles per round.
+
+Dangling hosts (in-links only) keep the teleport term; their lost
+outflow is simply not redistributed — the standard simplification, and
+applied identically in the DuckDB oracle so the comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.iterate import RoundCheckpointer
+
+N_HOSTS_MOD = 53
+SCALE = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+
+
+def host_edges(docs: DataFrame, n_hosts: int = N_HOSTS_MOD) -> DataFrame:
+    """Deterministic host multigraph from the documents table.
+
+    Each doc's host is ``doc_id % n_hosts``; it links to the affine
+    image ``(31*doc_id + 7) % n_hosts`` (dense mixing) and to the hub
+    ``doc_id % 7`` (hosts 0-6 soak up half of all links — the power-law
+    skew real host graphs have, so PageRank genuinely discriminates and
+    the skewed-key aggregation path is exercised).  Self-loops are
+    kept: they model intra-host links and both engines treat them
+    identically.
+    """
+    d = F.col("doc_id")
+    src = (d % n_hosts).alias("src")
+    e1 = docs.select(src, ((d * 31 + 7) % n_hosts).alias("dst"))
+    e2 = docs.select(src, (d % 7).alias("dst"))
+    return e1.unionAll(e2)
+
+
+def host_pagerank(
+    docs: DataFrame,
+    n_hosts: int = N_HOSTS_MOD,
+    iters: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """``iters`` rounds of damped PageRank over the host graph.
+
+    Returns ``(host string, rank bigint)`` with ``rank`` on the
+    ``SCALE`` fixed-point scale.  Update rule (all bigint ``div``):
+
+        rank'(h) = (15·SCALE) div (100·n)
+                 + (85 · Σ_{e: src→h} rank(src) div outdeg(src)) div 100
+
+    The edge table is aggregated ONCE into per-(src,dst) multiplicities
+    (`n_e`) — each round then joins the n-row rank table against the at
+    most n²-row weight table instead of the full per-doc edge list, and
+    the rank side is explicitly broadcast: iterations shuffle only
+    host-cardinality data, never corpus-cardinality data.
+    """
+    edges = host_edges(docs, n_hosts)
+    ck = RoundCheckpointer(edges)
+    # Collapse the corpus-sized multigraph once: weight = edge multiplicity.
+    w = edges.groupBy("src", "dst").agg(F.count("*").alias("n_e"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # Loop invariants, materialized once; released after the final
+    # round's own checkpoint truncates every reference to them.
+    w = ck.pin(w.join(outdeg, "src").select("src", "dst", "n_e", "d"))
+    hosts = ck.pin(
+        w.select(F.col("src").alias("h"))
+        .unionAll(w.select(F.col("dst").alias("h")))
+        .distinct()
+    )
+    n = hosts.count()
+
+    base = (15 * SCALE) // (100 * n)  # driver-side ints: exact
+    ranks = hosts.select("h", F.lit(SCALE // n).cast("bigint").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            F.broadcast(ranks)
+            .join(w, ranks["h"] == w["src"])
+            .select(
+                F.col("dst").alias("h"),
+                (F.expr("rank div d") * F.col("n_e")).alias("c"),
+            )
+            .groupBy("h")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = hosts.join(contrib, "h", "left").select(
+            "h",
+            (
+                F.lit(base)
+                + F.expr(f"({DAMP_NUM} * coalesce(s, 0L)) div {DAMP_DEN}")
+            ).cast("bigint").alias("rank"),
+        )
+        if checkpoint:
+            ranks = ck.ckpt(ranks)
+
+    if checkpoint and iters > 0:
+        # The final round is checkpointed, so nothing downstream
+        # references the pinned w/hosts blocks any more.  (iters=0
+        # returns a projection OF hosts — the pin must then outlive us.)
+        ck.release_pinned()
+    return ranks.select(
+        F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+        "rank",
+    )
+
+
+def host_pagerank_oracle_sql(
+    source: str = "documents", n_hosts: int = N_HOSTS_MOD, iters: int = 3
+) -> str:
+    """DuckDB twin of :func:`host_pagerank`, generated for the same
+    ``iters`` so the two engines can never drift on round count.
+
+    Same integer arithmetic: DuckDB ``//`` truncates like Spark ``div``;
+    hugeint intermediates are cast back to bigint each round.
+    """
+    edges = (
+        f"SELECT doc_id % {n_hosts} AS src, (doc_id * 31 + 7) % {n_hosts} AS dst FROM {source}"
+        f" UNION ALL SELECT doc_id % {n_hosts}, doc_id % 7 FROM {source}"
+    )
+    ctes = [
+        f"edges AS ({edges})",
+        "w AS (SELECT src, dst, count(*) AS n_e FROM edges GROUP BY src, dst)",
+        "outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        "hosts AS (SELECT DISTINCT src AS h FROM edges UNION SELECT DISTINCT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM hosts)",
+        (
+            f"r0 AS (SELECT h, cast({SCALE} // (SELECT n FROM nn) AS bigint) AS rank FROM hosts)"
+        ),
+    ]
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        ctes.append(
+            f"""{cur} AS (
+  SELECT hosts.h,
+         cast((15 * {SCALE}) // (100 * (SELECT n FROM nn))
+              + ({DAMP_NUM} * coalesce(c.s, 0)) // {DAMP_DEN} AS bigint) AS rank
+  FROM hosts LEFT JOIN (
+    SELECT w.dst AS h, sum((r.rank // o.d) * w.n_e) AS s
+    FROM w JOIN {prev} r ON r.h = w.src JOIN outdeg o ON o.src = w.src
+    GROUP BY w.dst) c ON c.h = hosts.h
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT 'h' || cast(h AS varchar) AS host, rank FROM r{iters}"
+    )

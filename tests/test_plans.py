@@ -299,6 +299,7 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "ann_ivf_topk",                       # grouped-map on bounded clusters
         "ann_recall_report",                  # embeds the IVF tier above
         "ann_recall_clustered",               # same tiers, clustered corpus
+        "warc_roundtrip",                     # mapInPandas WARC record parse
     }
     failures = []
     for name, fn in em.queries().items():
