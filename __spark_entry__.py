@@ -1087,6 +1087,24 @@ def _q_host_pagerank(spark, sf_dir):
     return graph.host_pagerank(_docs(spark, sf_dir))
 
 
+def _q_warc_extract_pipeline(spark, sf_dir):
+    """The full Common-Crawl path as ONE lineage: pages → WARC shard
+    blobs → distributed record parse → fused extraction.  The oracle is
+    the SAME driver-side `extract_document` VALUES literal the direct
+    pipeline uses — a green row proves extraction through the WARC
+    round-trip is byte-identical to extraction straight from the table
+    (reference ingest analogue: `app/main.py` upload → worker; here the
+    corpus arrives as shards, the way Common Crawl actually ships it)."""
+    from deepseek_ocr_customvllm_spark.sources.warc import parse_warc, warc_chunks
+
+    _ensure_utc(spark)
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    parsed = parse_warc(warc_chunks(pages, n_chunks=8))
+    return extract_pages(parsed, num_partitions=8).select(
+        "url", "content_type", "status", "n_pages", "n_blocks", "n_chars"
+    )
+
+
 def _q_training_set_assembly(spark, sf_dir):
     """The curation capstone as one composed lineage: exact dedup
     (fingerprint keeper) → min-length gate → temperature (alpha=0.5)
@@ -1517,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": _q_bigram_surprisal,
         "warc_roundtrip": _q_warc_roundtrip,
         "host_pagerank": _q_host_pagerank,
+        "warc_extract_pipeline": _q_warc_extract_pipeline,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3253,6 +3272,9 @@ FROM orders
         "image_features": _oracle_image_features(),
         "audio_features": _oracle_audio_features(),
         "extract_documents_pipeline": _oracle_extract_documents_pipeline(),
+        # same literal: extraction THROUGH the WARC round-trip must be
+        # byte-identical to extraction straight from the table
+        "warc_extract_pipeline": _oracle_extract_documents_pipeline(),
         "extract_block_histogram": _oracle_extract_block_histogram(),
         "extract_synth_summary": _oracle_extract_synth_summary(),
     }

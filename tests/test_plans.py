@@ -300,6 +300,7 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "ann_recall_report",                  # embeds the IVF tier above
         "ann_recall_clustered",               # same tiers, clustered corpus
         "warc_roundtrip",                     # mapInPandas WARC record parse
+        "warc_extract_pipeline",              # WARC parse + fused extractor
     }
     failures = []
     for name, fn in em.queries().items():

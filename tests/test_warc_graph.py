@@ -106,6 +106,26 @@ class TestWarcRoundtrip:
         assert warc.parse_warc_blob(b"junk" + good) == []
         assert warc.parse_warc_blob(b"") == []
 
+    def test_extraction_through_warc_equals_direct(self, spark):
+        """The capstone contract: running the fused extractor on pages
+        recovered from WARC shards is row-identical to running it on the
+        pages table directly — shard/parse adds nothing and loses
+        nothing the extractor can see."""
+        from deepseek_ocr_customvllm_spark.operators.extract import extract_pages
+
+        pages = synth_pages_df(spark, 30, num_partitions=3)
+        cols = ["url", "content_type", "status", "n_pages", "n_blocks", "n_chars"]
+
+        def rows(df):
+            return sorted(
+                tuple(r[c] for c in cols)
+                for r in extract_pages(df, num_partitions=4).select(*cols).collect()
+            )
+
+        direct = rows(pages)
+        via_warc = rows(warc.parse_warc(warc.warc_chunks(pages, n_chunks=5)))
+        assert via_warc == direct and len(direct) == 30
+
     def test_in_blob_order_is_sorted_by_url(self, spark):
         pages = synth_pages_df(spark, 20, num_partitions=3)
         blob_urls = []
