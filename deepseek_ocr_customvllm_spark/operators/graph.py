@@ -83,22 +83,41 @@ def host_pagerank(
     (`n_e`) — each round then joins the n-row rank table against the at
     most n²-row weight table instead of the full per-doc edge list, and
     the rank side is explicitly broadcast: iterations shuffle only
-    host-cardinality data, never corpus-cardinality data.
+    host-cardinality data, never corpus-cardinality data.  Out-degree
+    is derived FROM the collapsed table (``sum(n_e) over src``), so the
+    corpus-cardinality edge list is scanned exactly once.
     """
+    from pyspark.sql.window import Window
+
     edges = host_edges(docs, n_hosts)
     ck = RoundCheckpointer(edges)
-    # Collapse the corpus-sized multigraph once: weight = edge multiplicity.
-    w = edges.groupBy("src", "dst").agg(F.count("*").alias("n_e"))
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    # Loop invariants, materialized once; released after the final
-    # round's own checkpoint truncates every reference to them.
-    w = ck.pin(w.join(outdeg, "src").select("src", "dst", "n_e", "d"))
-    hosts = ck.pin(
+    # Collapse the corpus-sized multigraph once: weight = edge
+    # multiplicity; out-degree = sum of multiplicities per src, a
+    # window over the (at most n²-row) collapsed table — never a
+    # second aggregation of the corpus-sized edge list.
+    w = (
+        edges.groupBy("src", "dst")
+        .agg(F.count("*").alias("n_e"))
+        .withColumn("d", F.sum("n_e").over(Window.partitionBy("src")))
+    )
+    if checkpoint:
+        # Loop invariants, materialized once; released after the final
+        # round's own checkpoint truncates every reference to them.
+        # (checkpoint=False keeps the whole plan lazy — no eager work.)
+        w = ck.pin(w)
+    hosts = (
         w.select(F.col("src").alias("h"))
         .unionAll(w.select(F.col("dst").alias("h")))
         .distinct()
     )
+    if checkpoint:
+        hosts = ck.pin(hosts)
     n = hosts.count()
+    if n == 0:
+        ck.release_pinned()  # nothing downstream references the pins
+        return docs.sparkSession.createDataFrame(
+            [], "host string, rank bigint"
+        )
 
     base = (15 * SCALE) // (100 * n)  # driver-side ints: exact
     ranks = hosts.select("h", F.lit(SCALE // n).cast("bigint").alias("rank"))

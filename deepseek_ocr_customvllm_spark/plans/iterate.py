@@ -61,13 +61,22 @@ class RoundCheckpointer:
             self.free()
             self._live = created
         else:
+            if self._pending:
+                # Two un-rotated rounds would orphan the first one's
+                # blocks (no handle survives the overwrite, and
+                # localCheckpoint blocks can't be reached any other
+                # way) — that is always a caller sequencing bug.
+                raise RuntimeError(
+                    "ckpt(free_previous=False) called twice without rotate()"
+                )
             self._pending = created
         return out
 
     def rotate(self) -> None:
         """Free the previous round's blocks and promote the round
         checkpointed with ``free_previous=False`` to current."""
-        self.free()
+        for r in self._live:
+            r.unpersist(False)
         self._live = self._pending
         self._pending = []
 
@@ -86,8 +95,10 @@ class RoundCheckpointer:
         self._pinned = []
 
     def free(self) -> None:
-        """Release the most recent round's blocks (call after the final
-        result has been materialized elsewhere, or on error paths)."""
-        for r in self._live:
+        """Release the most recent round's blocks — and any un-rotated
+        pending round's (error paths run through here) — after the
+        final result has been materialized elsewhere."""
+        for r in self._live + self._pending:
             r.unpersist(False)
         self._live = []
+        self._pending = []

@@ -17,9 +17,11 @@ Spark-first split of the work:
   encode path, so writing WARC shards is whole-stage-codegen work.
 - **Chunking is a deterministic shuffle**: :func:`warc_chunks` groups
   records into ``n_chunks`` shard blobs keyed by ``xxhash64(url)``,
-  ordered *within* the blob by url (``array_sort`` over structs) so the
-  blob bytes are a pure function of the member set — identical at any
-  parallelism, which is what makes the round-trip oracle-checkable.
+  ordered *within* the blob by url, so the blob bytes are a pure
+  function of the member set — identical at any parallelism, which is
+  what makes the round-trip oracle-checkable.  Blob assembly runs in
+  the grouped Arrow tier (linear ``b"".join``; a JVM binary
+  fold-concat is quadratic — see the function docstring).
 - **Parsing is the Arrow batch path**: :func:`parse_warc` walks each
   blob's records in ``mapInPandas`` (one Python call per *batch of
   shards*, not per record).  Malformed records are skipped per-record
@@ -58,14 +60,16 @@ def warc_record_bytes(
 ) -> Column:
     """One WARC/1.0 response record as a binary column (JVM-only).
 
-    ``Content-Length`` is the payload's byte length (``length`` on a
-    binary column counts bytes); the date is rendered in the session
-    timezone, so callers pin UTC (`_ensure_utc`) the way every other
-    timestamp-bearing plan here does.
+    ``Content-Length`` is the payload's BYTE length: the payload is
+    cast to binary first (string → UTF-8 bytes) and both the length and
+    the concatenated bytes come from that same cast, so framing can
+    never drift from the payload even on non-ASCII string columns.
+    The date is rendered in the session timezone, so callers pin UTC
+    (`_ensure_utc`) the way every other timestamp-bearing plan here does.
     """
     url = F.col(url) if isinstance(url, str) else url
     warc_ts = F.col(warc_ts) if isinstance(warc_ts, str) else warc_ts
-    html = F.col(html) if isinstance(html, str) else html
+    payload = _b(F.col(html) if isinstance(html, str) else html)
     header = F.concat(
         F.lit("WARC/1.0"), F.lit(_CRLF),
         F.lit("WARC-Type: response"), F.lit(_CRLF),
@@ -73,10 +77,18 @@ def warc_record_bytes(
         F.lit("WARC-Date: "), F.date_format(warc_ts, _DATE_FMT), F.lit(_CRLF),
         F.lit("Content-Type: text/html"), F.lit(_CRLF),
         F.lit("Content-Length: "),
-        F.length(html).cast("string"), F.lit(_CRLF),
+        F.length(payload).cast("string"), F.lit(_CRLF),
         F.lit(_CRLF),
     )
-    return F.concat(_b(header), html, _b(F.lit(_CRLF + _CRLF)))
+    return F.concat(_b(header), payload, _b(F.lit(_CRLF + _CRLF)))
+
+
+_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("chunk_id", T.LongType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
 
 
 def warc_chunks(pages: DataFrame, n_chunks: int = 8) -> DataFrame:
@@ -86,22 +98,32 @@ def warc_chunks(pages: DataFrame, n_chunks: int = 8) -> DataFrame:
     ``pmod(xxhash64(url), n_chunks)`` and the in-blob order is sorted
     url, so the blob is a deterministic function of its member set —
     any partitioning of the input produces byte-identical shards.
+
+    Record bytes are built JVM-side (:func:`warc_record_bytes`) BEFORE
+    the shuffle; only the final blob assembly runs in the grouped Arrow
+    tier, because the JVM alternative (``aggregate`` + binary ``concat``
+    over a collected array) re-copies the accumulated prefix on every
+    step — O(records × blob_bytes) per chunk — while ``b"".join`` sizes
+    the buffer once and is linear.  A whole chunk must fit in one
+    task's memory either way (it is one output blob); ``n_chunks`` is
+    the knob that bounds it, exactly as WARC shard sizing does in a
+    real crawl pipeline.
     """
     rec = warc_record_bytes().alias("rec")
-    return (
-        pages.select(
-            F.pmod(F.xxhash64("url"), F.lit(n_chunks)).alias("chunk_id"),
-            F.struct(F.col("url"), rec).alias("m"),
-        )
-        .groupBy("chunk_id")
-        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
-        .select(
-            "chunk_id",
-            F.expr(
-                "aggregate(ms, cast('' as binary), (acc, x) -> concat(acc, x.rec))"
-            ).alias("data"),
-        )
+    keyed = pages.select(
+        F.pmod(F.xxhash64("url"), F.lit(n_chunks)).alias("chunk_id"),
+        F.col("url"),
+        rec,
     )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        ordered = pdf.sort_values("url", kind="mergesort")
+        blob = b"".join(bytes(x) for x in ordered["rec"])
+        return pd.DataFrame(
+            {"chunk_id": [int(pdf["chunk_id"].iloc[0])], "data": [blob]}
+        )
+
+    return keyed.groupBy("chunk_id").applyInPandas(assemble, schema=_CHUNK_SCHEMA)
 
 
 PARSED_SCHEMA = T.StructType(
@@ -142,6 +164,11 @@ def parse_warc_blob(data: bytes) -> List[Tuple[str, _dt.datetime, bytes]]:
             url = fields["warc-target-uri"]
             ts = _dt.datetime.strptime(fields["warc-date"], _PY_DATE_FMT)
         except (KeyError, ValueError):
+            break
+        if length < 0:
+            # A negative length would slice back INTO the header (the
+            # terminator check would then pass vacuously on the header's
+            # own CRLFCRLF and emit a phantom empty record): malformed.
             break
         body_start = hdr_end + 4
         body_end = body_start + length

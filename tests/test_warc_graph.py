@@ -105,6 +105,27 @@ class TestWarcRoundtrip:
         # Garbage between records loses framing from that point on.
         assert warc.parse_warc_blob(b"junk" + good) == []
         assert warc.parse_warc_blob(b"") == []
+        # Negative Content-Length: the terminator check would pass
+        # vacuously on the header's own CRLFCRLF — must abort, never
+        # emit a phantom empty record.
+        neg = (
+            b"WARC/1.0\r\nWARC-Target-URI: u9\r\n"
+            b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+            b"Content-Length: -4\r\n\r\n" + good
+        )
+        assert warc.parse_warc_blob(neg) == []
+
+    def test_string_html_column_frames_by_bytes(self, spark):
+        # A STRING html column with non-ASCII chars: Content-Length must
+        # be the UTF-8 byte count, not the char count, or the parse
+        # slices short and drops everything after.
+        text = "café © 2025 中文"
+        pages = spark.createDataFrame(
+            [("https://docs.test/s/1", dt.datetime(2025, 1, 1), text)],
+            schema="url string, warc_ts timestamp, html string",
+        )
+        out = warc.parse_warc(warc.warc_chunks(pages, n_chunks=1)).collect()
+        assert len(out) == 1 and bytes(out[0]["html"]) == text.encode("utf-8")
 
     def test_extraction_through_warc_equals_direct(self, spark):
         """The capstone contract: running the fused extractor on pages
@@ -206,6 +227,24 @@ class TestHostPagerank:
             df._jdf.queryExecution(), "formatted"
         )
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    def test_empty_corpus_returns_empty_frame(self, spark):
+        empty = _docs_df(spark, 1).filter(F.col("doc_id") < 0)
+        out = graph.host_pagerank(empty)
+        assert out.collect() == []
+        assert [f.name for f in out.schema.fields] == ["host", "rank"]
+
+    def test_checkpointer_rejects_unrotated_second_round(self, spark):
+        from deepseek_ocr_customvllm_spark.plans.iterate import RoundCheckpointer
+
+        df = _docs_df(spark, 4)
+        ck = RoundCheckpointer(df)
+        a = ck.ckpt(df.select("doc_id"), free_previous=False)
+        with pytest.raises(RuntimeError, match="rotate"):
+            ck.ckpt(df.select("doc_id"), free_previous=False)
+        assert a.count() == 4  # the first round itself is fine
+        ck.free()  # releases live AND the un-rotated pending round
+        assert ck._live == [] and ck._pending == []
 
     def test_checkpoint_storage_is_bounded_in_iters(self, spark):
         sc = spark.sparkContext
