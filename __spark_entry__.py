@@ -1105,6 +1105,20 @@ def _q_warc_extract_pipeline(spark, sf_dir):
     )
 
 
+def _q_c4_line_filter(spark, sf_dir):
+    """C4 §2.2 cleaning (Raffel 2020) over the deterministically
+    line-structured corpus: terminal-punctuation / min-words /
+    javascript line rules, lorem-ipsum + '{' page poison, 3-kept-lines
+    floor, ordered newline reassembly.  One narrow explode + ONE
+    map-side-combinable groupBy."""
+    from deepseek_ocr_customvllm_spark.operators.scrub import (
+        c4_line_filter,
+        lined_corpus,
+    )
+
+    return c4_line_filter(lined_corpus(_docs(spark, sf_dir)))
+
+
 def _q_training_set_assembly(spark, sf_dir):
     """The curation capstone as one composed lineage: exact dedup
     (fingerprint keeper) → min-length gate → temperature (alpha=0.5)
@@ -1536,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "host_pagerank": _q_host_pagerank,
         "warc_extract_pipeline": _q_warc_extract_pipeline,
+        "c4_line_filter": _q_c4_line_filter,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2988,6 +3003,39 @@ FROM sc GROUP BY 1
 """,
         "warc_roundtrip": _oracle_warc_roundtrip(),
         "host_pagerank": graph.host_pagerank_oracle_sql(),
+        "c4_line_filter": f"""
+WITH ws AS (SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS ws FROM documents),
+lines AS (
+  SELECT doc_id, j,
+    CASE WHEN doc_id % 97 = 0 AND j = 0
+           THEN 'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+         WHEN doc_id % 89 = 0 AND j = 1
+           THEN 'function init() {{ return window.state; }}'
+         ELSE concat(
+           CASE WHEN (doc_id*11 + j*5) % 11 = 0 THEN 'javascript ' ELSE '' END,
+           array_to_string(list_slice(ws, j*8 + 1,
+             j*8 + CASE WHEN (doc_id*7 + j*13) % 7 = 0 THEN 3 ELSE 8 END), ' '),
+           CASE WHEN (doc_id*131 + j*29) % 4 != 0 THEN '.' ELSE '' END)
+    END AS line
+  FROM (SELECT doc_id, ws, unnest(range(0, (len(ws) + 7) // 8)) AS j FROM ws)
+),
+flagged AS (
+  SELECT doc_id, j, line,
+    (regexp_matches(line, '[.!?"]$') AND len(string_split(line, ' ')) >= 5
+     AND NOT contains(lower(line), 'javascript')) AS keep,
+    (contains(lower(line), 'lorem ipsum') OR contains(line, '{{')) AS poison
+  FROM lines
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_lines,
+         cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+         max(CASE WHEN poison THEN 1 ELSE 0 END) AS poisoned,
+         string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY j) AS clean_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_kept, clean_text
+FROM agg WHERE poisoned = 0 AND n_kept >= 3
+""",
         "ccnet_bucket": f"""
 WITH norm AS (SELECT doc_id, lang, {_NORM_DUCK} AS t FROM documents),
 words AS (

@@ -233,3 +233,101 @@ def chunk_documents(
         F.array_join("toks", " ").alias("chunk_text"),
         F.size("toks").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+
+C4_LINE_WORDS = 8  # lined_corpus: words per derived line
+C4_TERMINAL_RE = '[.!?"]$'  # dialect-portable (Java regex == RE2 here)
+
+
+def lined_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic line-structured corpus derived from ``documents``.
+
+    The testdata ``text`` column is a single-line word stream, so the
+    C4-style LINE rules need a derivation (same pattern as
+    ``similarity.clustered_embeddings`` / ``semdedup_corpus``: the
+    corpus is a pure integer-arithmetic function of the row, replayed
+    identically by the DuckDB oracle).  Words chunk into 8-word lines;
+    per ``(doc_id, j)`` arithmetic then plants each defect class C4
+    §2.2 exists to catch:
+
+    - no terminal punctuation  (``pmod(doc_id*131 + j*29, 4) = 0``)
+    - short line (3 words)     (``pmod(doc_id*7 + j*13, 7) = 0``)
+    - "javascript" boilerplate (``pmod(doc_id*11 + j*5, 11) = 0``)
+    - page-level poison: lorem-ipsum line 0 (``doc_id % 97 = 0``) and a
+      code line with ``{`` at line 1 (``doc_id % 89 = 0``) — these kill
+      the whole page regardless of per-line outcomes.
+
+    Returns ``(doc_id, j, line)``; one narrow explode, no shuffle.
+    """
+    k = C4_LINE_WORDS
+    lines = F.expr(
+        f"""transform(sequence(0, (size(ws) + {k - 1}) div {k} - 1), j ->
+      CASE WHEN doc_id % 97 = 0 AND j = 0
+             THEN 'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+           WHEN doc_id % 89 = 0 AND j = 1
+             THEN 'function init() {{ return window.state; }}'
+           ELSE concat(
+             CASE WHEN pmod(doc_id*11 + j*5, 11) = 0 THEN 'javascript ' ELSE '' END,
+             array_join(slice(ws, j*{k} + 1,
+               CASE WHEN pmod(doc_id*7 + j*13, 7) = 0 THEN 3 ELSE {k} END), ' '),
+             CASE WHEN pmod(doc_id*131 + j*29, 4) != 0 THEN '.' ELSE '' END)
+      END)"""
+    )
+    return (
+        docs.select("doc_id", F.split(norm_text("text"), " ").alias("ws"))
+        .select("doc_id", F.posexplode(lines).alias("j", "line"))
+    )
+
+
+def c4_line_filter(
+    lines: DataFrame, min_words: int = 5, min_kept: int = 3
+) -> DataFrame:
+    """C4's cleaning recipe over a ``(doc_id, j, line)`` frame.
+
+    Line rules (a line survives iff ALL hold):
+    terminal punctuation (``[.!?"]$``), at least ``min_words`` words,
+    and no "javascript" mention.  Page rules: any line containing
+    "lorem ipsum" or ``{`` kills the page; pages with fewer than
+    ``min_kept`` surviving lines are dropped (C4's 3-sentence floor).
+
+    Returns ``(doc_id, n_lines, n_kept, clean_text)`` for surviving
+    pages, ``clean_text`` = kept lines joined by newline in line order.
+
+    Scale shape: one narrow projection per line, then ONE
+    map-side-combinable groupBy(doc_id) computing all page aggregates
+    and the ordered reassembly together — the same single-Exchange
+    shape as ``paragraph_dedup``'s rebuild, no window, no join.
+    """
+    flagged = lines.select(
+        "doc_id",
+        "j",
+        "line",
+        (
+            F.col("line").rlike(C4_TERMINAL_RE)
+            & (F.size(F.split("line", " ")) >= min_words)
+            & ~F.lower(F.col("line")).contains("javascript")
+        ).alias("keep"),
+        (
+            F.lower(F.col("line")).contains("lorem ipsum")
+            | F.col("line").contains("{")
+        ).alias("poison"),
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.max(F.col("poison").cast("int")).alias("poisoned"),
+        F.concat_ws(
+            "\n",
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN keep THEN"
+                " struct(j, line) END)), x -> x.line)"
+            ),
+        ).alias("clean_text"),
+    )
+    return agg.filter(
+        (F.col("poisoned") == 0) & (F.col("n_kept") >= min_kept)
+    ).select("doc_id", "n_lines", "n_kept", "clean_text")

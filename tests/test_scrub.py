@@ -259,3 +259,100 @@ class TestChunkModel:
                 ).collect()
             }
             assert got == expected, (chunk_tokens, overlap)
+
+
+class TestC4LineFilter:
+    """C4 §2.2 rules over an explicit (doc_id, j, line) frame — each
+    defect class pinned independently of the lined_corpus derivation."""
+
+    def _lines(self, spark, rows):
+        return spark.createDataFrame(rows, ["doc_id", "j", "line"])
+
+    GOOD = "alpha beta gamma delta epsilon zeta."
+
+    def test_line_rules(self, spark):
+        lines = self._lines(spark, [
+            (1, 0, self.GOOD),
+            (1, 1, "no terminal punctuation here at all"),   # dropped
+            (1, 2, "too short."),                            # dropped
+            (1, 3, "please enable JavaScript to view this."),  # dropped
+            (1, 4, 'he said "quoted line of six words?"'),   # kept: ends "
+            (1, 5, self.GOOD),
+        ])
+        out = scrub.c4_line_filter(lines).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["n_lines"], r["n_kept"]) == (6, 3)
+        assert r["clean_text"].split("\n") == [
+            self.GOOD, 'he said "quoted line of six words?"', self.GOOD,
+        ]
+
+    def test_page_poison_kills_kept_lines_too(self, spark):
+        # The poison line ITSELF passes every line rule — the page dies
+        # anyway, which is exactly C4's page-level contract.
+        lines = self._lines(spark, [
+            (1, 0, self.GOOD), (1, 1, self.GOOD), (1, 2, self.GOOD),
+            (1, 3, "lorem ipsum dolor sit amet consectetur."),
+            (2, 0, self.GOOD), (2, 1, self.GOOD), (2, 2, self.GOOD),
+            (2, 3, "int main() { return 0; }"),
+            (3, 0, self.GOOD), (3, 1, self.GOOD), (3, 2, self.GOOD),
+        ])
+        kept = {r["doc_id"] for r in scrub.c4_line_filter(lines).collect()}
+        assert kept == {3}
+
+    def test_min_kept_floor(self, spark):
+        lines = self._lines(
+            spark, [(1, j, self.GOOD) for j in range(3)]
+            + [(2, j, self.GOOD) for j in range(2)]
+        )
+        kept = {r["doc_id"] for r in scrub.c4_line_filter(lines).collect()}
+        assert kept == {1}
+
+    def test_reassembly_is_in_line_order(self, spark):
+        lines = self._lines(spark, [
+            (1, 9, "ninth line of the document here."),
+            (1, 0, "zeroth line of the document here."),
+            (1, 5, "fifth line of the document here."),
+        ])
+        (r,) = scrub.c4_line_filter(lines).collect()
+        assert r["clean_text"].startswith("zeroth")
+        assert r["clean_text"].split("\n")[1].startswith("fifth")
+
+    def test_single_exchange(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "one two three four five six seven eight nine ten")],
+            ["doc_id", "text"],
+        )
+        df = scrub.c4_line_filter(scrub.lined_corpus(docs))
+        plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert plan.count("Exchange (") == 1  # the groupBy; explode is narrow
+
+    def test_lined_corpus_matches_python_model(self, spark):
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{i}x{k}" for k in range(i % 30 + 1)))
+             for i in range(0, 200, 7)],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r["doc_id"], r["j"]): r["line"]
+            for r in scrub.lined_corpus(docs).collect()
+        }
+        expect = {}
+        for i in range(0, 200, 7):
+            ws = [f"w{i}x{k}" for k in range(i % 30 + 1)]
+            for j in range((len(ws) + 7) // 8):
+                if i % 97 == 0 and j == 0:
+                    line = "lorem ipsum dolor sit amet consectetur adipiscing elit."
+                elif i % 89 == 0 and j == 1:
+                    line = "function init() { return window.state; }"
+                else:
+                    k = 3 if (i * 7 + j * 13) % 7 == 0 else 8
+                    line = " ".join(ws[j * 8 : j * 8 + k])
+                    if (i * 11 + j * 5) % 11 == 0:
+                        line = "javascript " + line
+                    if (i * 131 + j * 29) % 4 != 0:
+                        line += "."
+                expect[(i, j)] = line
+        assert got == expect
