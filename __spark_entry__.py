@@ -1119,6 +1119,13 @@ def _q_c4_line_filter(spark, sf_dir):
     return c4_line_filter(lined_corpus(_docs(spark, sf_dir)))
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """GPT-3 Appendix-A model-based quality filter: NB trained on
+    source seed labels, every doc scored in exact integer log2-space
+    (`length(bin(x))`), labeled high/low at score 0."""
+    return curation.nb_quality_classifier(_docs(spark, sf_dir))
+
+
 def _q_training_set_assembly(spark, sf_dir):
     """The curation capstone as one composed lineage: exact dedup
     (fingerprint keeper) → min-length gate → temperature (alpha=0.5)
@@ -1551,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "warc_extract_pipeline": _q_warc_extract_pipeline,
         "c4_line_filter": _q_c4_line_filter,
+        "quality_classifier": _q_quality_classifier,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2872,6 +2880,43 @@ packs AS (
 )
 SELECT shard, pack_id, n_docs, n_tokens, text
 FROM packs WHERE n_tokens = 64
+""",
+        "quality_classifier": f"""
+WITH norm AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS is_pos, {_NORM_DUCK} AS t
+  FROM documents
+),
+words AS (
+  SELECT doc_id, is_pos, unnest(string_split(t, ' ')) AS term
+  FROM norm WHERE t <> ''
+),
+feat AS (
+  SELECT doc_id, is_pos,
+         cast({dedup.hex_to_bigint_sql("'nbq-v1' || term", 8)} % 256 AS int) AS bucket,
+         count(*) AS cnt
+  FROM words WHERE term <> '' GROUP BY 1, 2, 3
+),
+dist AS (
+  SELECT bucket,
+         cast(sum(CASE WHEN is_pos THEN cnt ELSE 0 END) AS bigint) AS cp,
+         cast(sum(CASE WHEN NOT is_pos THEN cnt ELSE 0 END) AS bigint) AS cn
+  FROM feat GROUP BY 1
+),
+tot AS (SELECT cast(sum(cp) AS bigint) AS tp, cast(sum(cn) AS bigint) AS tn FROM dist),
+wt AS (
+  SELECT bucket,
+         cast(length(bin(((cp + 1) * 65536) // (cn + 1)))
+            - length(bin(((tp + 256) * 65536) // (tn + 256))) AS bigint) AS w
+  FROM dist CROSS JOIN tot
+),
+scores AS (
+  SELECT f.doc_id, cast(sum(f.cnt) AS bigint) AS n_terms,
+         cast(sum(f.cnt * w.w) AS bigint) AS score
+  FROM feat f JOIN wt w USING (bucket) GROUP BY 1
+)
+SELECT doc_id, n_terms, score,
+       CASE WHEN score >= 0 THEN 'high' ELSE 'low' END AS quality
+FROM scores
 """,
         "dsir_select": f"""
 WITH norm AS (

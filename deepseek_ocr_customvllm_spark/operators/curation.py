@@ -669,3 +669,94 @@ def training_set_assembly(
         )
         .orderBy("doc_id")
     )
+
+
+NBQ_SCALE = 65536  # 2^16 headroom so sub-1 ratios keep >= 1 bit
+
+
+def nb_quality_classifier(
+    df: DataFrame,
+    positive_sources=("src0", "src1"),
+    n_buckets: int = 256,
+    salt: str = "nbq-v1",
+    persist: bool = True,
+) -> DataFrame:
+    """GPT-3-style model-based quality classification (Brown et al.
+    2020, Appendix A): train a Naive Bayes classifier on seed labels
+    (curated sources = positive, the rest = negative), then score EVERY
+    document and label it high/low quality.
+
+    Where :func:`dsir_select` deliberately stays in linear-ratio space,
+    this operator works in true log-space — made engine-exact with the
+    ``length(bin(x))`` integer log2 (the ``ccnet_bucket`` trick:
+    identical minimal binary strings in Spark and DuckDB, no libm in
+    any compared value).  Per hashed-unigram bucket, with add-one
+    smoothing over ``n_buckets``:
+
+        w_b   = bits((c_pos+1)·S div (c_neg+1))
+              - bits((T_pos+B)·S div (T_neg+B))      # class-size term
+        score = Σ_b cnt_b · w_b        label = high iff score >= 0
+
+    ``bits(x) = length(bin(x)) = floor(log2 x) + 1``, ``S = 2^16`` so
+    ratios below 1 still carry resolution.  The floor granularity is
+    ±1 bit per term — on separable vocabulary the per-bucket signal is
+    several bits, and ``tests/test_curation.py`` pins exact separation
+    on a two-vocabulary corpus.
+
+    Scale shape (same as DSIR's, docstring there): ONE wide shuffle —
+    the token explode aggregated to (doc_id, is_pos, bucket) with
+    map-side combine, localCheckpoint-ed (two consumers); the weight
+    table is ``n_buckets`` rows + a 1-row totals broadcast; scoring is
+    a broadcast join + one groupBy(doc_id).
+
+    Returns ``(doc_id, n_terms, score, quality)``; documents with no
+    tokens yield no row (nothing to classify).
+    """
+    d = with_norm(df).select(
+        "doc_id",
+        F.col("source").isin(*positive_sources).alias("is_pos"),
+        "t",
+    )
+    words = (
+        d.filter(F.col("t") != "")
+        .select("doc_id", "is_pos", F.explode(F.split("t", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    feat = words.groupBy(
+        "doc_id",
+        "is_pos",
+        (_md5_bigint("term", salt) % n_buckets).cast("int").alias("bucket"),
+    ).agg(F.count("*").alias("cnt"))
+    if persist:
+        feat = feat.localCheckpoint()
+    dist = feat.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_pos"), F.col("cnt")).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("is_pos"), F.col("cnt")).otherwise(0)).alias("cn"),
+    )
+    tot = dist.agg(
+        F.sum("cp").alias("tp"), F.sum("cn").alias("tn")
+    )
+    wt = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            f"cast(length(bin(((cp + 1) * {NBQ_SCALE}) div (cn + 1)))"
+            f" - length(bin(((tp + {n_buckets}) * {NBQ_SCALE})"
+            f" div (tn + {n_buckets}))) as bigint)"
+        ).alias("w"),
+    )
+    return (
+        feat.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_terms"),
+            F.sum(F.col("cnt") * F.col("w")).cast("bigint").alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            "score",
+            F.when(F.col("score") >= 0, F.lit("high"))
+            .otherwise(F.lit("low"))
+            .alias("quality"),
+        )
+    )

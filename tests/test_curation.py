@@ -621,3 +621,51 @@ class TestSubwordTokenizer:
 
         with pytest.raises(ValueError):
             sequence_pack(docs, tokenizer="bpe-gpt2")
+
+
+class TestNbQualityClassifier:
+    """GPT-3 Appendix-A NB quality filter — exact log2-space separation
+    on a two-vocabulary corpus, and the sign convention at the boundary."""
+
+    def _corpus(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import curation
+
+        rows = []
+        # 40 curated docs, vocabulary A
+        for i in range(40):
+            rows.append((i, " ".join(f"alpha{k}" for k in range(10)), "good"))
+        # crawl: 5 A-like docs (should classify high DESPITE being
+        # negative training examples) and 40 B docs (low)
+        for i in range(40, 45):
+            rows.append((i, " ".join(f"alpha{k}" for k in range(10)), "crawl"))
+        for i in range(45, 85):
+            rows.append((i, " ".join(f"beta{k}" for k in range(10)), "crawl"))
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        return curation.nb_quality_classifier(
+            docs, positive_sources=("good",)
+        ).collect()
+
+    def test_separable_corpus_classifies_exactly(self, spark):
+        out = self._corpus(spark)
+        assert len(out) == 85
+        got = {r["doc_id"]: r["quality"] for r in out}
+        for i in range(45):
+            assert got[i] == "high", i  # vocab A, incl. the crawl A-docs
+        for i in range(45, 85):
+            assert got[i] == "low", i  # vocab B
+        # every scored doc counted its 10 tokens
+        assert all(r["n_terms"] == 10 for r in out)
+
+    def test_label_matches_score_sign(self, spark):
+        for r in self._corpus(spark):
+            assert (r["quality"] == "high") == (r["score"] >= 0)
+
+    def test_empty_docs_yield_no_row(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import curation
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta.", "good"), (2, "   ", "crawl"), (3, "", "crawl")],
+            ["doc_id", "text", "source"],
+        )
+        out = curation.nb_quality_classifier(docs, positive_sources=("good",))
+        assert {r["doc_id"] for r in out.collect()} == {1}
