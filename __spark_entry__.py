@@ -1119,6 +1119,14 @@ def _q_c4_line_filter(spark, sf_dir):
     return c4_line_filter(lined_corpus(_docs(spark, sf_dir)))
 
 
+def _q_inverted_index(spark, sf_dir):
+    """Posting-list index shard: term → exact df/cf + the k-smallest
+    doc_id posting head; the window and the final groupBy share one
+    term-keyed Exchange, and the posting cap lives inside the
+    aggregation (bounded memory under stopword skew)."""
+    return textstats.inverted_index(_docs(spark, sf_dir))
+
+
 def _q_quality_classifier(spark, sf_dir):
     """GPT-3 Appendix-A model-based quality filter: NB trained on
     source seed labels, every doc scored in exact integer log2-space
@@ -1559,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract_pipeline": _q_warc_extract_pipeline,
         "c4_line_filter": _q_c4_line_filter,
         "quality_classifier": _q_quality_classifier,
+        "inverted_index": _q_inverted_index,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2880,6 +2889,27 @@ packs AS (
 )
 SELECT shard, pack_id, n_docs, n_tokens, text
 FROM packs WHERE n_tokens = 64
+""",
+        "inverted_index": f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+words AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS term
+  FROM norm WHERE t <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM words WHERE term <> '' GROUP BY 1, 2
+),
+r AS (
+  SELECT doc_id, term, c,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tf
+)
+SELECT term, cast(count(*) AS bigint) AS df, cast(sum(c) AS bigint) AS cf,
+       coalesce(string_agg(
+         CASE WHEN rn <= 10 THEN cast(doc_id AS varchar) END,
+         ',' ORDER BY doc_id), '') AS posting
+FROM r GROUP BY term
 """,
         "quality_classifier": f"""
 WITH norm AS (

@@ -838,3 +838,49 @@ def corpus_length_report(df: DataFrame, mode: str = "window") -> DataFrame:
             ),
         )
     )
+
+
+def inverted_index(df: DataFrame, k: int = 10) -> DataFrame:
+    """Posting-list index shard over ``documents(doc_id, text)`` — the
+    build step of a corpus search index (term → document frequency,
+    collection frequency, and a bounded posting sample).
+
+    Returns ``(term, df, cf, posting)``: ``df`` = documents containing
+    the term, ``cf`` = total occurrences, ``posting`` = the ``k``
+    SMALLEST doc_ids containing the term, comma-joined in doc order —
+    the deterministic head of the full posting list (real shards store
+    the rest on disk; the head is what index routers and df-cutoff
+    logic read).
+
+    Scale shape: the token explode aggregates to per-(doc, term) counts
+    with map-side combine; then a row_number window and the final
+    groupBy share ONE ``term``-keyed Exchange (the
+    ``corpus_length_report`` pattern).  The posting cap happens INSIDE
+    the aggregation — ``collect_list(CASE WHEN rn <= k ...)`` skips the
+    NULLs, so no term ever buffers more than ``k`` ids in memory, while
+    the window's sort spills safely for stopword-sized groups.  df/cf
+    stay exact over all rows.
+    """
+    from pyspark.sql.window import Window
+
+    d = with_norm(df)
+    words = (
+        d.filter(F.col("t") != "")
+        .select("doc_id", F.explode(F.split("t", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    rn = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    ranked = tf.withColumn("rn", rn)
+    return ranked.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("cf"),
+        F.concat_ws(
+            ",",
+            F.expr(
+                f"transform(array_sort(collect_list("
+                f"CASE WHEN rn <= {k} THEN doc_id END)),"
+                " x -> cast(x as string))"
+            ),
+        ).alias("posting"),
+    )

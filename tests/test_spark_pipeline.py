@@ -2370,3 +2370,34 @@ class TestDedupAuditOperators:
             dedup.simhash_signatures(docs, salt="bad'quote")
         # the frozen x2 salt itself passes
         dedup.simhash_signatures(docs, salt=dedup.SIMHASH_X2_SALT)
+
+
+class TestInvertedIndex:
+    """Posting-list builder: exact df/cf over all rows, k-smallest
+    posting head, bounded in-aggregation cap, one shared Exchange."""
+
+    def test_posting_head_and_exact_stats(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.textstats import inverted_index
+
+        rows = [(i, "common special") if i < 4 else (i, "common common") for i in range(30)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["term"]: r for r in inverted_index(docs, k=5).collect()}
+        assert set(got) == {"common", "special"}
+        c = got["common"]
+        # df exact over ALL docs even though the posting is capped
+        assert (c["df"], c["cf"]) == (30, 4 + 26 * 2)
+        assert c["posting"] == "0,1,2,3,4"  # the 5 SMALLEST doc_ids
+        s = got["special"]
+        assert (s["df"], s["cf"], s["posting"]) == (4, 4, "0,1,2,3")
+
+    def test_window_and_groupby_share_one_exchange(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.textstats import inverted_index
+
+        docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        df = inverted_index(docs)
+        plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # Exchange 1: the (doc_id, term) tf aggregation; Exchange 2:
+        # the term key shared by the window AND the final groupBy.
+        assert plan.count("Exchange (") == 2
