@@ -263,3 +263,52 @@ class TestHostPagerank:
         # the returned frame), but storage must not grow with iters:
         # intermediate rounds and the pinned w/hosts frames are freed.
         assert delta8 <= delta2
+
+
+class TestWarcStreamingExtraction:
+    """WARC shards landing as files → streaming extraction under the
+    content-keyed exactly-once ledger (binaryFile source)."""
+
+    @staticmethod
+    def _write_shards(tmp_path, chunks_df, suffix=""):
+        (tmp_path / "landing").mkdir(exist_ok=True)
+        for r in chunks_df.collect():
+            p = tmp_path / "landing" / f"shard{suffix}-{r['chunk_id']}.warc"
+            p.write_bytes(bytes(r["data"]))
+
+    def test_drain_replay_and_new_shard(self, spark, tmp_path):
+        import shutil
+
+        from deepseek_ocr_customvllm_spark.plans.state import ParquetStateStore
+        from deepseek_ocr_customvllm_spark.streaming.extract_stream import (
+            run_warc_stream_with_state,
+        )
+
+        args = (
+            str(tmp_path / "landing"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "state"),
+        )
+        pages = synth_pages_df(spark, 30, num_partitions=2)
+        self._write_shards(tmp_path, warc.warc_chunks(pages, n_chunks=3))
+        assert run_warc_stream_with_state(spark, *args) == 30
+        store = ParquetStateStore(spark, args[3])
+        state = store.read().collect()
+        assert len(state) == 30
+        assert all(r["attempt"] == 1 for r in state)  # exactly once
+
+        # checkpoint loss: full source replay, content keys skip all
+        shutil.rmtree(str(tmp_path / "ckpt"))
+        assert run_warc_stream_with_state(spark, *args) == 30  # NOT 60
+        assert all(r["attempt"] == 1 for r in store.read().collect())
+
+        # a NEW shard (different bytes) extracts; old shards still skip
+        extra = synth_pages_df(spark, 40, num_partitions=1).join(
+            pages.select("url"), "url", "left_anti"
+        )
+        self._write_shards(tmp_path, warc.warc_chunks(extra, n_chunks=1), "-new")
+        assert run_warc_stream_with_state(spark, *args) == 40
+        state = store.read().collect()
+        assert len(state) == 40
+        assert all(r["attempt"] == 1 for r in state)
