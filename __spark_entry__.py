@@ -1127,6 +1127,28 @@ def _q_inverted_index(spark, sf_dir):
     return textstats.inverted_index(_docs(spark, sf_dir))
 
 
+BLOCKLIST = (
+    "site13.com",        # domain + all subdomains
+    "sub6.site13.com",   # MORE specific twin: must win on site13 sub6 docs
+    "site55.org",
+    "sub3.site89.net",   # subdomain-only rule: other subs of site89 kept
+)
+
+
+def _q_domain_blocklist(spark, sf_dir):
+    """UT1-style suffix blocklist audit over the derived host frame:
+    suffix explode (bounded by label count) equi-joins the broadcast
+    rule list; blocked_by = most specific matching rule, NULL = kept."""
+    from deepseek_ocr_customvllm_spark.operators.scrub import (
+        domain_blocklist_report,
+        synthetic_hosts,
+    )
+
+    return domain_blocklist_report(
+        synthetic_hosts(_docs(spark, sf_dir)), BLOCKLIST
+    )
+
+
 def _q_quality_classifier(spark, sf_dir):
     """GPT-3 Appendix-A model-based quality filter: NB trained on
     source seed labels, every doc scored in exact integer log2-space
@@ -1568,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": _q_c4_line_filter,
         "quality_classifier": _q_quality_classifier,
         "inverted_index": _q_inverted_index,
+        "domain_blocklist": _q_domain_blocklist,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2889,6 +2912,32 @@ packs AS (
 )
 SELECT shard, pack_id, n_docs, n_tokens, text
 FROM packs WHERE n_tokens = 64
+""",
+        "domain_blocklist": f"""
+WITH hosts AS (
+  SELECT doc_id,
+         concat('sub', doc_id % 7, '.site', doc_id % 97, '.',
+           CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                ELSE 'net' END) AS host
+  FROM documents
+),
+rules AS (
+  SELECT * FROM (VALUES {", ".join(f"('{r}')" for r in BLOCKLIST)}) AS t(rule)
+),
+sfx AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(parts)),
+           i -> array_to_string(list_slice(parts, i + 1, len(parts)), '.'))) AS sfx
+  FROM (SELECT doc_id, string_split(host, '.') AS parts FROM hosts)
+),
+hits AS (
+  SELECT doc_id,
+         substr(max(lpad(cast(length(rule) AS varchar), 4, '0') || ':' || rule), 6)
+           AS blocked_by
+  FROM sfx JOIN rules ON sfx.sfx = rules.rule GROUP BY 1
+)
+SELECT h.doc_id, h.host, hits.blocked_by
+FROM hosts h LEFT JOIN hits USING (doc_id)
 """,
         "inverted_index": f"""
 WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),

@@ -331,3 +331,73 @@ def c4_line_filter(
     return agg.filter(
         (F.col("poisoned") == 0) & (F.col("n_kept") >= min_kept)
     ).select("doc_id", "n_lines", "n_kept", "clean_text")
+
+
+# ---------------------------------------------------------------------------
+# domain blocklist filtering (UT1-style, cf. RefinedWeb's first gate)
+# ---------------------------------------------------------------------------
+
+def domain_blocklist_report(hosts_df: DataFrame, blocklist) -> DataFrame:
+    """Suffix-matching domain blocklist over ``(doc_id, host)`` rows —
+    the adult/fraud/malware URL filtering every web-corpus pipeline
+    runs first (RefinedWeb applies the UT1 lists before any content
+    work).  A rule blocks the host itself AND every subdomain:
+    ``example.com`` blocks ``a.b.example.com``.
+
+    Returns one row per input doc: ``(doc_id, host, blocked_by)`` with
+    ``blocked_by`` = the MOST SPECIFIC (longest; ties lexicographically
+    greatest) matching rule, or NULL for kept docs — the audit frame a
+    crawl team reviews before hard-dropping, and a trivial
+    ``filter(blocked_by IS NULL)`` away from the filter itself.
+
+    Scale shape: each host explodes into its ≤label-count dot-suffixes
+    (bounded by hostname length, not corpus size) and equi-joins the
+    BROADCAST rule list — never a regex scan per rule, never a shuffle
+    of the corpus against the list.  The specificity pick is one
+    map-side-combinable aggregate using a zero-padded length prefix
+    (portable max; no struct-ordering dependence).
+    """
+    spark = hosts_df.sparkSession
+    rules = spark.createDataFrame([(r,) for r in blocklist], ["rule"])
+    sfx = F.expr(
+        "transform(sequence(0, size(parts) - 1),"
+        " i -> array_join(slice(parts, i + 1, size(parts) - i), '.'))"
+    )
+    exploded = (
+        hosts_df.withColumn("parts", F.split("host", "[.]"))
+        .select("doc_id", F.explode(sfx).alias("sfx"))
+    )
+    hits = (
+        exploded.join(F.broadcast(rules), exploded["sfx"] == rules["rule"])
+        .groupBy("doc_id")
+        .agg(
+            F.substring(
+                F.max(
+                    F.concat(
+                        F.lpad(F.length("rule").cast("string"), 4, "0"),
+                        F.lit(":"),
+                        F.col("rule"),
+                    )
+                ),
+                6,
+                10_000,
+            ).alias("blocked_by")
+        )
+    )
+    return hosts_df.join(hits, "doc_id", "left").select(
+        "doc_id", "host", "blocked_by"
+    )
+
+
+def synthetic_hosts(docs: DataFrame) -> DataFrame:
+    """Deterministic ``(doc_id, host)`` frame derived from the documents
+    table (it has no url column): ``sub<d%7>.site<d%97>.<tld(d%3)>`` —
+    pure arithmetic, replayed identically by the DuckDB oracle."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "concat('sub', doc_id % 7, '.site', doc_id % 97, '.',"
+            " CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'"
+            " ELSE 'net' END)"
+        ).alias("host"),
+    )

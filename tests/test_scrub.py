@@ -356,3 +356,55 @@ class TestC4LineFilter:
                         line += "."
                 expect[(i, j)] = line
         assert got == expect
+
+
+class TestDomainBlocklist:
+    def _report(self, spark, hosts, rules):
+        df = spark.createDataFrame(
+            list(enumerate(hosts)), ["doc_id", "host"]
+        )
+        return {
+            r["host"]: r["blocked_by"]
+            for r in scrub.domain_blocklist_report(df, rules).collect()
+        }
+
+    def test_rule_blocks_host_and_all_subdomains(self, spark):
+        got = self._report(
+            spark,
+            ["example.com", "a.example.com", "a.b.example.com",
+             "examples.com", "com.example.org", "notexample.com"],
+            ["example.com"],
+        )
+        assert got["example.com"] == "example.com"
+        assert got["a.example.com"] == "example.com"
+        assert got["a.b.example.com"] == "example.com"
+        # suffix means LABEL suffix: no substring false positives
+        assert got["examples.com"] is None
+        assert got["notexample.com"] is None
+        assert got["com.example.org"] is None
+
+    def test_most_specific_rule_wins(self, spark):
+        got = self._report(
+            spark,
+            ["x.ads.example.com"],
+            ["example.com", "ads.example.com", "com"],
+        )
+        assert got["x.ads.example.com"] == "ads.example.com"
+
+    def test_subdomain_only_rule_keeps_siblings(self, spark):
+        got = self._report(
+            spark,
+            ["bad.site.org", "good.site.org", "site.org"],
+            ["bad.site.org"],
+        )
+        assert got["bad.site.org"] == "bad.site.org"
+        assert got["good.site.org"] is None
+        assert got["site.org"] is None
+
+    def test_rule_list_is_broadcast(self, spark):
+        df = spark.createDataFrame([(1, "a.example.com")], ["doc_id", "host"])
+        out = scrub.domain_blocklist_report(df, ["example.com"])
+        plan = out.sparkSession._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in plan
