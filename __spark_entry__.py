@@ -1127,6 +1127,102 @@ def _q_inverted_index(spark, sf_dir):
     return textstats.inverted_index(_docs(spark, sf_dir))
 
 
+def _log2fx_duck_ctes(
+    src: str, inputs: dict, keys: str = "bucket", f: int = 8
+) -> str:
+    """DuckDB twin of ``curation.log2_fx_int`` as a chain of CTEs: the
+    identical mantissa-squaring spec, one CTE per step so every
+    intermediate is a REAL column.  (A lateral-alias one-SELECT version
+    expands by substitution — ~3^f tree — and hangs the binder; CTE
+    steps are linear.)  Keep in LOCKSTEP with the Python spec —
+    ``TestLog2Fx`` sweeps them equal.
+
+    ``inputs``: ``{suffix: expr}`` — each expr (over ``src``'s columns,
+    must be >= 1) gets a ``lg_<suffix>`` column in the final CTE
+    ``wl{f}``; ``keys`` columns are carried through.
+    """
+    sfx = list(inputs)
+    x_items = ", ".join(f"{inputs[s]} AS x_{s}" for s in sfx)
+    i_items = ", ".join(f"length(bin(x_{s})) - 1 AS i_{s}" for s in sfx)
+    xs = ", ".join(f"x_{s}" for s in sfx)
+    m0 = ", ".join(
+        f"CASE WHEN i_{s} >= 20 THEN x_{s} // (1::BIGINT << (i_{s} - 20))"
+        f" ELSE x_{s} * (1::BIGINT << (20 - i_{s})) END AS m_{s}"
+        for s in sfx
+    )
+    i_cols = ", ".join(f"i_{s}" for s in sfx)
+    a0 = ", ".join(f"0::BIGINT AS a_{s}" for s in sfx)
+    ctes = [
+        f"wlx AS (SELECT {keys}, {x_items} FROM {src})",
+        f"wli AS (SELECT {keys}, {xs}, {i_items} FROM wlx)",
+        f"wl0 AS (SELECT {keys}, {i_cols}, {a0}, {m0} FROM wli)",
+    ]
+    for k in range(1, f + 1):
+        step = ", ".join(
+            f"a_{s} + CASE WHEN (m_{s} * m_{s}) // 1048576 >= 2097152"
+            f" THEN {2 ** (f - k)} ELSE 0 END AS a_{s},"
+            f" CASE WHEN (m_{s} * m_{s}) // 1048576 >= 2097152"
+            f" THEN ((m_{s} * m_{s}) // 1048576) // 2"
+            f" ELSE (m_{s} * m_{s}) // 1048576 END AS m_{s}"
+            for s in sfx
+        )
+        ctes.append(
+            f"wl{k} AS (SELECT {keys}, {i_cols}, {step} FROM wl{k - 1})"
+        )
+    lg = ", ".join(f"i_{s} * {2 ** f} + a_{s} AS lg_{s}" for s in sfx)
+    ctes.append(f"wl{f + 1} AS (SELECT {keys}, {lg} FROM wl{f})")
+    return ",\n".join(ctes)
+
+
+# DuckDB twin of curation.nb_quality_classifier's NB chain, shared by
+# the raw-corpus oracle and the planted-truth eval oracle.  Expects a
+# preceding CTE `norm(doc_id, is_pos, t)`; yields `scores(doc_id,
+# n_terms, score)`.  Interpolated smoothing + the fixed-point log2
+# chain — see the operator docstring for the arithmetic.
+_NBQ_CHAIN_TMPL = """words AS (
+  SELECT doc_id, is_pos, unnest(string_split(t, ' ')) AS term
+  FROM norm WHERE t <> ''
+),
+feat AS (
+  SELECT doc_id, is_pos,
+         cast({h} % 256 AS int) AS bucket,
+         count(*) AS cnt
+  FROM words WHERE term <> '' GROUP BY 1, 2, 3
+),
+dist AS (
+  SELECT bucket,
+         cast(sum(CASE WHEN is_pos THEN cnt ELSE 0 END) AS bigint) AS cp,
+         cast(sum(CASE WHEN NOT is_pos THEN cnt ELSE 0 END) AS bigint) AS cn
+  FROM feat GROUP BY 1
+),
+tot AS (SELECT cast(sum(cp) AS bigint) AS tp, cast(sum(cn) AS bigint) AS tn FROM dist),
+{logchain},
+wt AS (SELECT bucket, cast(lg_a - lg_b - lg_c + lg_d AS bigint) AS w FROM wl{flast}),
+scores AS (
+  SELECT f.doc_id, cast(sum(f.cnt) AS bigint) AS n_terms,
+         cast(sum(f.cnt * w.w) AS bigint) AS score
+  FROM feat f JOIN wt w USING (bucket) GROUP BY 1
+)"""
+
+
+def _nbq_chain(f: int = 8) -> str:
+    K = curation.NBQ_ALPHA_K
+    return _NBQ_CHAIN_TMPL.format(
+        h=dedup.hex_to_bigint_sql("'nbq-v1' || term", 8),
+        flast=f + 1,
+        logchain=_log2fx_duck_ctes(
+            "dist CROSS JOIN tot",
+            {
+                "a": f"greatest(cp * {K} + tp, 1)",
+                "b": f"greatest(cn * {K} + tn, 1)",
+                "c": "greatest(tp, 1)",
+                "d": "greatest(tn, 1)",
+            },
+            f=f,
+        ),
+    )
+
+
 BLOCKLIST = (
     "site13.com",        # domain + all subdomains
     "sub6.site13.com",   # MORE specific twin: must win on site13 sub6 docs
@@ -1154,6 +1250,13 @@ def _q_quality_classifier(spark, sf_dir):
     source seed labels, every doc scored in exact integer log2-space
     (`length(bin(x))`), labeled high/low at score 0."""
     return curation.nb_quality_classifier(_docs(spark, sf_dir))
+
+
+def _q_quality_classifier_eval(spark, sf_dir):
+    """The classifier's acceptance metric: confusion matrix + integer
+    precision/recall vs the planted truth of labeled_quality_corpus
+    (curated seed positives, noisy 50/50 crawl negatives)."""
+    return curation.quality_classifier_eval(_docs(spark, sf_dir))
 
 
 def _q_training_set_assembly(spark, sf_dir):
@@ -1591,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "inverted_index": _q_inverted_index,
         "domain_blocklist": _q_domain_blocklist,
+        "quality_classifier_eval": _q_quality_classifier_eval,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -2913,6 +3017,33 @@ packs AS (
 SELECT shard, pack_id, n_docs, n_tokens, text
 FROM packs WHERE n_tokens = 64
 """,
+        "quality_classifier_eval": f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text || ' ' || CASE WHEN doc_id % 2 = 0
+           THEN '{curation.NBQ_POS_MARKERS}'
+           ELSE '{curation.NBQ_NEG_MARKERS}' END AS text,
+         (doc_id % 2 = 0 AND doc_id % 5 = 0) AS is_pos
+  FROM documents
+),
+norm AS (SELECT doc_id, is_pos, {_NORM_DUCK} AS t FROM corpus),
+{_nbq_chain()},
+ev AS (
+  SELECT doc_id, score >= 0 AS pred, (doc_id % 2 = 0) AS truth FROM scores
+),
+cm AS (
+  SELECT cast(count(*) AS bigint) AS n_docs,
+         cast(coalesce(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END), 0) AS bigint) AS tp,
+         cast(coalesce(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END), 0) AS bigint) AS fp,
+         cast(coalesce(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END), 0) AS bigint) AS fn,
+         cast(coalesce(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END), 0) AS bigint) AS tn
+  FROM ev
+)
+SELECT n_docs, tp, fp, fn, tn,
+       (tp * 10000) // greatest(tp + fp, 1) AS precision_x10000,
+       (tp * 10000) // greatest(tp + fn, 1) AS recall_x10000
+FROM cm
+""",
         "domain_blocklist": f"""
 WITH hosts AS (
   SELECT doc_id,
@@ -2965,34 +3096,7 @@ WITH norm AS (
   SELECT doc_id, source IN ('src0', 'src1') AS is_pos, {_NORM_DUCK} AS t
   FROM documents
 ),
-words AS (
-  SELECT doc_id, is_pos, unnest(string_split(t, ' ')) AS term
-  FROM norm WHERE t <> ''
-),
-feat AS (
-  SELECT doc_id, is_pos,
-         cast({dedup.hex_to_bigint_sql("'nbq-v1' || term", 8)} % 256 AS int) AS bucket,
-         count(*) AS cnt
-  FROM words WHERE term <> '' GROUP BY 1, 2, 3
-),
-dist AS (
-  SELECT bucket,
-         cast(sum(CASE WHEN is_pos THEN cnt ELSE 0 END) AS bigint) AS cp,
-         cast(sum(CASE WHEN NOT is_pos THEN cnt ELSE 0 END) AS bigint) AS cn
-  FROM feat GROUP BY 1
-),
-tot AS (SELECT cast(sum(cp) AS bigint) AS tp, cast(sum(cn) AS bigint) AS tn FROM dist),
-wt AS (
-  SELECT bucket,
-         cast(length(bin(((cp + 1) * 65536) // (cn + 1)))
-            - length(bin(((tp + 256) * 65536) // (tn + 256))) AS bigint) AS w
-  FROM dist CROSS JOIN tot
-),
-scores AS (
-  SELECT f.doc_id, cast(sum(f.cnt) AS bigint) AS n_terms,
-         cast(sum(f.cnt * w.w) AS bigint) AS score
-  FROM feat f JOIN wt w USING (bucket) GROUP BY 1
-)
+{_nbq_chain()}
 SELECT doc_id, n_terms, score,
        CASE WHEN score >= 0 THEN 'high' ELSE 'low' END AS quality
 FROM scores

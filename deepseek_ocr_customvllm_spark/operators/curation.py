@@ -671,7 +671,40 @@ def training_set_assembly(
     )
 
 
-NBQ_SCALE = 65536  # 2^16 headroom so sub-1 ratios keep >= 1 bit
+LOG2FX_F = 8  # fractional bits of the fixed-point log2
+NBQ_ALPHA_K = 256  # interpolation weight: alpha_c = T_c / K per class
+
+
+def log2_fx_int(x: int, f: int = LOG2FX_F) -> int:
+    """``floor``-chain fixed-point ``log2``: an integer approximation of
+    ``log2(x) * 2^f`` for ``x >= 1`` using ONLY portable integer ops
+    (bit length, multiply, truncating divide) — the engine-exact log
+    the ``length(bin())`` trick cannot give beyond whole bits.
+
+    Spec (keep in LOCKSTEP with the DuckDB chain `_log2fx_duck` in
+    ``__spark_entry__``; a differential test sweeps them equal):
+
+        i = bit_length(x) - 1                     # integer part
+        m = x * 2^20 div 2^i                      # mantissa in [2^20, 2^21)
+        repeat f times:
+            m = (m * m) div 2^20                  # in [2^20, 2^22)
+            if m >= 2^21: m = m div 2; emit bit 1 else emit bit 0
+        result = i * 2^f + emitted bits (MSB first)
+
+    Max error vs true log2 is < 2^-f (one-sided: never overestimates).
+    Overflow-safe for x below 2^62 and the mantissa never exceeds 2^42.
+    """
+    if x < 1:
+        raise ValueError("log2_fx_int needs x >= 1")
+    i = x.bit_length() - 1
+    m = (x >> (i - 20)) if i >= 20 else (x << (20 - i))
+    out = i << f
+    for k in range(1, f + 1):
+        m = (m * m) >> 20
+        if m >= 1 << 21:
+            m >>= 1
+            out += 1 << (f - k)
+    return out
 
 
 def nb_quality_classifier(
@@ -686,28 +719,34 @@ def nb_quality_classifier(
     (curated sources = positive, the rest = negative), then score EVERY
     document and label it high/low quality.
 
-    Where :func:`dsir_select` deliberately stays in linear-ratio space,
-    this operator works in true log-space — made engine-exact with the
-    ``length(bin(x))`` integer log2 (the ``ccnet_bucket`` trick:
-    identical minimal binary strings in Spark and DuckDB, no libm in
-    any compared value).  Per hashed-unigram bucket, with add-one
-    smoothing over ``n_buckets``:
+    Two pieces of arithmetic make the decision trustworthy AND
+    engine-exact (no libm anywhere):
 
-        w_b   = bits((c_pos+1)·S div (c_neg+1))
-              - bits((T_pos+B)·S div (T_neg+B))      # class-size term
+    - **Interpolated (Jelinek-Mercer-style) smoothing**, not add-one:
+      ``P(w|c) ∝ c_w·K + T_c`` with ``K = NBQ_ALPHA_K``.  Add-one
+      smoothing plus the vocabulary mass systematically biases EVERY
+      token against the smaller training class (the +B term is a far
+      larger fraction of a 20-doc seed's total than of the crawl's),
+      which swamps the real signal on long documents — measured, not
+      hypothetical: the first cut of this operator failed its own eval
+      exactly that way.  Interpolation makes a token whose per-class
+      rates match the class totals weigh EXACTLY zero.
+    - **Fixed-point fractional log2** (:func:`log2_fx_int`, 2^-8-bit
+      units) rather than whole-bit ``length(bin())``: whole-bit floors
+      put every near-neutral token at ±1 bit, again dominating long
+      documents.
+
+        w_b   = lg(c_pos·K + T_pos) - lg(c_neg·K + T_neg)
+              - lg(T_pos) + lg(T_neg)          # lg = log2_fx_int
         score = Σ_b cnt_b · w_b        label = high iff score >= 0
 
-    ``bits(x) = length(bin(x)) = floor(log2 x) + 1``, ``S = 2^16`` so
-    ratios below 1 still carry resolution.  The floor granularity is
-    ±1 bit per term — on separable vocabulary the per-bucket signal is
-    several bits, and ``tests/test_curation.py`` pins exact separation
-    on a two-vocabulary corpus.
-
-    Scale shape (same as DSIR's, docstring there): ONE wide shuffle —
-    the token explode aggregated to (doc_id, is_pos, bucket) with
-    map-side combine, localCheckpoint-ed (two consumers); the weight
-    table is ``n_buckets`` rows + a 1-row totals broadcast; scoring is
-    a broadcast join + one groupBy(doc_id).
+    Scale shape: ONE wide shuffle — the token explode aggregated to
+    (doc_id, is_pos, bucket) with map-side combine, localCheckpoint-ed
+    (two consumers); the per-bucket class distribution is a BOUNDED
+    ``n_buckets``-row frame, collected and weighted driver-side in
+    exact Python ints (same bounded-collect class as the k-means seeds
+    and IVF bucket lists), then broadcast back for the scoring join +
+    one groupBy(doc_id).
 
     Returns ``(doc_id, n_terms, score, quality)``; documents with no
     tokens yield no row (nothing to classify).
@@ -729,21 +768,27 @@ def nb_quality_classifier(
     ).agg(F.count("*").alias("cnt"))
     if persist:
         feat = feat.localCheckpoint()
-    dist = feat.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_pos"), F.col("cnt")).otherwise(0)).alias("cp"),
-        F.sum(F.when(~F.col("is_pos"), F.col("cnt")).otherwise(0)).alias("cn"),
+    dist = (
+        feat.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_pos"), F.col("cnt")).otherwise(0)).alias("cp"),
+            F.sum(F.when(~F.col("is_pos"), F.col("cnt")).otherwise(0)).alias("cn"),
+        )
+        .collect()  # bounded: at most n_buckets rows
     )
-    tot = dist.agg(
-        F.sum("cp").alias("tp"), F.sum("cn").alias("tn")
-    )
-    wt = dist.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.expr(
-            f"cast(length(bin(((cp + 1) * {NBQ_SCALE}) div (cn + 1)))"
-            f" - length(bin(((tp + {n_buckets}) * {NBQ_SCALE})"
-            f" div (tn + {n_buckets}))) as bigint)"
-        ).alias("w"),
-    )
+    tp = sum(r["cp"] for r in dist)
+    tn = sum(r["cn"] for r in dist)
+    K, lg = NBQ_ALPHA_K, log2_fx_int
+    base = lg(max(tp, 1)) - lg(max(tn, 1))
+    weights = [
+        (
+            int(r["bucket"]),
+            lg(max(r["cp"] * K + tp, 1)) - lg(max(r["cn"] * K + tn, 1)) - base,
+        )
+        for r in dist
+    ]
+    spark = df.sparkSession
+    wt = spark.createDataFrame(weights, "bucket int, w bigint")
     return (
         feat.join(F.broadcast(wt), "bucket")
         .groupBy("doc_id")
@@ -759,4 +804,75 @@ def nb_quality_classifier(
             .otherwise(F.lit("low"))
             .alias("quality"),
         )
+    )
+
+
+NBQ_POS_MARKERS = " ".join(f"qualw{k}" for k in range(8))
+NBQ_NEG_MARKERS = " ".join(f"junkw{k}" for k in range(8))
+
+
+def labeled_quality_corpus(df: DataFrame) -> DataFrame:
+    """Planted-truth corpus for classifier evaluation, derived from the
+    documents table by pure arithmetic (the oracle replays it):
+
+    - TRUTH: ``doc_id % 2 == 0`` docs get the ``qualw*`` marker
+      vocabulary appended, the rest ``junkw*`` — the separable signal.
+    - SEED LABELS: only truth-positive docs with ``doc_id % 5 == 0``
+      are labeled the curated source (``goodseed``); everything else is
+      ``crawl``.  The negative training side is therefore a ~50/50
+      noisy mix of both classes — exactly GPT-3's setup (curated
+      positives vs raw-crawl negatives that contain good documents).
+
+    The original word-soup text is KEPT as shared class-independent
+    noise the classifier must see through.
+    """
+    return df.select(
+        "doc_id",
+        F.expr(
+            f"concat(text, ' ', CASE WHEN doc_id % 2 = 0"
+            f" THEN '{NBQ_POS_MARKERS}' ELSE '{NBQ_NEG_MARKERS}' END)"
+        ).alias("text"),
+        F.expr(
+            "CASE WHEN doc_id % 2 = 0 AND doc_id % 5 = 0"
+            " THEN 'goodseed' ELSE 'crawl' END"
+        ).alias("source"),
+    )
+
+
+def quality_classifier_eval(df: DataFrame) -> DataFrame:
+    """Confusion matrix + integer precision/recall of
+    :func:`nb_quality_classifier` against the planted truth of
+    :func:`labeled_quality_corpus` — the classifier's acceptance
+    metric, measured the way the dedup/ANN recall reports measure
+    theirs (an approximate tier is only trustworthy with its accuracy
+    against ground truth pinned next to it).
+
+    One row: ``(n_docs, tp, fp, fn, tn, precision_x10000,
+    recall_x10000)`` — rates as ``(x * 10000) div max(denom, 1)``
+    (integer-exact; the guard keeps a zero denominator an explicit 0
+    in BOTH engines, per the dedup_recall_report lesson).
+    """
+    corpus = labeled_quality_corpus(df)
+    scored = nb_quality_classifier(corpus, positive_sources=("goodseed",))
+    ev = scored.select(
+        "doc_id",
+        (F.col("score") >= 0).alias("pred"),
+        (F.col("doc_id") % 2 == 0).alias("truth"),
+    )
+    def _n(cond):  # coalesce: an EMPTY corpus must report 0s, not NULLs
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint")
+
+    cm = ev.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        _n(F.col("pred") & F.col("truth")).alias("tp"),
+        _n(F.col("pred") & ~F.col("truth")).alias("fp"),
+        _n(~F.col("pred") & F.col("truth")).alias("fn"),
+        _n(~F.col("pred") & ~F.col("truth")).alias("tn"),
+    )
+    return cm.select(
+        "n_docs", "tp", "fp", "fn", "tn",
+        F.expr("(tp * 10000) div greatest(tp + fp, 1)").alias("precision_x10000"),
+        F.expr("(tp * 10000) div greatest(tp + fn, 1)").alias("recall_x10000"),
     )

@@ -669,3 +669,75 @@ class TestNbQualityClassifier:
         )
         out = curation.nb_quality_classifier(docs, positive_sources=("good",))
         assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+class TestQualityClassifierEval:
+    def test_planted_truth_metrics(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import curation
+
+        # word-soup noise + the planted markers, same shape as the
+        # registry derivation but built locally
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{(i * 7 + k) % 50}" for k in range(30)))
+             for i in range(200)],
+            ["doc_id", "text"],
+        )
+        (r,) = curation.quality_classifier_eval(docs).collect()
+        assert r["n_docs"] == 200
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == 200
+        # the planted marker vocabulary is fully separable; the seed is
+        # noisy (crawl side is half good docs) — recall must be perfect
+        # and precision high
+        assert r["recall_x10000"] == 10000
+        assert r["precision_x10000"] >= 9500
+
+    def test_rate_guards_on_degenerate_inputs(self, spark):
+        from deepseek_ocr_customvllm_spark.operators import curation
+
+        # empty-text docs still get the planted markers appended, so
+        # they ARE scored; the genuinely degenerate case is an EMPTY
+        # corpus — which must report explicit 0s (not NULLs / not an
+        # error) in BOTH engines
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "  ")], ["doc_id", "text"]
+        )
+        (r,) = curation.quality_classifier_eval(docs).collect()
+        assert r["n_docs"] == 2  # markers make every doc scoreable
+        empty = docs.filter("doc_id < 0")
+        (r,) = curation.quality_classifier_eval(empty).collect()
+        assert (r["n_docs"], r["tp"], r["precision_x10000"],
+                r["recall_x10000"]) == (0, 0, 0, 0)
+
+
+class TestLog2Fx:
+    """The fixed-point log2 primitive: Python spec == DuckDB CTE chain,
+    and both within 2^-8-ish of the true log2 (never overestimating)."""
+
+    def test_python_vs_duckdb_vs_true(self):
+        import math
+        import random
+
+        import duckdb
+
+        import __spark_entry__ as em
+        from deepseek_ocr_customvllm_spark.operators.curation import log2_fx_int
+
+        vals = [1, 2, 3, 7, 1023, 1024, 1025, 1048575, 1048576,
+                2097151, 2097152, (1 << 62) - 1]
+        rng = random.Random(7)
+        vals += [rng.randrange(1, 1 << 62) for _ in range(300)]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE xs AS SELECT unnest(?::BIGINT[]) AS x", [vals])
+        chain = em._log2fx_duck_ctes("xs", {"v": "x"}, keys="x")
+        for x, lg in con.execute(f"WITH {chain} SELECT x, lg_v FROM wl9").fetchall():
+            assert lg == log2_fx_int(x), x
+            true = math.log2(x) * 256
+            assert -1e-6 <= true - lg < 2, (x, lg, true)
+
+    def test_rejects_nonpositive(self):
+        import pytest as _pytest
+
+        from deepseek_ocr_customvllm_spark.operators.curation import log2_fx_int
+
+        with _pytest.raises(ValueError):
+            log2_fx_int(0)
