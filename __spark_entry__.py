@@ -1247,8 +1247,9 @@ def _q_domain_blocklist(spark, sf_dir):
 
 def _q_quality_classifier(spark, sf_dir):
     """GPT-3 Appendix-A model-based quality filter: NB trained on
-    source seed labels, every doc scored in exact integer log2-space
-    (`length(bin(x))`), labeled high/low at score 0."""
+    source seed labels with interpolated smoothing, every doc scored in
+    fixed-point integer log2-space (`log2_fx_int`, 2^-8-bit units),
+    labeled high/low at score 0."""
     return curation.nb_quality_classifier(_docs(spark, sf_dir))
 
 

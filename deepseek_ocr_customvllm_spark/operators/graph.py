@@ -103,7 +103,10 @@ def host_pagerank(
     if checkpoint:
         # Loop invariants, materialized once; released after the final
         # round's own checkpoint truncates every reference to them.
-        # (checkpoint=False keeps the whole plan lazy — no eager work.)
+        # (checkpoint=False skips the eager pins; the hosts.count()
+        # below still runs — the host count is needed driver-side — so
+        # the flag trades pinned storage for per-iteration recompute,
+        # not lazy construction.)
         w = ck.pin(w)
     hosts = (
         w.select(F.col("src").alias("h"))

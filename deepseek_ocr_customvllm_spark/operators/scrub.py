@@ -358,7 +358,9 @@ def domain_blocklist_report(hosts_df: DataFrame, blocklist) -> DataFrame:
     (portable max; no struct-ordering dependence).
     """
     spark = hosts_df.sparkSession
-    rules = spark.createDataFrame([(r,) for r in blocklist], ["rule"])
+    # explicit schema: an EMPTY blocklist (no rules configured) must
+    # yield an all-kept report, not a schema-inference error
+    rules = spark.createDataFrame([(r,) for r in blocklist], "rule string")
     sfx = F.expr(
         "transform(sequence(0, size(parts) - 1),"
         " i -> array_join(slice(parts, i + 1, size(parts) - i), '.'))"

@@ -56,19 +56,20 @@ class RoundCheckpointer:
         previous round is still read AFTER the new one exists (e.g. a
         convergence diff) and call :meth:`rotate` once it isn't.
         """
+        if not free_previous and self._pending:
+            # Guard BEFORE materializing: two un-rotated rounds would
+            # orphan blocks (no handle survives the overwrite, and
+            # localCheckpoint blocks can't be reached any other way) —
+            # always a caller sequencing bug, and checkpointing first
+            # would itself orphan the new round's blocks on the raise.
+            raise RuntimeError(
+                "ckpt(free_previous=False) called twice without rotate()"
+            )
         out, created = self._checkpoint(df)
         if free_previous:
             self.free()
             self._live = created
         else:
-            if self._pending:
-                # Two un-rotated rounds would orphan the first one's
-                # blocks (no handle survives the overwrite, and
-                # localCheckpoint blocks can't be reached any other
-                # way) — that is always a caller sequencing bug.
-                raise RuntimeError(
-                    "ckpt(free_previous=False) called twice without rotate()"
-                )
             self._pending = created
         return out
 

@@ -96,8 +96,10 @@ def warc_chunks(pages: DataFrame, n_chunks: int = 8) -> DataFrame:
 
     Returns ``(chunk_id bigint, data binary)``.  Membership is
     ``pmod(xxhash64(url), n_chunks)`` and the in-blob order is sorted
-    url, so the blob is a deterministic function of its member set —
-    any partitioning of the input produces byte-identical shards.
+    (url, record bytes) — the byte tie-break totally orders re-crawls
+    of the same url — so the blob is a deterministic function of its
+    member set: any partitioning of the input produces byte-identical
+    shards.
 
     Record bytes are built JVM-side (:func:`warc_record_bytes`) BEFORE
     the shuffle; only the final blob assembly runs in the grouped Arrow
@@ -117,7 +119,11 @@ def warc_chunks(pages: DataFrame, n_chunks: int = 8) -> DataFrame:
     )
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        ordered = pdf.sort_values("url", kind="mergesort")
+        # sort by (url, record bytes): a url alone does not totally
+        # order re-crawls (same url, different payload), and a stable
+        # sort would then freeze nondeterministic shuffle arrival order
+        # into the blob bytes
+        ordered = pdf.sort_values(["url", "rec"], kind="mergesort")
         blob = b"".join(bytes(x) for x in ordered["rec"])
         return pd.DataFrame(
             {"chunk_id": [int(pdf["chunk_id"].iloc[0])], "data": [blob]}

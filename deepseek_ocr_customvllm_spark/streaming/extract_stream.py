@@ -87,75 +87,56 @@ STREAM_ID = "extract_stream"
 WARC_STREAM_ID = "warc_extract_stream"
 
 
-def run_stream_with_state(
+def _drain_content_keyed(
     spark: SparkSession,
-    landing_dir: str,
+    stream_df: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
     state_dir: str,
+    stream_id: str,
+    key_of,
+    pages_of,
 ) -> int:
-    """Streaming extraction with the exactly-once state MERGE the batch
-    job performs — the full queue-consumer shape of the reference
-    (``app/tasks/tasks.py:8-37``: process, then ack/update the job row).
+    """The shared exactly-once extraction sink (ONE implementation —
+    the parquet-pages and WARC-shard streams must never drift on this
+    protocol):
 
-    ``foreachBatch`` writes the extracted rows and MERGEs
-    ``(url, status, updated_at)`` into the :class:`ParquetStateStore`.
-    The replay guard and the output partition are keyed on the batch's
-    CONTENT — ``(url, warc_ts)`` through ``_content_key`` — not on
-    Spark's micro-batch id: after checkpoint loss the file-to-batch-id
-    assignment is not guaranteed stable, and a batch-id guard could
-    skip a never-extracted file while a remapped id clobbered another
-    batch's output partition.  With content keys a replayed batch (with
-    WHATEVER id) rewrites exactly its own partition and is skipped once
-    its key is in the ledger — ``attempt`` counts each url exactly once
-    per processed batch.  Returns rows in ``out_dir`` after draining.
+    - ``key_of(batch_df) -> str`` derives the batch's CONTENT key (not
+      Spark's micro-batch id: after checkpoint loss the file-to-batch-id
+      assignment is not guaranteed stable, and a batch-id guard could
+      skip a never-extracted file while a remapped id clobbered another
+      batch's output partition).  The ledger check runs BEFORE
+      ``pages_of``/extraction, so a replayed batch pays only the key
+      aggregate.
+    - ``pages_of(batch_df) -> (url, warc_ts, html)`` adapts the source
+      frame (identity for parquet pages; WARC record parse for shards).
+    - Data lands as a content-keyed OVERWRITE (``batch=<ck>``
+    partition), not an append: a crash after the write but before the
+    merge commits replays the batch, and rewriting the same partition
+    is idempotent.  The state MERGE rides the same ledger key, so
+    ``attempt`` counts each url exactly once per processed batch.
+
+    Returns rows in ``out_dir`` after draining (availableNow trigger).
     """
+    import os
+
     from pyspark.sql import functions as F
 
     from ..plans.state import ParquetStateStore
-    from .dedup_stream import _content_key
 
-    import os
-
-    # Stream the RAW pages and extract inside the sink, AFTER the
-    # replay guard: the content key hashes two pass-through source
-    # columns, and Spark cannot column-prune through the extraction
-    # mapInPandas — keying a post-extraction frame would make every
-    # replay-skip pay a full extraction run.  ONE file per micro-batch:
-    # the content key identifies a batch by what's in it, so batches
-    # must be STABLE units across replays — and the only stable unit a
-    # file source has is the file.  (Landing files are dump-sized in
-    # production; per-batch overhead is amortized by file size, not
-    # file count.)
-    pages = (
-        spark.readStream.schema(PAGES_SPARK_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing_dir)
-    )
     cores = spark.sparkContext.defaultParallelism
     store = ParquetStateStore(spark, state_dir)
-    ledger_prefix = STREAM_ID + ":"
+    prefix = stream_id + ":"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        # (url, warc_ts): extraction is deterministic per page, and
-        # warc_ts distinguishes a re-crawl of the same url (which
-        # SHOULD re-extract) from a replay of the same file.  The
-        # ledger guards BOTH side effects: a replayed batch must not
-        # re-append data rows any more than it may re-merge state —
-        # and it skips BEFORE any extraction work happens.
-        ck = _content_key(batch_df, "url", "warc_ts")
-        key = ledger_prefix + ck
+        ck = key_of(batch_df)
+        key = prefix + ck
         if store.last_applied(key) >= 0:
             return
         extracted_batch = extract_pages(
-            batch_df, num_partitions=cores
+            pages_of(batch_df), num_partitions=cores
         ).persist()
         try:
-            # content-keyed OVERWRITE, not append: a crash after this
-            # write but before the merge commits replays the batch, and
-            # the rewrite of the same partition is idempotent (an append
-            # would duplicate the rows).  Readers see `batch` as a
-            # discovered partition column.
             extracted_batch.write.mode("overwrite").parquet(
                 f"{out_dir}/batch={ck}"
             )
@@ -170,7 +151,7 @@ def run_stream_with_state(
             extracted_batch.unpersist()
 
     q = (
-        pages.writeStream.foreachBatch(_sink)
+        stream_df.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -179,6 +160,49 @@ def run_stream_with_state(
     if not os.path.exists(out_dir):  # zero batches: nothing was extracted
         return 0
     return spark.read.parquet(out_dir).count()
+
+
+def run_stream_with_state(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+) -> int:
+    """Streaming extraction with the exactly-once state MERGE the batch
+    job performs — the full queue-consumer shape of the reference
+    (``app/tasks/tasks.py:8-37``: process, then ack/update the job row).
+    Protocol details live on :func:`_drain_content_keyed`.
+
+    The content key is ``(url, warc_ts)``: extraction is deterministic
+    per page, and warc_ts distinguishes a re-crawl of the same url
+    (which SHOULD re-extract) from a replay of the same file.  The key
+    hashes two pass-through SOURCE columns — Spark cannot column-prune
+    through the extraction mapInPandas, so keying a post-extraction
+    frame would make every replay-skip pay a full extraction run.  ONE
+    file per micro-batch: the content key identifies a batch by what's
+    in it, so batches must be STABLE units across replays — and the
+    only stable unit a file source has is the file.  (Landing files are
+    dump-sized in production; per-batch overhead is amortized by file
+    size, not file count.)
+    """
+    from .dedup_stream import _content_key
+
+    pages = (
+        spark.readStream.schema(PAGES_SPARK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+    )
+    return _drain_content_keyed(
+        spark,
+        pages,
+        out_dir,
+        checkpoint_dir,
+        state_dir,
+        STREAM_ID,
+        key_of=lambda b: _content_key(b, "url", "warc_ts"),
+        pages_of=lambda b: b,
+    )
 
 
 def run_stream_once(
@@ -215,24 +239,20 @@ def run_warc_stream_with_state(
     shape a live crawl actually delivers (Common Crawl publishes new
     WARC segments; the pipeline tails the bucket).  ``binaryFile``
     source → :func:`sources.warc.parse_warc` → the fused extractor,
-    under the same content-keyed exactly-once ledger as
-    :func:`run_stream_with_state`.
+    under the SAME exactly-once sink as the parquet stream
+    (:func:`_drain_content_keyed` — one protocol implementation).
 
     The replay guard keys the RAW shard bytes (``xxhash64`` over the
     blob, before any parse or extraction work), and one file per
-    micro-batch keeps batches stable units across checkpoint loss —
-    both contracts inherited from the parquet stream (see its
-    docstring for the full argument).  A re-crawl shipped as a NEW
-    shard (different bytes) re-extracts; a replayed shard (same bytes)
-    skips at the cost of one aggregate over the blob.
+    micro-batch keeps batches stable units across checkpoint loss.  A
+    re-crawl shipped as a NEW shard (different bytes) re-extracts; a
+    replayed shard (same bytes) skips at the cost of one aggregate over
+    the blob.
     """
     from pyspark.sql import functions as F
 
-    from ..plans.state import ParquetStateStore
     from ..sources.warc import parse_warc
     from .dedup_stream import _content_key
-
-    import os
 
     blobs = (
         spark.readStream.format("binaryFile")
@@ -246,42 +266,15 @@ def run_warc_stream_with_state(
         .option("maxFilesPerTrigger", 1)
         .load(landing_dir)
     )
-    cores = spark.sparkContext.defaultParallelism
-    store = ParquetStateStore(spark, state_dir)
-    ledger_prefix = WARC_STREAM_ID + ":"
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        ck = _content_key(batch_df.select("content"), "content")
-        key = ledger_prefix + ck
-        if store.last_applied(key) >= 0:
-            return
-        parsed = parse_warc(
-            batch_df.select(F.col("content").alias("data"))
-        )
-        extracted_batch = extract_pages(
-            parsed, num_partitions=cores
-        ).persist()
-        try:
-            extracted_batch.write.mode("overwrite").parquet(
-                f"{out_dir}/batch={ck}"
-            )
-            store.merge(
-                extracted_batch.select(
-                    "url", "status", F.col("warc_ts").alias("updated_at")
-                ),
-                stream_id=key,
-                batch_id=batch_id,
-            )
-        finally:
-            extracted_batch.unpersist()
-
-    q = (
-        blobs.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _drain_content_keyed(
+        spark,
+        blobs,
+        out_dir,
+        checkpoint_dir,
+        state_dir,
+        WARC_STREAM_ID,
+        key_of=lambda b: _content_key(b.select("content"), "content"),
+        pages_of=lambda b: parse_warc(
+            b.select(F.col("content").alias("data"))
+        ),
     )
-    q.awaitTermination()
-    if not os.path.exists(out_dir):
-        return 0
-    return spark.read.parquet(out_dir).count()

@@ -83,9 +83,12 @@ def main() -> None:
 
     # --- encode + shard + parse ----------------------------------------
     t0 = time.time()
+    # persist (NOT localCheckpoint: unpersist() cannot release
+    # checkpoint blocks — iterate.py docstring) so the corpus really
+    # leaves memory before the PageRank leg
     parsed = warc.parse_warc(
         warc.warc_chunks(pages, n_chunks=args.n_chunks)
-    ).localCheckpoint()
+    ).persist()
     got = parsed.agg(
         F.count("*").alias("n"),
         F.sum(F.length("html")).alias("b"),

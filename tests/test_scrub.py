@@ -401,6 +401,10 @@ class TestDomainBlocklist:
         assert got["good.site.org"] is None
         assert got["site.org"] is None
 
+    def test_empty_blocklist_keeps_everything(self, spark):
+        got = self._report(spark, ["a.example.com", "b.org"], [])
+        assert got == {"a.example.com": None, "b.org": None}
+
     def test_rule_list_is_broadcast(self, spark):
         df = spark.createDataFrame([(1, "a.example.com")], ["doc_id", "host"])
         out = scrub.domain_blocklist_report(df, ["example.com"])

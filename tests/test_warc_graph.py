@@ -147,6 +147,26 @@ class TestWarcRoundtrip:
         via_warc = rows(warc.parse_warc(warc.warc_chunks(pages, n_chunks=5)))
         assert via_warc == direct and len(direct) == 30
 
+    def test_duplicate_url_recrawls_are_deterministic(self, spark):
+        # Two records with the SAME url but different payloads (a
+        # re-crawl): blob bytes must not depend on shuffle arrival
+        # order — the sort tie-breaks on the record bytes.
+        rows = [
+            ("https://docs.test/x/1", dt.datetime(2025, 1, 1), b"<old>", "t", "en"),
+            ("https://docs.test/x/1", dt.datetime(2025, 1, 2), b"<new>", "t", "en"),
+        ]
+        schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+        def blob(order):
+            df = spark.createDataFrame([rows[i] for i in order], schema)
+            (r,) = warc.warc_chunks(df.repartition(2), n_chunks=1).collect()
+            return bytes(r["data"])
+
+        a, b = blob([0, 1]), blob([1, 0])
+        assert a == b
+        parsed = warc.parse_warc_blob(a)
+        assert sorted(bytes(h) for _, _, h in parsed) == [b"<new>", b"<old>"]
+
     def test_in_blob_order_is_sorted_by_url(self, spark):
         pages = synth_pages_df(spark, 20, num_partitions=3)
         blob_urls = []
