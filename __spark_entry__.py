@@ -1127,6 +1127,15 @@ def _q_inverted_index(spark, sf_dir):
     return textstats.inverted_index(_docs(spark, sf_dir))
 
 
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (Okapi, Lucene '+1' idf) for the frozen
+    query over the corpus: one explode→groupBy(doc_id) shuffle with a
+    conditional tf column per query term, a bounded 1-row stats
+    collect, driver-side exact-integer idf folded back as literals,
+    TakeOrdered top-k."""
+    return textstats.bm25_topk(_docs(spark, sf_dir))
+
+
 def _log2fx_duck_ctes(
     src: str, inputs: dict, keys: str = "bucket", f: int = 8
 ) -> str:
@@ -1172,6 +1181,70 @@ def _log2fx_duck_ctes(
     lg = ", ".join(f"i_{s} * {2 ** f} + a_{s} AS lg_{s}" for s in sfx)
     ctes.append(f"wl{f + 1} AS (SELECT {keys}, {lg} FROM wl{f})")
     return ",\n".join(ctes)
+
+
+def _oracle_bm25() -> str:
+    """DuckDB twin of ``textstats.bm25_topk`` for the frozen query
+    terms: same one-pass (doc_id → dl, tf_i) aggregate, same integer
+    BM25 arithmetic, idf through the shared fixed-point log2 chain."""
+    from deepseek_ocr_customvllm_spark.operators.textstats import (
+        BM25_QUERY_TERMS,
+        BM25_TF_SCALE,
+        BM25_TOPK,
+    )
+
+    terms = list(BM25_QUERY_TERMS)
+    s = BM25_TF_SCALE
+    tf_cols = ", ".join(
+        f"sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"coalesce(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END), 0) AS df{i}"
+        for i in range(len(terms))
+    )
+    lg_inputs = {"num": "2 * n + 2"}
+    for i in range(len(terms)):
+        lg_inputs[f"b{i}"] = f"2 * df{i} + 1"
+    logchain = _log2fx_duck_ctes("st2", lg_inputs, keys="avgdl10")
+    hit = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    contrib = " + ".join(
+        f"(lg_num - lg_b{i}) * ((22 * tf{i} * avgdl10 * {s}) // "
+        f"(10 * tf{i} * avgdl10 + 3 * avgdl10 + 90 * d.dl))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+words AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS term
+  FROM norm WHERE t <> ''
+),
+da AS (
+  SELECT doc_id, count(*) AS dl, {tf_cols}
+  FROM words WHERE term <> '' GROUP BY 1
+),
+st AS (
+  SELECT greatest(count(*), 1) AS n, coalesce(sum(dl), 0) AS tot, {df_cols}
+  FROM da
+),
+st2 AS (
+  SELECT n, greatest((10 * tot) // n, 1) AS avgdl10,
+         {', '.join(f'df{i}' for i in range(len(terms)))}
+  FROM st
+),
+{logchain},
+sc AS (
+  SELECT d.doc_id, cast(d.dl AS bigint) AS dl,
+         cast({hit} AS int) AS n_hit_terms,
+         cast({contrib} AS bigint) AS score_fx
+  FROM da d CROSS JOIN wl9 w
+)
+SELECT doc_id, dl, n_hit_terms, score_fx FROM sc
+WHERE n_hit_terms > 0
+ORDER BY score_fx DESC, doc_id LIMIT {BM25_TOPK}
+"""
 
 
 # DuckDB twin of curation.nb_quality_classifier's NB chain, shared by
@@ -1696,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "domain_blocklist": _q_domain_blocklist,
         "quality_classifier_eval": _q_quality_classifier_eval,
+        "bm25_topk": _q_bm25_topk,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3045,6 +3119,7 @@ SELECT n_docs, tp, fp, fn, tn,
        (tp * 10000) // greatest(tp + fn, 1) AS recall_x10000
 FROM cm
 """,
+        "bm25_topk": _oracle_bm25(),
         "domain_blocklist": f"""
 WITH hosts AS (
   SELECT doc_id,

@@ -884,3 +884,114 @@ def inverted_index(df: DataFrame, k: int = 10) -> DataFrame:
             ),
         ).alias("posting"),
     )
+
+
+# --- BM25 ranked retrieval -------------------------------------------------
+
+# Default query: one rare term + two common ones, so idf genuinely
+# discriminates on the testdata vocabulary (df 25 vs ~385 at sf0.01).
+BM25_QUERY_TERMS = ("dup", "spark", "vector")
+BM25_TOPK = 25
+BM25_TF_SCALE = 1 << 16  # fixed-point scale of the tf-normalization term
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms=BM25_QUERY_TERMS,
+    k: int = BM25_TOPK,
+    persist: bool = True,
+) -> DataFrame:
+    """BM25 ranked retrieval over ``documents(doc_id, text)`` — the
+    query side of the :func:`inverted_index` build step (Robertson et
+    al., Okapi at TREC-3 1994; the Lucene "+1" idf variant so weights
+    stay positive for terms in over half the corpus).
+
+    All arithmetic is integer-exact and engine-portable (the tfidf /
+    pagerank discipline — floating point would make the ranking
+    parallelism-dependent):
+
+    - ``k1 = 1.2`` and ``b = 0.75`` are carried as exact rationals and
+      cleared to integers: with ``avgdl10 = (10·Σdl) div N``,
+
+          tfnorm_fx = (22·tf·avgdl10·S) div
+                      (10·tf·avgdl10 + 3·avgdl10 + 90·dl)
+
+      which is ``tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` scaled by
+      ``S = 2^16``, every step a bigint.
+    - ``idf_fx = lg(2N+2) − lg(2df+1)`` in 2^-8-bit units via
+      :func:`curation.log2_fx_int` — ``log2(1 + (N−df+0.5)/(df+0.5))``
+      with the halves cleared by doubling; always positive.
+    - ``score = Σ_q idf_fx(q) · tfnorm_fx(q)``, descending, ties by
+      ``doc_id`` — a total deterministic order.
+
+    Scale shape: ONE wide shuffle.  The token explode aggregates
+    straight to one compact row per document (``dl`` + a conditional
+    ``tf`` column per query term — no per-term join, no second corpus
+    scan), with map-side combine.  Corpus stats and per-term document
+    frequencies come from a single bounded 1-row aggregate (the
+    kmeans-seed bounded-collect class), idf weights are computed
+    driver-side in exact Python ints and folded back as literals, and
+    the top-k is a TakeOrdered, never a global sort.
+    """
+    from .curation import log2_fx_int
+
+    terms = list(query_terms)
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    d = with_norm(df)
+    words = (
+        d.filter(F.col("t") != "")
+        .select("doc_id", F.explode(F.split("t", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    agg = words.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    if persist:
+        # two consumers (the stats aggregate below is an action, the
+        # scoring projection re-reads) — stop the explode running twice
+        agg = agg.localCheckpoint()
+    stats = agg.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("tot"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]  # bounded: ONE row
+    n = int(stats["n"]) or 1
+    avgdl10 = (10 * int(stats["tot"] or 0)) // n
+    avgdl10 = max(avgdl10, 1)
+    lg_num = log2_fx_int(2 * n + 2)
+    idf_fx = [
+        lg_num - log2_fx_int(2 * int(stats[f"df{i}"] or 0) + 1)
+        for i in range(len(terms))
+    ]
+    s = BM25_TF_SCALE
+    contribs = [
+        (
+            F.lit(idf_fx[i]).cast("bigint")
+            * F.expr(
+                f"(22 * tf{i} * {avgdl10} * {s}) div "
+                f"(10 * tf{i} * {avgdl10} + 3 * {avgdl10} + 90 * dl)"
+            )
+        )
+        for i in range(len(terms))
+    ]
+    hit = sum(
+        F.when(F.col(f"tf{i}") > 0, 1).otherwise(0) for i in range(len(terms))
+    )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    scored = agg.select(
+        "doc_id",
+        F.col("dl").cast("bigint").alias("dl"),
+        hit.cast("int").alias("n_hit_terms"),
+        score.cast("bigint").alias("score_fx"),
+    ).filter(F.col("n_hit_terms") > 0)
+    return scored.orderBy(F.col("score_fx").desc(), F.col("doc_id").asc()).limit(k)

@@ -2401,3 +2401,58 @@ class TestInvertedIndex:
         # Exchange 1: the (doc_id, term) tf aggregation; Exchange 2:
         # the term key shared by the window AND the final groupBy.
         assert plan.count("Exchange (") == 2
+
+
+class TestBm25TopK:
+    """BM25 ranked retrieval: integer-exact Okapi/Lucene scoring, rare
+    terms outrank common ones, deterministic across parallelism."""
+
+    def test_rare_term_outranks_common(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.textstats import bm25_topk
+
+        # 20 docs contain 'spark'; only doc 0 contains 'dup'.  Same
+        # lengths, one query-term occurrence each — idf alone decides.
+        rows = [(0, "dup filler filler filler")] + [
+            (i, "spark filler filler filler") for i in range(1, 21)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = bm25_topk(docs, query_terms=("dup", "spark"), k=5).collect()
+        assert got[0]["doc_id"] == 0  # the rare-term doc leads
+        assert got[0]["score_fx"] > got[1]["score_fx"]
+        # remaining ranks tie on score -> doc_id ascending
+        assert [r["doc_id"] for r in got[1:]] == [1, 2, 3, 4]
+        assert all(r["n_hit_terms"] == 1 for r in got)
+
+    def test_shorter_doc_ranks_higher_at_equal_tf(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.textstats import bm25_topk
+
+        rows = [
+            (1, "dup short"),
+            (2, "dup " + "filler " * 30),
+            (3, "other words only"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = bm25_topk(docs, query_terms=("dup",), k=10).collect()
+        assert [r["doc_id"] for r in got] == [1, 2]  # non-hits excluded
+        assert got[0]["score_fx"] > got[1]["score_fx"]  # length norm
+
+    def test_parallelism_invariant(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.textstats import bm25_topk
+
+        rows = [
+            (i, ("dup " if i % 7 == 0 else "") + "spark word " * (i % 5 + 1))
+            for i in range(50)
+        ]
+        a = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(1)
+        b = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(13)
+        ra = [tuple(r) for r in bm25_topk(a, k=50).collect()]
+        rb = [tuple(r) for r in bm25_topk(b, k=50).collect()]
+        assert ra == rb
+
+    def test_empty_and_no_hit_corpus(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.textstats import bm25_topk
+
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        assert bm25_topk(empty).collect() == []
+        miss = spark.createDataFrame([(1, "nothing relevant")], ["doc_id", "text"])
+        assert bm25_topk(miss, query_terms=("absent",)).collect() == []
