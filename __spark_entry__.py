@@ -1136,6 +1136,13 @@ def _q_bm25_topk(spark, sf_dir):
     return textstats.bm25_topk(_docs(spark, sf_dir))
 
 
+def _q_output_shard_plan(spark, sf_dir):
+    """Size-balanced output-file layout: content-keyed writer routing +
+    cumulative-bytes roll policy as ONE writer-keyed Exchange shared by
+    the window and the final per-file aggregate."""
+    return curation.output_shard_plan(_docs(spark, sf_dir))
+
+
 def _log2fx_duck_ctes(
     src: str, inputs: dict, keys: str = "bucket", f: int = 8
 ) -> str:
@@ -1770,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": _q_domain_blocklist,
         "quality_classifier_eval": _q_quality_classifier_eval,
         "bm25_topk": _q_bm25_topk,
+        "output_shard_plan": _q_output_shard_plan,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3120,6 +3128,24 @@ SELECT n_docs, tp, fp, fn, tn,
 FROM cm
 """,
         "bm25_topk": _oracle_bm25(),
+        "output_shard_plan": f"""
+WITH k AS (
+  SELECT doc_id, cast(n_chars AS bigint) AS b,
+         cast({dedup.hex_to_bigint_sql("'shard-v1' || cast(doc_id AS varchar)")} % {curation.SHARD_PLAN_WRITERS} AS int) AS writer,
+         md5('shard-v1' || cast(doc_id AS varchar)) AS key
+  FROM documents
+),
+c AS (
+  SELECT writer, b,
+         coalesce(sum(b) OVER (PARTITION BY writer ORDER BY key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM k
+)
+SELECT writer, cast(cumb // {curation.SHARD_PLAN_TARGET_BYTES} AS bigint) AS file_seq,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(b) AS bigint) AS file_bytes
+FROM c GROUP BY 1, 2
+""",
         "domain_blocklist": f"""
 WITH hosts AS (
   SELECT doc_id,

@@ -876,3 +876,72 @@ def quality_classifier_eval(df: DataFrame) -> DataFrame:
         F.expr("(tp * 10000) div greatest(tp + fp, 1)").alias("precision_x10000"),
         F.expr("(tp * 10000) div greatest(tp + fn, 1)").alias("recall_x10000"),
     )
+
+
+# --- balanced output-shard planning ---------------------------------------
+
+SHARD_PLAN_WRITERS = 8
+SHARD_PLAN_TARGET_BYTES = 4096
+
+
+def output_shard_plan(
+    df: DataFrame,
+    n_writers: int = SHARD_PLAN_WRITERS,
+    target_bytes: int = SHARD_PLAN_TARGET_BYTES,
+    bytes_col: str = "n_chars",
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Size-balanced output-file layout for the corpus — the WRITE-side
+    twin of ``operators.extract.salted_repartition``: at 100 TB the
+    bottleneck after the last transform is writers producing wildly
+    uneven parquet files (HDFS/S3 small-file storms at one end,
+    un-splittable multi-GB files at the other), so production jobs plan
+    the layout instead of letting arrival order decide it.
+
+    Deterministic, content-keyed, two-level:
+
+    - ``writer = md5(doc_id) % n_writers`` routes every document to a
+      writer group independent of ingest order (a skewed upstream
+      partition cannot concentrate bytes on one writer);
+    - within a writer, docs are laid out in md5-key order and a file
+      rolls when the bytes laid out so far reach ``target_bytes``:
+      ``file_seq = cum_bytes_before div target_bytes`` — the standard
+      streaming-writer roll policy, expressed as one window.
+
+    Returns one row per planned file ``(writer, file_seq, n_docs,
+    file_bytes)``.  Every file except a writer's last lands strictly
+    inside ``(target_bytes − max_doc_bytes, target_bytes +
+    max_doc_bytes)`` — each file boundary is within one document of its
+    nominal offset, so imbalance is bounded by data, not by luck.
+
+    Scale shape: ONE Exchange on ``writer`` (the window and the final
+    groupBy share it); the per-writer sort is each writer's own file
+    layout — exactly the work a writer does anyway — and no global
+    sort or driver pass exists.  ``bytes_col`` is whatever byte
+    accounting the caller trusts (here ``n_chars``; an ASCII corpus).
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    k = df.select(
+        "doc_id",
+        F.col(bytes_col).cast("bigint").alias("b"),
+        (_md5_bigint("doc_id", salt) % n_writers).cast("int").alias("writer"),
+        key.alias("k"),
+    )
+    w = (
+        Window.partitionBy("writer")
+        .orderBy(F.col("k").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = k.withColumn("cumb", F.coalesce(F.sum("b").over(w), F.lit(0)))
+    return (
+        c.groupBy(
+            "writer",
+            F.expr(f"cumb div {target_bytes}").cast("bigint").alias("file_seq"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("b").cast("bigint").alias("file_bytes"),
+        )
+    )

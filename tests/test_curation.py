@@ -741,3 +741,62 @@ class TestLog2Fx:
 
         with _pytest.raises(ValueError):
             log2_fx_int(0)
+
+
+class TestOutputShardPlan:
+    """Balanced writer layout: roll-policy byte bounds, contiguous file
+    sequences, byte conservation, parallelism invariance."""
+
+    def _corpus(self, spark, n=400, parts=4):
+        rows = [(i, (i * 37) % 900 + 20) for i in range(n)]
+        return spark.createDataFrame(
+            rows, ["doc_id", "n_chars"]
+        ).repartition(parts)
+
+    def test_roll_policy_bounds_and_conservation(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            output_shard_plan,
+        )
+
+        docs = self._corpus(spark)
+        target = 4096
+        plan = output_shard_plan(docs, target_bytes=target).collect()
+        max_doc = max(r[1] for r in docs.collect())
+        total = sum(r[1] for r in docs.collect())
+        assert sum(r["file_bytes"] for r in plan) == total
+        by_writer = {}
+        for r in plan:
+            by_writer.setdefault(r["writer"], []).append(r)
+        for writer, files in by_writer.items():
+            seqs = sorted(r["file_seq"] for r in files)
+            assert seqs == list(range(len(seqs)))  # contiguous from 0
+            last = max(seqs)
+            for r in files:
+                if r["file_seq"] != last:
+                    # every boundary is within one document of nominal
+                    assert target - max_doc < r["file_bytes"] < target + max_doc
+
+    def test_parallelism_invariant(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            output_shard_plan,
+        )
+
+        a = output_shard_plan(self._corpus(spark, parts=1)).collect()
+        b = output_shard_plan(self._corpus(spark, parts=16)).collect()
+        key = lambda r: (r["writer"], r["file_seq"])
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_single_exchange(self, spark):
+        """The writer-keyed window and the final groupBy share one
+        Exchange; routing adds no shuffle of its own."""
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            output_shard_plan,
+        )
+
+        rows = [(i, (i * 37) % 900 + 20) for i in range(50)]
+        docs = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+        df = output_shard_plan(docs)
+        plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert plan.count("Exchange (") == 1
