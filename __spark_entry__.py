@@ -1143,6 +1143,28 @@ def _q_output_shard_plan(spark, sf_dir):
     return curation.output_shard_plan(_docs(spark, sf_dir))
 
 
+PROFILE_ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _q_table_profile(spark, sf_dir):
+    """Ingestion trust check: per-column null/cardinality/range profile
+    of the orders table in ONE aggregation (typed min/max, exact
+    distincts via a single Expand).  Floats are excluded by design —
+    their stringification is not dialect-portable."""
+    from deepseek_ocr_customvllm_spark.operators.profile import table_profile
+
+    _ensure_utc(spark)
+    return table_profile(
+        load_table(spark, sf_dir, "orders"), PROFILE_ORDERS_COLS
+    )
+
+
 def _log2fx_duck_ctes(
     src: str, inputs: dict, keys: str = "bucket", f: int = 8
 ) -> str:
@@ -1778,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_eval": _q_quality_classifier_eval,
         "bm25_topk": _q_bm25_topk,
         "output_shard_plan": _q_output_shard_plan,
+        "table_profile": _q_table_profile,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3128,6 +3151,14 @@ SELECT n_docs, tp, fp, fn, tn,
 FROM cm
 """,
         "bm25_topk": _oracle_bm25(),
+        "table_profile": "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS col_name, cast(count(*) AS bigint) AS n_rows,
+  cast(count({c}) AS bigint) AS n_nonnull,
+  cast(count(DISTINCT {c}) AS bigint) AS n_distinct,
+  cast(min({c}) AS varchar) AS min_val, cast(max({c}) AS varchar) AS max_val
+FROM orders"""
+            for c in PROFILE_ORDERS_COLS
+        ),
         "output_shard_plan": f"""
 WITH k AS (
   SELECT doc_id, cast(n_chars AS bigint) AS b,

@@ -2456,3 +2456,29 @@ class TestBm25TopK:
         assert bm25_topk(empty).collect() == []
         miss = spark.createDataFrame([(1, "nothing relevant")], ["doc_id", "text"])
         assert bm25_topk(miss, query_terms=("absent",)).collect() == []
+
+
+class TestTableProfile:
+    """Generic ingestion profiler: typed min/max, exact distincts, null
+    accounting, one aggregation statement."""
+
+    def test_nulls_types_and_cardinality(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.profile import table_profile
+
+        rows = [(1, "a", 10), (2, None, 9), (3, "a", None), (4, "b", 100)]
+        df = spark.createDataFrame(rows, "id bigint, s string, v bigint")
+        got = {r["col_name"]: r for r in table_profile(df, ["s", "v"]).collect()}
+        s, v = got["s"], got["v"]
+        assert (s["n_rows"], s["n_nonnull"], s["n_distinct"]) == (4, 3, 2)
+        assert (s["min_val"], s["max_val"]) == ("a", "b")
+        # typed min/max: 9 < 10 < 100 numerically, not lexicographically
+        assert (v["min_val"], v["max_val"]) == ("9", "100")
+        assert (v["n_nonnull"], v["n_distinct"]) == (3, 3)
+
+    def test_requires_columns(self, spark):
+        import pytest as _pytest
+        from deepseek_ocr_customvllm_spark.operators.profile import table_profile
+
+        df = spark.createDataFrame([(1,)], ["id"])
+        with _pytest.raises(ValueError):
+            table_profile(df, [])
