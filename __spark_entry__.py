@@ -1143,6 +1143,45 @@ def _q_output_shard_plan(spark, sf_dir):
     return curation.output_shard_plan(_docs(spark, sf_dir))
 
 
+def _q_unicode_normalize(spark, sf_dir):
+    """ftfy-style unicode hygiene over the planted accented corpus: NFC
+    composition (Arrow pandas_udf vs DuckDB utf8proc — two independent
+    Unicode implementations must agree byte-for-byte), change flag, and
+    JVM-side mojibake detection.  Narrow map, no shuffle."""
+    from deepseek_ocr_customvllm_spark.operators.scrub import (
+        accented_corpus,
+        unicode_normalize,
+    )
+
+    return unicode_normalize(accented_corpus(_docs(spark, sf_dir)))
+
+
+def _oracle_unicode_normalize() -> str:
+    from deepseek_ocr_customvllm_spark.operators.scrub import (
+        MOJI_TAIL,
+        MOJIBAKE_MARKERS,
+        NFC_TAIL,
+        NFD_TAIL,
+    )
+
+    detect = " OR ".join(
+        f"contains(text, '{m}')" for m in MOJIBAKE_MARKERS
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 5 = 0 THEN '{NFD_TAIL}' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN '{NFC_TAIL}' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN '{MOJI_TAIL}' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id, nfc_normalize(text) AS text_nfc,
+       nfc_normalize(text) <> text AS nfc_changed,
+       ({detect}) AS mojibake_suspect
+FROM aug
+"""
+
+
 PROFILE_ORDERS_COLS = [
     "o_orderkey",
     "o_custkey",
@@ -1801,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "output_shard_plan": _q_output_shard_plan,
         "table_profile": _q_table_profile,
+        "unicode_normalize": _q_unicode_normalize,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3151,6 +3191,7 @@ SELECT n_docs, tp, fp, fn, tn,
 FROM cm
 """,
         "bm25_topk": _oracle_bm25(),
+        "unicode_normalize": _oracle_unicode_normalize(),
         "table_profile": "\nUNION ALL\n".join(
             f"""SELECT '{c}' AS col_name, cast(count(*) AS bigint) AS n_rows,
   cast(count({c}) AS bigint) AS n_nonnull,

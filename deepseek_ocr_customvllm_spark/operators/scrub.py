@@ -36,8 +36,10 @@ evaluate identically; the oracles reuse the same pattern strings.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.columns import norm_text
 
@@ -402,4 +404,94 @@ def synthetic_hosts(docs: DataFrame) -> DataFrame:
             " CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'"
             " ELSE 'net' END)"
         ).alias("host"),
+    )
+
+
+# --- unicode normalization (the ftfy-style pass) ---------------------------
+
+# Classic CP1252/latin-1 double-encoding artifacts (the UTF-8 bytes of a
+# common non-ASCII char re-read as latin-1).  Literal substrings, not
+# regex — identical `contains` semantics in every engine.
+MOJIBAKE_MARKERS = (
+    "\u00c3\u00a9",  # '\u00e9' double-encoded (renders as A-tilde + copyright)
+    "\u00c3\u00a8",  # '\u00e8'
+    "\u00c3\u00bc",  # '\u00fc'
+    "\u00c3\u00b1",  # '\u00f1'
+    "\u00e2\u0080",  # CP1252 punctuation family prefix (\u2019 \u201c \u2013 ...)
+)
+
+# Deterministic non-ASCII tails planted by accented_corpus; the oracle
+# replays them as the same Python-string literals spliced into SQL.
+NFD_TAIL = " nfd:cafe\u0301"  # e + COMBINING ACUTE -> NFC composes
+NFC_TAIL = " nfc:caf\u00e9"  # already composed: must NOT change
+MOJI_TAIL = " moji:test\u00c3\u00a9end"  # 'é' double-encoded
+
+
+def accented_corpus(df: DataFrame) -> DataFrame:
+    """Documents with planted decomposed / composed / mojibake tails
+    (``doc_id % 5 / % 11 / % 7``), so the normalization operator has
+    guaranteed positives AND guaranteed must-not-change rows."""
+    tail5 = F.when(F.col("doc_id") % 5 == 0, F.lit(NFD_TAIL)).otherwise(
+        F.lit("")
+    )
+    tail11 = F.when(F.col("doc_id") % 11 == 0, F.lit(NFC_TAIL)).otherwise(
+        F.lit("")
+    )
+    tail7 = F.when(F.col("doc_id") % 7 == 0, F.lit(MOJI_TAIL)).otherwise(
+        F.lit("")
+    )
+    return df.select(
+        "doc_id",
+        F.concat(F.col("text"), tail5, tail11, tail7).alias("text"),
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _nfc(s: pd.Series) -> pd.Series:
+    """Vectorized NFC canonical composition (module level so the
+    pandas_udf type hints resolve — see operators/udfs.py)."""
+    import unicodedata
+
+    return pd.Series(
+        [None if t is None else unicodedata.normalize("NFC", t) for t in s]
+    )
+
+
+def unicode_normalize(df: DataFrame) -> DataFrame:
+    """Unicode hygiene over ``(doc_id, text)`` — the normalization pass
+    (cf. ftfy; CCNet and C4 both NFC-normalize before hashing) that
+    must run before any exact dedup: ``'café'`` in NFD and NFC hash to
+    different fingerprints while rendering identically, so an
+    un-normalized corpus leaks duplicates straight through
+    ``dedup_exact``.
+
+    Returns ``(doc_id, text_nfc, nfc_changed, mojibake_suspect)``:
+
+    - ``text_nfc`` — NFC canonical composition via a vectorized Arrow
+      ``pandas_udf`` (Spark has no JVM-side NFC builtin and per-row
+      Python is banned; this is the sanctioned slow-path tier, same
+      class as ``compression_quality``).  The DuckDB oracle's utf8proc
+      ``nfc_normalize`` must agree byte-for-byte — both implement the
+      same Unicode canonical composition.
+    - ``nfc_changed`` — byte-level change flag (the dedup-leak signal).
+    - ``mojibake_suspect`` — literal-substring detector for the classic
+      CP1252 double-encoding artifacts (detection is cheap and
+      JVM-side; *repair* is a policy decision left to the caller).
+
+    Scale shape: a narrow map — no shuffle, no state; the UDF is one
+    Arrow batch round-trip per partition.
+    """
+    suspect = F.lit(False)
+    for m in MOJIBAKE_MARKERS:
+        suspect = suspect | F.col("text").contains(F.lit(m))
+    return df.select(
+        "doc_id",
+        _nfc(F.col("text")).alias("text_nfc"),
+        "text",
+        suspect.alias("mojibake_suspect"),
+    ).select(
+        "doc_id",
+        "text_nfc",
+        (F.col("text_nfc") != F.col("text")).alias("nfc_changed"),
+        "mojibake_suspect",
     )

@@ -412,3 +412,54 @@ class TestDomainBlocklist:
             out._jdf.queryExecution(), "formatted"
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestUnicodeNormalize:
+    """ftfy-style hygiene pass: NFC composes decomposed text, leaves
+    composed text alone, flags CP1252 double-encoding artifacts."""
+
+    def test_planted_tails(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.scrub import (
+            MOJI_TAIL,
+            NFC_TAIL,
+            NFD_TAIL,
+            accented_corpus,
+            unicode_normalize,
+        )
+
+        # doc 35: %5 and %7 -> NFD + mojibake; doc 55: %5 and %11;
+        # doc 77: %7 and %11; doc 1: plain ascii
+        rows = [(1, "plain"), (35, "a"), (55, "b"), (77, "c")]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: r
+            for r in unicode_normalize(accented_corpus(docs)).collect()
+        }
+        assert got[1]["nfc_changed"] is False
+        assert got[1]["mojibake_suspect"] is False
+        assert got[1]["text_nfc"] == "plain"
+        # NFD tail composes: 'cafe' + U+0301 -> 'café'
+        assert got[35]["nfc_changed"] is True
+        assert got[35]["text_nfc"].endswith("café" + MOJI_TAIL)
+        assert got[35]["mojibake_suspect"] is True
+        # NFC tail alone: byte-stable, not suspect
+        assert got[55]["nfc_changed"] is True  # has the %5 NFD tail too
+        assert got[77]["nfc_changed"] is False  # NFC + moji tails only
+        assert got[77]["mojibake_suspect"] is True
+        assert got[77]["text_nfc"] == "c" + NFC_TAIL + MOJI_TAIL
+
+    def test_idempotent_and_null_safe(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.scrub import (
+            unicode_normalize,
+        )
+
+        rows = [(1, "café nfd"), (2, None)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        once = unicode_normalize(docs)
+        got = {r["doc_id"]: r for r in once.collect()}
+        assert got[1]["text_nfc"] == "café nfd"
+        assert got[2]["text_nfc"] is None
+        twice = unicode_normalize(
+            once.select("doc_id", once["text_nfc"].alias("text"))
+        ).collect()
+        assert all(r["nfc_changed"] is False for r in twice if r["doc_id"] == 1)
