@@ -1182,6 +1182,57 @@ FROM aug
 """
 
 
+def _q_outlink_summary(spark, sf_dir):
+    """WAT-style outlink extraction over the synthetic HTML corpus:
+    per-page ``<a href>`` + anchor-text scan (JVM regex, map-only) →
+    link-target popularity rollup.  The oracle is a pure-Python ``re``
+    twin over the same pure-function corpus, so a green row proves the
+    whole distributed path — binary cast, regexp_extract_all, transform,
+    explode, one Exchange — against an independent regex engine."""
+    from deepseek_ocr_customvllm_spark.sources.pages import synth_pages_df
+
+    return graph.outlink_summary(synth_pages_df(spark, 300))
+
+
+def _oracle_outlink_summary(n_docs: int = 300) -> str:
+    import re
+
+    from deepseek_ocr_customvllm_spark.operators.graph import (
+        A_TAG_RE,
+        ANCHOR_RE,
+        HREF_RE,
+        URL_HOST_RE,
+    )
+    from deepseek_ocr_customvllm_spark.sources.pagegen import synth_page
+
+    agg: dict[str, list] = {}
+    for i in range(n_docs):
+        r = synth_page(i)
+        html = r["html"].decode("utf-8", errors="replace")
+        if not html.startswith("<html"):
+            continue
+        host = re.match(URL_HOST_RE, r["url"]).group(1)
+        for tag in re.findall(A_TAG_RE, html):
+            href_m = re.search(HREF_RE, tag)
+            anchor_m = re.search(ANCHOR_RE, tag)
+            href = href_m.group(1) if href_m else ""
+            anchor = anchor_m.group(1) if anchor_m else ""
+            a = agg.setdefault(href, [0, set(), set(), anchor])
+            a[0] += 1
+            a[1].add(host)
+            a[2].add(r["url"])
+            a[3] = min(a[3], anchor)
+    rows = [
+        (href, a[0], len(a[1]), len(a[2]), a[3])
+        for href, a in sorted(agg.items())
+    ]
+    return _values_oracle(
+        rows,
+        ["href", "n_links", "n_hosts", "n_pages", "sample_anchor"],
+        {"n_links": "bigint", "n_hosts": "bigint", "n_pages": "bigint"},
+    )
+
+
 PROFILE_ORDERS_COLS = [
     "o_orderkey",
     "o_custkey",
@@ -1841,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "output_shard_plan": _q_output_shard_plan,
         "table_profile": _q_table_profile,
         "unicode_normalize": _q_unicode_normalize,
+        "outlink_summary": _q_outlink_summary,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3192,6 +3244,7 @@ FROM cm
 """,
         "bm25_topk": _oracle_bm25(),
         "unicode_normalize": _oracle_unicode_normalize(),
+        "outlink_summary": _oracle_outlink_summary(),
         "table_profile": "\nUNION ALL\n".join(
             f"""SELECT '{c}' AS col_name, cast(count(*) AS bigint) AS n_rows,
   cast(count({c}) AS bigint) AS n_nonnull,

@@ -197,3 +197,82 @@ def host_pagerank_oracle_sql(
         + ",\n".join(ctes)
         + f"\nSELECT 'h' || cast(h AS varchar) AS host, rank FROM r{iters}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real outlink extraction (the WAT path)
+# ---------------------------------------------------------------------------
+
+# The host-graph section above notes its synthetic edge structure is "a
+# stand-in for a real outlink extraction"; this closes that gap.  Common
+# Crawl ships exactly this derivation as its WAT sidecar files (per-page
+# outlink + anchor-text metadata extracted from the WARC HTML), and the
+# host webgraph that `host_pagerank` models is aggregated FROM it.  The
+# reference repo has no corpus-level link view (it serves one uploaded
+# document at a time); at 10^12-document scale the link table is a
+# first-class curation input, so the rebuild adds it.
+#
+# Engine-portability contract: the three regexes below are deliberately
+# restricted to single-character classes + literals (no backreferences,
+# no lookaround, no alternation) so Java `regexp_extract_all`, DuckDB
+# RE2, and Python `re` (the VALUES-oracle twin) agree exactly.
+
+A_TAG_RE = "<a [^>]*>[^<]*</a>"
+HREF_RE = "href=[\"']([^\"']*)[\"']"
+ANCHOR_RE = ">([^<]*)<"
+URL_HOST_RE = "^https?://([^/]+)"
+
+
+def page_outlinks(pages: DataFrame) -> DataFrame:
+    """Per-page outlink table ``(url, host, href, anchor)`` — one row per
+    ``<a>`` tag, extracted entirely JVM-side.
+
+    Content dispatch mirrors the engine's magic-byte gate: only
+    documents whose bytes open with ``<html`` are scanned (PDF / blank /
+    tag-soup rows fall through, same families `extractor.engine`
+    quarantines).  The scan itself is ``regexp_extract_all`` over the
+    UTF-8 cast plus a ``transform`` that pulls href + anchor out of each
+    tag — a narrow projection with NO shuffle, no Python, and whole-stage
+    codegen all the way down, so at 10^12 documents it is pure map work
+    that scales with input splits.
+    """
+    h = F.col("html").cast("string")
+    tags = F.regexp_extract_all(h, F.lit(A_TAG_RE), F.lit(0))
+    links = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, HREF_RE, 1).alias("href"),
+            F.regexp_extract(t, ANCHOR_RE, 1).alias("anchor"),
+        ),
+    )
+    return (
+        pages.where(h.startswith("<html"))
+        .select(
+            "url",
+            F.regexp_extract("url", URL_HOST_RE, 1).alias("host"),
+            F.explode(links).alias("l"),
+        )
+        .select("url", "host", F.col("l.href").alias("href"), F.col("l.anchor").alias("anchor"))
+    )
+
+
+def outlink_summary(pages: DataFrame) -> DataFrame:
+    """Link-target popularity rollup ``(href, n_links, n_hosts, n_pages,
+    sample_anchor)`` — the aggregate a crawl frontier reads to decide
+    which targets are navigational boilerplate (every host links them)
+    versus content.
+
+    One Exchange on ``href`` after the map-only extraction;
+    ``sample_anchor`` is ``min(anchor)`` so the value is deterministic
+    at any parallelism.
+    """
+    return (
+        page_outlinks(pages)
+        .groupBy("href")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct("url").alias("n_pages"),
+            F.min("anchor").alias("sample_anchor"),
+        )
+    )

@@ -332,3 +332,66 @@ class TestWarcStreamingExtraction:
         state = store.read().collect()
         assert len(state) == 40
         assert all(r["attempt"] == 1 for r in state)
+
+
+class TestOutlinkExtraction:
+    """WAT-path link extraction: JVM regex over the binary html column."""
+
+    def _pages(self, spark, rows):
+        return spark.createDataFrame(
+            [(u, dt.datetime(2025, 1, 1), h, None, "en") for u, h in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    def test_extracts_hrefs_both_quote_styles(self, spark):
+        html = (
+            b"<html><body>"
+            b'<a href="/about">About</a>'
+            b"<a href='/contact'>Contact Us</a>"
+            b'<a class="x" href="/blog">Blog</a>'
+            b"</body></html>"
+        )
+        out = graph.page_outlinks(
+            self._pages(spark, [("https://ex-1.test/doc/1", html)])
+        ).collect()
+        got = {(r["href"], r["anchor"]) for r in out}
+        assert got == {
+            ("/about", "About"),
+            ("/contact", "Contact Us"),
+            ("/blog", "Blog"),
+        }
+        assert all(r["host"] == "ex-1.test" for r in out)
+
+    def test_non_html_and_torn_pages_skipped(self, spark):
+        rows = [
+            ("https://a.test/1", b"%PDF-1.4 fake"),
+            ("https://a.test/2", b""),
+            ("https://a.test/3", b"<html><body><p>torn <div><span"),
+        ]
+        assert graph.page_outlinks(self._pages(spark, rows)).count() == 0
+
+    def test_summary_counts_distinct_hosts_and_pages(self, spark):
+        html = b'<html><body><a href="/t">x</a><a href="/t">y</a></body></html>'
+        rows = [
+            ("https://h1.test/1", html),
+            ("https://h1.test/2", html),
+            ("https://h2.test/1", html),
+        ]
+        got = graph.outlink_summary(self._pages(spark, rows)).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["href"], r["n_links"], r["n_hosts"], r["n_pages"]) == (
+            "/t",
+            6,
+            2,
+            3,
+        )
+        assert r["sample_anchor"] == "x"
+
+    def test_map_only_extraction_plan(self, spark):
+        """page_outlinks must be shuffle-free (pure map work at 10^12)."""
+        pages = synth_pages_df(spark, 12)
+        plan = pages.sparkSession._jvm.PythonSQLUtils.explainString(
+            graph.page_outlinks(pages)._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan
