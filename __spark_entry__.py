@@ -1233,6 +1233,79 @@ def _oracle_outlink_summary(n_docs: int = 300) -> str:
     )
 
 
+def _q_curation_funnel(spark, sf_dir):
+    """Stage-by-stage survival funnel of the standard curation cascade
+    (nonempty → lang_id → Gopher thresholds → exact dedup), the
+    RefinedWeb/FineWeb-style per-dump report, over the planted funnel
+    probes (passes-everything rows, exact twins, lang-pass/Gopher-fail
+    bullet poison) so every stage has guaranteed hits.  One corpus scan
+    for all flags, one fp-keyed aggregate+join, one 1-row agg → stack."""
+    return curation.curation_funnel(
+        curation.funnel_corpus(_docs(spark, sf_dir))
+    )
+
+
+def _oracle_curation_funnel() -> str:
+    good = curation.FUNNEL_GOOD
+    poison = curation.FUNNEL_POISON.replace("\n", "' || chr(10) || '")
+    return f"""
+WITH fun AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, '{good} v' || cast(doc_id AS varchar)
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, '{good} v' || cast(doc_id AS varchar)
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 5000000, '{poison} v' || cast(doc_id AS varchar)
+  FROM documents WHERE doc_id % 5 = 0
+),
+norm AS (SELECT doc_id, text, {_NORM_DUCK} AS t FROM fun),
+m AS (
+  SELECT doc_id, t, md5(t) AS fp,
+    CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_tok,
+    len(regexp_extract_all(t, '{_STOP_RE}')) AS n_stop,
+    length(regexp_replace(t, ' ', '', 'g')) AS n_word_chars,
+    length(t) - length(regexp_replace(t, '#', '', 'g'))
+      + len(regexp_extract_all(t, '\\.\\.\\.')) AS n_symbols,
+    len(string_split(text, chr(10))) AS n_lines,
+    len(list_filter(string_split(text, chr(10)),
+                    l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS n_bullets,
+    len(string_split(text, chr(10)))
+      - len(list_distinct(string_split(text, chr(10)))) AS n_dup
+  FROM norm
+),
+f AS (
+  SELECT doc_id, fp,
+    (t <> '') AS s1,
+    (t <> '') AND (n_stop * 10 >= n_tok) AS s2,
+    (t <> '') AND (n_stop * 10 >= n_tok)
+      AND (3 * n_tok <= n_word_chars) AND (n_word_chars <= 10 * n_tok)
+      AND (10 * n_symbols <= n_tok)
+      AND (10 * n_bullets <= 9 * n_lines)
+      AND (10 * n_dup <= 3 * n_lines) AS s3
+  FROM m
+),
+keepers AS (
+  SELECT fp, min(doc_id) AS keep_doc_id FROM f WHERE s3 GROUP BY fp
+),
+agg AS (
+  SELECT count(*) AS n0,
+         cast(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS bigint) AS n1,
+         cast(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS bigint) AS n2,
+         cast(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS bigint) AS n3,
+         cast(sum(CASE WHEN s3 AND doc_id = keep_doc_id THEN 1 ELSE 0 END)
+              AS bigint) AS n4
+  FROM f LEFT JOIN keepers USING (fp)
+)
+SELECT cast(1 AS int) AS stage_idx, 'nonempty' AS stage, n0 AS n_in, n1 AS n_kept FROM agg
+UNION ALL SELECT 2, 'lang_en', n1, n2 FROM agg
+UNION ALL SELECT 3, 'gopher_keep', n2, n3 FROM agg
+UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM agg
+"""
+
+
 PROFILE_ORDERS_COLS = [
     "o_orderkey",
     "o_custkey",
@@ -1893,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "unicode_normalize": _q_unicode_normalize,
         "outlink_summary": _q_outlink_summary,
+        "curation_funnel": _q_curation_funnel,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3245,6 +3319,7 @@ FROM cm
         "bm25_topk": _oracle_bm25(),
         "unicode_normalize": _oracle_unicode_normalize(),
         "outlink_summary": _oracle_outlink_summary(),
+        "curation_funnel": _oracle_curation_funnel(),
         "table_profile": "\nUNION ALL\n".join(
             f"""SELECT '{c}' AS col_name, cast(count(*) AS bigint) AS n_rows,
   cast(count({c}) AS bigint) AS n_nonnull,

@@ -945,3 +945,136 @@ def output_shard_plan(
             F.sum("b").cast("bigint").alias("file_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel telemetry
+# ---------------------------------------------------------------------------
+
+def curation_funnel(docs: DataFrame) -> DataFrame:
+    """Stage-by-stage survival funnel of the standard curation cascade —
+    the single report a production corpus team watches per crawl dump
+    (RefinedWeb Fig. 2 and FineWeb both publish exactly this shape:
+    docs surviving each gate, in gate order).
+
+    Stages, cumulative (each applies to the previous stage's
+    survivors):
+
+    1. ``nonempty``    — normalized text is non-blank
+    2. ``lang_en``     — the `textstats.lang_id` stopword rule
+       (``10 * n_stopwords >= n_ws_tokens``)
+    3. ``gopher_keep`` — the four Gopher thresholds, applied
+       *integer-exactly* (``3*w <= chars <= 10*w`` etc.) so the gate is
+       engine-portable without `dtrunc`; same thresholds as
+       `textstats.gopher_quality`, sharper semantics at the boundary
+    4. ``exact_dedup`` — md5(norm) canonical (min ``doc_id``) among the
+       stage-3 survivors
+
+    Returns one row per stage: ``(stage_idx, stage, n_in, n_kept)``.
+
+    Scale shape: ONE corpus scan computes every per-doc flag
+    (whole-stage codegen, no UDF); the dedup stage adds one
+    fingerprint-keyed aggregate + join (both sides hash-partitioned on
+    ``fp``); the funnel itself is a single 1-row aggregate exploded to
+    stage rows with ``stack`` — at 10^12 docs nothing but the
+    fingerprint Exchange moves data.
+    """
+    from .textstats import BULLET_LINE_RE, STOPWORD_PATTERN
+
+    d = with_norm(docs)
+    t = F.col("t")
+    n_tok = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
+    n_stop = F.size(
+        F.regexp_extract_all(t, F.lit(STOPWORD_PATTERN), F.lit(0))
+    )
+    n_word_chars = F.length(F.regexp_replace(t, " ", ""))
+    n_symbols = (
+        F.length(t)
+        - F.length(F.regexp_replace(t, "#", ""))
+        + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), F.lit(0)))
+    )
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    n_bullets = F.size(F.filter(lines, lambda ln: ln.rlike(BULLET_LINE_RE)))
+    n_dup = n_lines - F.size(F.array_distinct(lines))
+
+    s1 = t != ""
+    s2 = s1 & (n_stop * 10 >= n_tok)
+    gopher_ok = (
+        (3 * n_tok <= n_word_chars)
+        & (n_word_chars <= 10 * n_tok)
+        & (10 * n_symbols <= n_tok)
+        & (10 * n_bullets <= 9 * n_lines)
+        & (10 * n_dup <= 3 * n_lines)
+    )
+    s3 = s2 & gopher_ok
+
+    flagged = d.select(
+        "doc_id",
+        F.md5(t).alias("fp"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        s3.alias("s3"),
+    )
+    keepers = (
+        flagged.where(F.col("s3"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+    s4 = F.col("s3") & (F.col("doc_id") == F.col("keep_doc_id"))
+    agg = (
+        flagged.join(keepers, "fp", "left")
+        .agg(
+            F.count("*").alias("n0"),
+            F.sum(F.col("s1").cast("bigint")).alias("n1"),
+            F.sum(F.col("s2").cast("bigint")).alias("n2"),
+            F.sum(F.col("s3").cast("bigint")).alias("n3"),
+            F.sum(s4.cast("bigint")).alias("n4"),
+        )
+    )
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " 1, 'nonempty',    n0, n1,"
+            " 2, 'lang_en',     n1, n2,"
+            " 3, 'gopher_keep', n2, n3,"
+            " 4, 'exact_dedup', n3, n4)"
+        ).alias("stage_idx", "stage", "n_in", "n_kept")
+    )
+
+
+# Constructed funnel-probe texts (pure ASCII literals, spliced verbatim
+# into the DuckDB oracle).  GOOD passes every gate: 6/12 stopword ratio,
+# mean word length ~3.4, no bullets/symbols/dup lines.  POISON passes
+# the language gate (10/30 stopwords) but fails Gopher twice: mean word
+# length 44/30 < 3 and 10 of 11 lines are bullets (> 0.9).
+FUNNEL_GOOD = "the data and spark to index in table of stream for batch"
+FUNNEL_POISON = (
+    "the and of to in the and of to in" + "\n- b" * 10
+)
+
+
+def funnel_corpus(docs: DataFrame) -> DataFrame:
+    """Documents plus planted funnel probes so every stage of
+    :func:`curation_funnel` has guaranteed hits: ``doc_id % 3`` adds a
+    passes-everything row (unique ``v<id>`` tail), ``doc_id % 6`` adds
+    an EXACT twin of that row (stage-4 drop), ``doc_id % 5`` adds a
+    lang-pass / Gopher-fail bullet-poison row (stage-3 drop).
+    Mirrored verbatim in the oracle's ``fun`` CTE."""
+    base = docs.select("doc_id", "text")
+    good_text = F.concat(
+        F.lit(FUNNEL_GOOD + " v"), F.col("doc_id").cast("string")
+    )
+    good = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), good_text.alias("text")
+    )
+    twin = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"), good_text.alias("text")
+    )
+    poison = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(
+            F.lit(FUNNEL_POISON + " v"), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    return base.unionByName(good).unionByName(twin).unionByName(poison)

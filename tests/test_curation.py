@@ -800,3 +800,68 @@ class TestOutputShardPlan:
             df._jdf.queryExecution(), "formatted"
         )
         assert plan.count("Exchange (") == 1
+
+
+class TestCurationFunnel:
+    """Stage semantics of the survival funnel on a constructed corpus."""
+
+    def _funnel(self, spark, rows):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            curation_funnel,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {
+            r["stage"]: (r["n_in"], r["n_kept"])
+            for r in curation_funnel(df).collect()
+        }
+
+    def test_each_stage_drops_its_own_family(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            FUNNEL_GOOD,
+            FUNNEL_POISON,
+        )
+
+        rows = [
+            (1, ""),  # dropped at nonempty
+            (2, FUNNEL_GOOD),  # survives everything
+            (3, FUNNEL_GOOD),  # exact twin: dropped at exact_dedup
+            (4, "zzz qqq www rrr"),  # no stopwords: dropped at lang_en
+            (5, FUNNEL_POISON),  # lang-pass, gopher-fail
+        ]
+        got = self._funnel(spark, rows)
+        assert got["nonempty"] == (5, 4)
+        assert got["lang_en"] == (4, 3)
+        assert got["gopher_keep"] == (3, 2)
+        assert got["exact_dedup"] == (2, 1)
+
+    def test_min_doc_id_is_the_canonical(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            FUNNEL_GOOD,
+            curation_funnel,
+        )
+
+        df = spark.createDataFrame(
+            [(9, FUNNEL_GOOD), (2, FUNNEL_GOOD), (5, FUNNEL_GOOD)],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r["stage"]: r["n_kept"] for r in curation_funnel(df).collect()
+        }
+        assert got["exact_dedup"] == 1
+
+    def test_funnel_is_monotone_on_real_corpus(self, spark, docs):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            curation_funnel,
+            funnel_corpus,
+        )
+
+        rows = sorted(
+            curation_funnel(funnel_corpus(docs)).collect(),
+            key=lambda r: r["stage_idx"],
+        )
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["n_in"] == prev["n_kept"]
+        assert all(r["n_kept"] <= r["n_in"] for r in rows)
+        # every stage discriminates on the probe corpus
+        assert all(r["n_kept"] < r["n_in"] for r in rows[1:])
