@@ -1306,6 +1306,45 @@ UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM agg
 """
 
 
+def _q_snapshot_term_drift(spark, sf_dir):
+    """Term-distribution drift (integer TV over ppm-quantized hashed-
+    unigram rates) between consecutive synthetic dumps — the data-shift
+    monitor next to snapshot_dedup_report's redundancy curve."""
+    return curation.snapshot_term_drift(_docs(spark, sf_dir))
+
+
+def _oracle_snapshot_term_drift(
+    dump_size: int = 100, n_buckets: int = 64, ppm: int = 1_000_000
+) -> str:
+    bucket = dedup.hex_to_bigint_sql("'drift-v1' || term", 8)
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM documents),
+toks AS (
+  SELECT doc_id // {dump_size} AS dump, unnest(string_split(t, ' ')) AS term
+  FROM norm WHERE t <> ''
+),
+counts AS (
+  SELECT dump, cast({bucket} % {n_buckets} AS int) AS bucket, count(*) AS c
+  FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+totals AS (SELECT dump, cast(sum(c) AS bigint) AS n_tok FROM counts GROUP BY 1),
+grid AS (
+  SELECT dump, n_tok, unnest(range(0, {n_buckets})) AS bucket FROM totals
+),
+rates AS (
+  SELECT g.dump, g.bucket, g.n_tok,
+         (coalesce(c.c, 0) * {ppm}) // g.n_tok AS rate
+  FROM grid g LEFT JOIN counts c ON c.dump = g.dump AND c.bucket = g.bucket
+)
+SELECT r1.dump AS dump_from, r2.dump AS dump_to,
+       r1.n_tok AS n_tok_from, r2.n_tok AS n_tok_to,
+       cast(sum(abs(r1.rate - r2.rate)) AS bigint) // 2 AS tv_ppm
+FROM rates r1 JOIN rates r2
+  ON r1.dump + 1 = r2.dump AND r1.bucket = r2.bucket
+GROUP BY 1, 2, 3, 4
+"""
+
+
 PROFILE_ORDERS_COLS = [
     "o_orderkey",
     "o_custkey",
@@ -1967,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_normalize": _q_unicode_normalize,
         "outlink_summary": _q_outlink_summary,
         "curation_funnel": _q_curation_funnel,
+        "snapshot_term_drift": _q_snapshot_term_drift,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3320,6 +3360,7 @@ FROM cm
         "unicode_normalize": _oracle_unicode_normalize(),
         "outlink_summary": _oracle_outlink_summary(),
         "curation_funnel": _oracle_curation_funnel(),
+        "snapshot_term_drift": _oracle_snapshot_term_drift(),
         "table_profile": "\nUNION ALL\n".join(
             f"""SELECT '{c}' AS col_name, cast(count(*) AS bigint) AS n_rows,
   cast(count({c}) AS bigint) AS n_nonnull,

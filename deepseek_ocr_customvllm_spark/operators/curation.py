@@ -1078,3 +1078,94 @@ def funnel_corpus(docs: DataFrame) -> DataFrame:
         ).alias("text"),
     )
     return base.unionByName(good).unionByName(twin).unionByName(poison)
+
+
+def snapshot_term_drift(
+    docs: DataFrame,
+    dump_size: int = 100,
+    n_buckets: int = 64,
+    salt: str = "drift-v1",
+    ppm: int = 1_000_000,
+    persist: bool = True,
+) -> DataFrame:
+    """Term-distribution drift between consecutive crawl snapshots —
+    the data-shift monitor a corpus team reads alongside
+    :func:`dedup.snapshot_dedup_report`'s redundancy curve (a dump whose
+    vocabulary distribution jumps is a crawl-config change, a seed-list
+    shift, or an extraction regression, long before model evals see it).
+
+    Documents map to synthetic dumps of ``dump_size`` consecutive
+    ``doc_id``s (the convention shared with ``snapshot_dedup_report`` /
+    ``incremental_dedup``); terms hash into ``n_buckets`` buckets (the
+    DSIR convention, same portable md5 hash).  Each dump's bucket
+    distribution is quantized to integer parts-per-million
+    (``(c * ppm) div n_tok``) and consecutive dumps are compared by
+    total-variation distance ``sum(|r1 - r2|) div 2`` — TV over the
+    quantized rates, so every compared value is a bigint: no float
+    summation order, no libm, engine-exact.  The ppm quantization is
+    also the scale story: per-bucket RATES stay bounded regardless of
+    corpus size, where raw-count cross-products (``c1*N2``) would
+    overflow bigint near 10^12-token dumps.
+
+    Returns one row per consecutive dump pair:
+    ``(dump_from, dump_to, n_tok_from, n_tok_to, tv_ppm)``.
+
+    Scale shape: one token explode → map-side-combined
+    ``(dump, bucket)`` counts (at most ``n_dumps × n_buckets`` rows
+    survive the combine); the dense grid, rates, pair join, and rollup
+    all run on that tiny aggregate — nothing downstream of the first
+    groupBy touches corpus-sized data.  The counts aggregate feeds FOUR
+    consumers (totals, the rates join, both sides of the pair
+    self-join), so it is localCheckpoint-ed by default
+    (``persist=True``, eager at construction) — without it Catalyst
+    re-runs the corpus explode once per consumer (plan-pinned in
+    ``tests/test_curation.py``).
+    """
+    d = with_norm(docs)
+    toks = (
+        d.filter(F.col("t") != "")
+        .select(
+            F.expr(f"doc_id div {int(dump_size)}").alias("dump"),
+            F.explode(F.split("t", " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    counts = (
+        toks.select(
+            "dump",
+            (_md5_bigint("term", salt) % n_buckets).cast("int").alias("bucket"),
+        )
+        .groupBy("dump", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    if persist:
+        counts = counts.localCheckpoint()
+    totals = counts.groupBy("dump").agg(F.sum("c").alias("n_tok"))
+    grid = totals.select(
+        "dump",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"),
+    )
+    rates = grid.join(counts, ["dump", "bucket"], "left").select(
+        "dump",
+        "bucket",
+        "n_tok",
+        F.expr(f"(coalesce(c, 0) * {int(ppm)}) div n_tok").alias("rate"),
+    )
+    r1, r2 = rates.alias("r1"), rates.alias("r2")
+    pairs = r1.join(
+        r2,
+        (F.col("r1.dump") + 1 == F.col("r2.dump"))
+        & (F.col("r1.bucket") == F.col("r2.bucket")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("r1.dump").alias("dump_from"),
+            F.col("r2.dump").alias("dump_to"),
+            F.col("r1.n_tok").alias("n_tok_from"),
+            F.col("r2.n_tok").alias("n_tok_to"),
+        )
+        .agg(
+            F.expr("sum(abs(r1.rate - r2.rate)) div 2").alias("tv_ppm")
+        )
+    )

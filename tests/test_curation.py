@@ -865,3 +865,52 @@ class TestCurationFunnel:
         assert all(r["n_kept"] <= r["n_in"] for r in rows)
         # every stage discriminates on the probe corpus
         assert all(r["n_kept"] < r["n_in"] for r in rows[1:])
+
+
+class TestSnapshotTermDrift:
+    """TV drift between dumps: near-zero for identically distributed
+    dumps, ~1e6 ppm for disjoint vocabularies."""
+
+    def test_disjoint_vocab_maxes_out(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            snapshot_term_drift,
+        )
+
+        # dump 0 (ids 0-9) speaks vocab A; dump 1 (ids 10-19) speaks
+        # the same; dump 2 (ids 20-29) speaks disjoint vocab B
+        rows = []
+        for i in range(30):
+            vocab = (
+                "alpha beta gamma delta"
+                if i < 20
+                else "omega sigma theta kappa"
+            )
+            rows.append((i, vocab))
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            (r["dump_from"], r["dump_to"]): r["tv_ppm"]
+            for r in snapshot_term_drift(df, dump_size=10).collect()
+        }
+        assert got[(0, 1)] == 0  # identical distributions
+        assert got[(1, 2)] >= 990_000  # disjoint: TV ~ 1.0 (ppm quantized)
+
+    def test_aggregate_only_downstream_plan(self, spark, docs):
+        """Everything after the first groupBy runs on the tiny
+        checkpointed (dump, bucket) aggregate — the corpus explode runs
+        once, not once per consumer (there are four)."""
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            snapshot_term_drift,
+        )
+
+        out = snapshot_term_drift(docs)
+        plan = out.sparkSession._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Scan parquet" not in plan  # only checkpoint scans remain
+        assert "Scan ExistingRDD" in plan
+
+        lazy = snapshot_term_drift(docs, persist=False)
+        lazy_plan = lazy.sparkSession._jvm.PythonSQLUtils.explainString(
+            lazy._jdf.queryExecution(), "formatted"
+        )
+        assert lazy_plan.count("Scan parquet") >= 4  # why persist defaults on
