@@ -1345,6 +1345,54 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def _q_script_profile(spark, sf_dir):
+    """Unicode-script histogram + priority-argmax dominant script over
+    the planted multi-script corpus (Cyrillic/CJK/Greek tails).  Literal
+    codepoint-range classes, so Java regex and RE2 count identically."""
+    return textstats.script_profile(
+        textstats.scripted_corpus(_docs(spark, sf_dir))
+    )
+
+
+def _oracle_script_profile() -> str:
+    from deepseek_ocr_customvllm_spark.operators.textstats import (
+        CJK_REPEAT,
+        CJK_TAIL,
+        CYR_TAIL,
+        GREEK_TAIL,
+        SCRIPT_PRIORITY,
+        SCRIPT_RANGES,
+    )
+
+    counts = ",\n         ".join(
+        f"length(regexp_replace(t, '[^{SCRIPT_RANGES[n]}]', '', 'g')) AS n_{n}"
+        for n in SCRIPT_PRIORITY
+    )
+    best = "greatest(" + ", ".join(f"n_{n}" for n in SCRIPT_PRIORITY) + ")"
+    dom = " ".join(
+        f"WHEN {best} > 0 AND n_{n} = {best} THEN '{n}'"
+        for n in SCRIPT_PRIORITY
+    )
+    return f"""
+WITH scripted AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 4 = 0 THEN '{CYR_TAIL}' ELSE '' END
+    || CASE WHEN doc_id % 9 = 0 THEN repeat('{CJK_TAIL}', {CJK_REPEAT}) ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN '{GREEK_TAIL}' ELSE '' END AS text
+  FROM documents
+),
+norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM scripted),
+c AS (
+  SELECT doc_id,
+         {counts}
+  FROM norm
+)
+SELECT doc_id, {", ".join(f"n_{n}" for n in SCRIPT_PRIORITY)},
+       CASE {dom} ELSE 'und' END AS dominant_script
+FROM c
+"""
+
+
 PROFILE_ORDERS_COLS = [
     "o_orderkey",
     "o_custkey",
@@ -2007,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_summary": _q_outlink_summary,
         "curation_funnel": _q_curation_funnel,
         "snapshot_term_drift": _q_snapshot_term_drift,
+        "script_profile": _q_script_profile,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3361,6 +3410,7 @@ FROM cm
         "outlink_summary": _oracle_outlink_summary(),
         "curation_funnel": _oracle_curation_funnel(),
         "snapshot_term_drift": _oracle_snapshot_term_drift(),
+        "script_profile": _oracle_script_profile(),
         "table_profile": "\nUNION ALL\n".join(
             f"""SELECT '{c}' AS col_name, cast(count(*) AS bigint) AS n_rows,
   cast(count({c}) AS bigint) AS n_nonnull,

@@ -995,3 +995,80 @@ def bm25_topk(
         score.cast("bigint").alias("score_fx"),
     ).filter(F.col("n_hit_terms") > 0)
     return scored.orderBy(F.col("score_fx").desc(), F.col("doc_id").asc()).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Unicode-script profile (multilingual curation signal)
+# ---------------------------------------------------------------------------
+
+# Explicit BMP codepoint ranges, NOT \p{Script} property classes: Java
+# regex and DuckDB's RE2 ship different Unicode table versions, but a
+# literal range class means the same characters in every engine (and in
+# the Python `re` twin used by unit tests).  All planted/expected chars
+# are BMP, where Spark's UTF-16 `length` and DuckDB's codepoint `length`
+# agree.
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",      # basic + Latin-1/Ext-A/B letters
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "cjk": "぀-ヿ一-鿿",  # kana + unified ideographs
+    "arabic": "؀-ۿ",
+}
+SCRIPT_PRIORITY = ["latin", "cyrillic", "greek", "cjk", "arabic"]
+
+# Planted non-Latin tails for the registry corpus (mirrored as literals
+# in the DuckDB oracle): every script class gets guaranteed positives,
+# and the %9 CJK tail is repeated so `dominant_script` genuinely flips.
+CYR_TAIL = " скрипт тест"  # "скрипт тест"
+CJK_TAIL = "漢字テスト"  # "漢字テスト"
+GREEK_TAIL = " δοκιμή"  # "δοκιμή"
+CJK_REPEAT = 150  # 750 CJK chars — dominates any base doc (max 553 chars)
+
+
+def scripted_corpus(df: DataFrame) -> DataFrame:
+    """Documents with planted script tails: ``doc_id % 4`` Cyrillic,
+    ``doc_id % 9`` CJK ×CJK_REPEAT (long enough to dominate), ``doc_id % 13``
+    Greek."""
+    tail4 = F.when(F.col("doc_id") % 4 == 0, F.lit(CYR_TAIL)).otherwise(
+        F.lit("")
+    )
+    tail9 = F.when(
+        F.col("doc_id") % 9 == 0, F.repeat(F.lit(CJK_TAIL), CJK_REPEAT)
+    ).otherwise(F.lit(""))
+    tail13 = F.when(F.col("doc_id") % 13 == 0, F.lit(GREEK_TAIL)).otherwise(
+        F.lit("")
+    )
+    return df.select(
+        "doc_id",
+        F.concat(F.col("text"), tail4, tail9, tail13).alias("text"),
+    )
+
+
+def script_profile(df: DataFrame) -> DataFrame:
+    """Per-document Unicode-script histogram + dominant script — the
+    signal multilingual curation uses before any model-based language
+    ID (fastText-style identifiers are gated on script agreement, and
+    script mixing inside one doc is itself a spam/mojibake indicator).
+
+    Counts characters per script class via ``length(regexp_replace)``
+    over literal codepoint ranges (pure JVM, whole-stage codegen);
+    ``dominant_script`` is the priority-ordered argmax, ``'und'`` when
+    no class matched.  A narrow map — no shuffle, no UDF, scales as
+    pure scan work.
+    """
+    t = norm_text()
+    counts = {
+        name: F.length(F.regexp_replace(t, f"[^{rng}]", ""))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    best = F.greatest(*[counts[n] for n in SCRIPT_PRIORITY])
+    dominant = F.lit("und")
+    for name in reversed(SCRIPT_PRIORITY):
+        dominant = F.when(
+            (best > 0) & (counts[name] == best), F.lit(name)
+        ).otherwise(dominant)
+    return df.select(
+        "doc_id",
+        *[counts[n].alias(f"n_{n}") for n in SCRIPT_PRIORITY],
+        dominant.alias("dominant_script"),
+    )
