@@ -1393,6 +1393,50 @@ FROM c
 """
 
 
+MIXTURE_BUDGET = 1_000_000
+
+
+def _q_mixture_plan(spark, sf_dir):
+    """GPT-3 Table-2.2-style mixture planner: per-source token quotas +
+    repeat/subsample factors from integer mixture weights (derived
+    deterministically from the source name so both engines build the
+    identical weights table)."""
+    docs = _docs(spark, sf_dir)
+    weights = docs.select("source").distinct().select(
+        "source",
+        F.expr("cast(substring(source, 4, 8) as bigint) % 5 + 1").alias(
+            "weight"
+        ),
+    )
+    return curation.mixture_plan(docs, weights, MIXTURE_BUDGET)
+
+
+def _oracle_mixture_plan() -> str:
+    return f"""
+WITH norm AS (SELECT source, {_NORM_DUCK} AS t FROM documents),
+toks AS (
+  SELECT source,
+         cast(sum(CASE WHEN t = '' THEN 0
+                       ELSE len(string_split(t, ' ')) END) AS bigint)
+           AS n_tokens
+  FROM norm GROUP BY 1
+),
+w AS (
+  SELECT source,
+         cast(substr(source, 4) AS bigint) % 5 + 1 AS weight
+  FROM (SELECT DISTINCT source FROM documents)
+),
+tw AS (SELECT cast(sum(weight) AS bigint) AS total_w FROM w)
+SELECT t.source, t.n_tokens, w.weight,
+       ({MIXTURE_BUDGET} * w.weight) // total_w AS target_tokens,
+       CASE WHEN t.n_tokens > 0
+            THEN ((({MIXTURE_BUDGET} * w.weight) // total_w) * 1000)
+                 // t.n_tokens
+            ELSE NULL END AS repeat_x1000
+FROM toks t JOIN w USING (source), tw
+"""
+
+
 PROFILE_ORDERS_COLS = [
     "o_orderkey",
     "o_custkey",
@@ -2056,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _q_curation_funnel,
         "snapshot_term_drift": _q_snapshot_term_drift,
         "script_profile": _q_script_profile,
+        "mixture_plan": _q_mixture_plan,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3411,6 +3456,7 @@ FROM cm
         "curation_funnel": _oracle_curation_funnel(),
         "snapshot_term_drift": _oracle_snapshot_term_drift(),
         "script_profile": _oracle_script_profile(),
+        "mixture_plan": _oracle_mixture_plan(),
         "table_profile": "\nUNION ALL\n".join(
             f"""SELECT '{c}' AS col_name, cast(count(*) AS bigint) AS n_rows,
   cast(count({c}) AS bigint) AS n_nonnull,

@@ -1169,3 +1169,62 @@ def snapshot_term_drift(
             F.expr("sum(abs(r1.rate - r2.rate)) div 2").alias("tv_ppm")
         )
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: DataFrame,
+    budget_tokens: int = 1_000_000,
+) -> DataFrame:
+    """Training-mixture planner: turn per-source token inventories plus
+    target mixture weights into per-source token quotas and
+    repeat/subsample factors — the GPT-3 Table 2.2 computation (each
+    dataset's "weight in training mix" vs "epochs elapsed when training
+    for 300B tokens"; Common Crawl sampled at <1 epoch, Wikipedia
+    repeated 3.4×), the planning artifact every mixture-weighted
+    pretraining run starts from.
+
+    ``weights`` is a tiny ``(source, weight)`` frame (integer weights —
+    ratios, not normalized); sources absent from it are excluded.
+    Returns ``(source, n_tokens, weight, target_tokens, repeat_x1000)``
+    where ``target_tokens = budget * weight div Σweight`` and
+    ``repeat_x1000`` is the epochs-×1000 factor (> 1000 ⇒ the source
+    repeats; < 1000 ⇒ subsample), NULL for an empty source.  All
+    arithmetic is bigint ``div`` — exact in both engines, and safe to
+    10^12-token budgets (``budget × weight ≤ 1e15`` stays far under
+    bigint).
+
+    Scale shape: ONE map-side-combined corpus aggregate (source
+    cardinality rows survive); the weights table and the 1-row weight
+    total are broadcast — nothing else moves.
+    """
+    toks = (
+        with_norm(docs)
+        .select("source", _n_ws_tokens().alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    total = weights.agg(
+        F.sum("weight").cast("bigint").alias("total_w")
+    )
+    joined = (
+        toks.join(F.broadcast(weights), "source")
+        .crossJoin(F.broadcast(total))
+    )
+    target = F.expr(f"({int(budget_tokens)} * weight) div total_w")
+    return joined.select(
+        "source",
+        "n_tokens",
+        F.col("weight").cast("bigint").alias("weight"),
+        target.alias("target_tokens"),
+        F.when(F.col("n_tokens") > 0, (target * 1000))
+        .otherwise(F.lit(None))
+        .cast("bigint")
+        .alias("_t1000"),
+    ).select(
+        "source",
+        "n_tokens",
+        "weight",
+        "target_tokens",
+        F.expr("_t1000 div n_tokens").alias("repeat_x1000"),
+    )

@@ -914,3 +914,49 @@ class TestSnapshotTermDrift:
             lazy._jdf.queryExecution(), "formatted"
         )
         assert lazy_plan.count("Scan parquet") >= 4  # why persist defaults on
+
+
+class TestMixturePlan:
+    """GPT-3-style mixture planning arithmetic."""
+
+    def test_quota_and_repeat_semantics(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            mixture_plan,
+        )
+
+        docs = spark.createDataFrame(
+            # srcA: 100 tokens, srcB: 10 tokens, srcC excluded from mix
+            [(1, " ".join(["w"] * 100), "srcA"),
+             (2, " ".join(["w"] * 10), "srcB"),
+             (3, "w w w", "srcC")],
+            "doc_id bigint, text string, source string",
+        )
+        weights = spark.createDataFrame(
+            [("srcA", 1), ("srcB", 3)], "source string, weight bigint"
+        )
+        got = {
+            r["source"]: r
+            for r in mixture_plan(docs, weights, budget_tokens=400).collect()
+        }
+        assert set(got) == {"srcA", "srcB"}  # srcC excluded
+        # srcA: 400*1 div 4 = 100 targets over 100 tokens -> 1.0 epochs
+        assert got["srcA"]["target_tokens"] == 100
+        assert got["srcA"]["repeat_x1000"] == 1000
+        # srcB: 400*3 div 4 = 300 targets over 10 tokens -> 30 epochs
+        assert got["srcB"]["target_tokens"] == 300
+        assert got["srcB"]["repeat_x1000"] == 30000
+
+    def test_single_scan_broadcast_plan(self, spark, docs):
+        from deepseek_ocr_customvllm_spark.operators.curation import (
+            mixture_plan,
+        )
+
+        weights = docs.select("source").distinct().selectExpr(
+            "source", "cast(1 as bigint) as weight"
+        )
+        out = mixture_plan(docs, weights)
+        plan = out.sparkSession._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
