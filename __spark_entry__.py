@@ -1393,6 +1393,86 @@ FROM c
 """
 
 
+def _fixture_expectations(n_docs: int = 300):
+    """Per-url expected markdown hashes from the pure-Python extractor
+    twin — the same driver-side core every extraction VALUES oracle
+    uses (no Spark involved)."""
+    import hashlib
+
+    rows = []
+    for r in _extract_synth_results(n_docs):
+        rows.append(
+            (
+                r.url,
+                r.content_type,
+                hashlib.md5(r.markdown.encode("utf-8")).hexdigest(),
+                hashlib.md5(r.markdown_raw.encode("utf-8")).hexdigest(),
+            )
+        )
+    return rows
+
+
+def _q_fixture_match_report(spark, sf_dir):
+    """THE north-rule metric as a first-class distributed query:
+    byte-identical extracted-markdown rate per url, measured by joining
+    the fused mapInPandas extraction against the pure-Python twin's
+    md5 expectations (broadcast — 1 row per doc).  A green row proves
+    the whole distributed path reproduces the reference semantics
+    byte-for-byte at every url; any divergence shows up as a dropped
+    match count, per content type."""
+    from deepseek_ocr_customvllm_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, 300)
+    ext = extract_pages(pages, num_partitions=8, max_bytes=64 * 1024)
+    expected = spark.createDataFrame(
+        _fixture_expectations(300),
+        "url string, exp_ct string, exp_md string, exp_raw string",
+    )
+    got = ext.select(
+        "url",
+        "content_type",
+        F.md5("markdown").alias("got_md"),
+        F.md5("markdown_raw").alias("got_raw"),
+    )
+    ok_md = (F.col("got_md") == F.col("exp_md")).cast("bigint")
+    ok_raw = (F.col("got_raw") == F.col("exp_raw")).cast("bigint")
+    joined = got.join(F.broadcast(expected), "url")
+    return (
+        joined.groupBy("content_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ok_md).alias("n_match_clean"),
+            F.sum(ok_raw).alias("n_match_raw"),
+        )
+        .select(
+            "content_type",
+            "n_docs",
+            "n_match_clean",
+            "n_match_raw",
+            F.expr("(n_match_clean * 1000000) div n_docs").alias(
+                "match_ppm"
+            ),
+        )
+    )
+
+
+def _oracle_fixture_match_report() -> str:
+    agg: dict[str, int] = {}
+    for _, ct, _, _ in _fixture_expectations(300):
+        agg[ct] = agg.get(ct, 0) + 1
+    rows = [(ct, n, n, n, 1_000_000) for ct, n in sorted(agg.items())]
+    return _values_oracle(
+        rows,
+        ["content_type", "n_docs", "n_match_clean", "n_match_raw", "match_ppm"],
+        {
+            "n_docs": "bigint",
+            "n_match_clean": "bigint",
+            "n_match_raw": "bigint",
+            "match_ppm": "bigint",
+        },
+    )
+
+
 MIXTURE_BUDGET = 1_000_000
 
 
@@ -2101,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_term_drift": _q_snapshot_term_drift,
         "script_profile": _q_script_profile,
         "mixture_plan": _q_mixture_plan,
+        "fixture_match_report": _q_fixture_match_report,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3457,6 +3538,7 @@ FROM cm
         "snapshot_term_drift": _oracle_snapshot_term_drift(),
         "script_profile": _oracle_script_profile(),
         "mixture_plan": _oracle_mixture_plan(),
+        "fixture_match_report": _oracle_fixture_match_report(),
         "table_profile": "\nUNION ALL\n".join(
             f"""SELECT '{c}' AS col_name, cast(count(*) AS bigint) AS n_rows,
   cast(count({c}) AS bigint) AS n_nonnull,

@@ -301,6 +301,7 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "ann_recall_clustered",               # same tiers, clustered corpus
         "warc_roundtrip",                     # mapInPandas WARC record parse
         "warc_extract_pipeline",              # WARC parse + fused extractor
+        "fixture_match_report",               # fused extractor vs the Python twin
         "unicode_normalize",                  # Arrow pandas_udf NFC (no JVM builtin)
         "outlink_summary",                    # corpus from the mapInPandas pagegen;
                                               # the extraction itself is JVM regex
