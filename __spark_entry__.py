@@ -1473,6 +1473,66 @@ def _oracle_fixture_match_report() -> str:
     )
 
 
+BPE_MERGES = 8
+BPE_TOP_N = 200
+
+
+def _q_bpe_induce(spark, sf_dir):
+    """Distributed BPE tokenizer training: 8 merge rounds over the
+    vocabulary-sized distinct-word table (pair count → 1-row argmax →
+    pure-SQL non-overlapping merge fold), RoundCheckpointer lineage
+    truncation; returns the resulting symbol inventory.  Twin oracle:
+    longhand Sennrich BPE in pure Python over the same corpus."""
+    return textstats.bpe_induce(
+        _docs(spark, sf_dir), n_merges=BPE_MERGES, top_n=BPE_TOP_N
+    )
+
+
+def _oracle_bpe_induce(n_merges: int = BPE_MERGES, top_n: int = BPE_TOP_N) -> str:
+    import re
+
+    words: dict[str, int] = {}
+    for (text,) in _oracle_docs_rows(("text",)):
+        t = re.sub(r"[ \t\n\r\f\x0b]+", " ", (text or "").lower().strip())
+        if not t:
+            continue
+        for w in t.split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    syms = {w: list(w) for w in words}
+    for _ in range(n_merges):
+        cnt: dict[tuple, int] = {}
+        for w, n in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + n
+        if not cnt:
+            break
+        (left, right), _ = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, s in syms.items():
+            out, pend = [], None
+            for x in s:
+                if pend is None:
+                    pend = x
+                elif pend == left and x == right:
+                    out.append(left + right)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            syms[w] = out
+    totals: dict[str, int] = {}
+    for w, n in words.items():
+        for x in syms[w]:
+            totals[x] = totals.get(x, 0) + n
+    rows = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    return _values_oracle(
+        rows, ["symbol", "n_tokens"], {"n_tokens": "bigint"}
+    )
+
+
 MIXTURE_BUDGET = 1_000_000
 
 
@@ -2182,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _q_script_profile,
         "mixture_plan": _q_mixture_plan,
         "fixture_match_report": _q_fixture_match_report,
+        "bpe_induce": _q_bpe_induce,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3539,6 +3600,7 @@ FROM cm
         "script_profile": _oracle_script_profile(),
         "mixture_plan": _oracle_mixture_plan(),
         "fixture_match_report": _oracle_fixture_match_report(),
+        "bpe_induce": _oracle_bpe_induce(),
         "table_profile": "\nUNION ALL\n".join(
             f"""SELECT '{c}' AS col_name, cast(count(*) AS bigint) AS n_rows,
   cast(count({c}) AS bigint) AS n_nonnull,

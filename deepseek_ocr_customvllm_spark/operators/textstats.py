@@ -1072,3 +1072,141 @@ def script_profile(df: DataFrame) -> DataFrame:
         *[counts[n].alias(f"n_{n}") for n in SCRIPT_PRIORITY],
         dominant.alias("dominant_script"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge induction (tokenizer TRAINING)
+# ---------------------------------------------------------------------------
+
+def _merge_adjacent(syms: F.Column, left: F.Column, right: F.Column, joined: F.Column) -> F.Column:
+    """Left-to-right non-overlapping merge of adjacent ``(left, right)``
+    symbol occurrences — the exact Sennrich apply rule — as a pure-SQL
+    ``aggregate`` fold (accumulator = emitted prefix + one pending
+    symbol).  Column-API lambdas throughout: the symbols are corpus
+    data and must never be spliced into SQL text."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(st, x):
+        return (
+            F.when(
+                st.getField("pend").isNull(),
+                F.struct(st.getField("acc").alias("acc"), x.alias("pend")),
+            )
+            .when(
+                (st.getField("pend") == left) & (x == right),
+                F.struct(
+                    F.concat(
+                        st.getField("acc"), F.array(joined)
+                    ).alias("acc"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(
+                        st.getField("acc"), F.array(st.getField("pend"))
+                    ).alias("acc"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def finish(st):
+        return F.when(
+            st.getField("pend").isNull(), st.getField("acc")
+        ).otherwise(F.concat(st.getField("acc"), F.array(st.getField("pend"))))
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def bpe_induce(
+    df: DataFrame,
+    n_merges: int = 8,
+    top_n: int = 200,
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn
+    ``n_merges`` merge rules from the corpus and return the resulting
+    symbol inventory — the induction counterpart of the frozen
+    greedy-merge tokenizer (`subword_token_counts` applies a merges
+    table; this is where such a table comes from).
+
+    The Sennrich formulation is already the scalable one: all work runs
+    on the DISTINCT-WORD table with counts (vocabulary-sized, not
+    corpus-sized — one corpus scan builds it, map-side combined).  Each
+    round is (1) an adjacent-pair count over the word table's symbol
+    arrays weighted by word frequency, (2) a 1-row argmax to the driver
+    (count desc, then lexicographic (left, right) — deterministic
+    ties), (3) a pure-SQL non-overlapping merge fold applied word-wise.
+    Rounds localCheckpoint via the shared `RoundCheckpointer` (the
+    kmeans/PageRank lineage-truncation contract).  At 10^12 documents
+    the word table is ~10^8 rows — each round shuffles vocabulary-sized
+    data only.
+
+    Returns the ``top_n`` final symbols as ``(symbol, n_tokens)``
+    (corpus-weighted, count desc then symbol — deterministic): the
+    merged symbols' counts verify the entire induce+apply chain, since
+    one wrong merge or one mis-applied fold changes the inventory.
+    """
+    from ..plans.iterate import RoundCheckpointer
+
+    d = with_norm(df)
+    words = (
+        d.filter(F.col("t") != "")
+        .select(F.explode(F.split("t", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        # Java's split matches the zero-width (?!^) at end-of-string too,
+        # emitting a trailing "" element — drop empties.
+        .select(
+            "n",
+            F.filter(
+                F.split("word", "(?!^)"), lambda x: x != ""
+            ).alias("syms"),
+        )
+    )
+    ck = RoundCheckpointer(words)
+    words = ck.ckpt(words)
+    for _ in range(n_merges):
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] as l, syms[i + 1] as r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1).collect()
+        if not best:
+            break
+        left, right = best[0]["l"], best[0]["r"]
+        words = ck.ckpt(
+            words.select(
+                "n",
+                _merge_adjacent(
+                    F.col("syms"),
+                    F.lit(left),
+                    F.lit(right),
+                    F.lit(left + right),
+                ).alias("syms"),
+            )
+        )
+    out = (
+        words.select("n", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("n").alias("n_tokens"))
+        .orderBy(F.col("n_tokens").desc(), F.col("symbol").asc())
+        .limit(top_n)
+    )
+    return out

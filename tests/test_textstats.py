@@ -61,3 +61,57 @@ class TestScriptProfile:
         assert all(
             cyr[k] >= 10 for k in cyr if k % 4 == 0 and k % 9 != 0
         )
+
+
+class TestBpeInduce:
+    """Distributed BPE training semantics."""
+
+    def test_hand_computed_merges(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.textstats import (
+            bpe_induce,
+        )
+
+        # corpus: 'abab' x3, 'ab' x2, 'cc' x1
+        rows = [(1, "abab abab abab ab ab cc")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        # round 1: pairs (a,b):3*2+2=8, (b,a):3, (c,c):1 -> merge 'ab'
+        # round 2: pairs (ab,ab):3, (c,c):1 -> merge 'abab'
+        got = {
+            r["symbol"]: r["n_tokens"]
+            for r in bpe_induce(df, n_merges=2).collect()
+        }
+        assert got == {"abab": 3, "ab": 2, "c": 2}
+
+    def test_nonoverlapping_apply(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.textstats import (
+            bpe_induce,
+        )
+
+        # 'aaa': pairs (a,a) count 2, merged left-to-right -> ['aa','a']
+        df = spark.createDataFrame([(1, "aaa")], "doc_id bigint, text string")
+        got = {
+            r["symbol"]: r["n_tokens"]
+            for r in bpe_induce(df, n_merges=1).collect()
+        }
+        assert got == {"aa": 1, "a": 1}
+
+    def test_char_mass_is_conserved(self, spark, docs):
+        from deepseek_ocr_customvllm_spark.operators.textstats import (
+            bpe_induce,
+            with_norm,
+        )
+        from pyspark.sql import functions as F
+
+        before = (
+            with_norm(docs)
+            .filter(F.col("t") != "")
+            .select(
+                F.sum(
+                    F.length(F.regexp_replace("t", " ", ""))
+                ).alias("chars")
+            )
+            .collect()[0]["chars"]
+        )
+        rows = bpe_induce(docs, n_merges=4, top_n=10**6).collect()
+        after = sum(len(r["symbol"]) * r["n_tokens"] for r in rows)
+        assert after == before
