@@ -1125,7 +1125,7 @@ def _merge_adjacent(syms: F.Column, left: F.Column, right: F.Column, joined: F.C
 def bpe_induce(
     df: DataFrame,
     n_merges: int = 8,
-    top_n: int = 200,
+    top_n: int | None = 200,
 ) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn
     ``n_merges`` merge rules from the corpus and return the resulting
@@ -1146,7 +1146,10 @@ def bpe_induce(
     data only.
 
     Returns the ``top_n`` final symbols as ``(symbol, n_tokens)``
-    (corpus-weighted, count desc then symbol — deterministic): the
+    (corpus-weighted, count desc then symbol — deterministic;
+    ``top_n=None`` returns the FULL inventory unsorted — a
+    ``limit(huge)`` would allocate a bounded priority queue of that
+    capacity per task and OOM): the
     merged symbols' counts verify the entire induce+apply chain, since
     one wrong merge or one mis-applied fold changes the inventory.
     """
@@ -1206,7 +1209,9 @@ def bpe_induce(
         words.select("n", F.explode("syms").alias("symbol"))
         .groupBy("symbol")
         .agg(F.sum("n").alias("n_tokens"))
-        .orderBy(F.col("n_tokens").desc(), F.col("symbol").asc())
-        .limit(top_n)
     )
+    if top_n is not None:
+        out = out.orderBy(
+            F.col("n_tokens").desc(), F.col("symbol").asc()
+        ).limit(top_n)
     return out
