@@ -602,6 +602,15 @@ def _q_dedup_components(spark, sf_dir):
     return dedup.duplicate_components(pairs.select("id_a", "id_b"))
 
 
+def _q_dup_cluster_histogram(spark, sf_dir):
+    """Near-dup cluster-size histogram (template-farm telemetry) over
+    the MinHash components — two tiny aggregates past the pair set."""
+    pairs = dedup.minhash_lsh_duplicates(_augmented_docs(_docs(spark, sf_dir)))
+    return dedup.cluster_size_report(
+        dedup.duplicate_components(pairs.select("id_a", "id_b"))
+    )
+
+
 def _q_lang_stratified_sample(spark, sf_dir):
     """Deterministic per-language quota sample (balanced multilingual
     subset selection, reproducible at any partitioning)."""
@@ -2243,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "fixture_match_report": _q_fixture_match_report,
         "bpe_induce": _q_bpe_induce,
+        "dup_cluster_histogram": _q_dup_cluster_histogram,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3885,6 +3895,15 @@ ORDER BY doc_id
         "dedup_components": f"""
 WITH RECURSIVE {_oracle_components_cte()}
 SELECT doc_id, component_id FROM comp
+""",
+        "dup_cluster_histogram": f"""
+WITH RECURSIVE {_oracle_components_cte()},
+sizes AS (
+  SELECT component_id, count(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       cluster_size * count(*) AS n_docs
+FROM sizes GROUP BY 1
 """,
         "dedup_keep_best": f"""
 WITH RECURSIVE {_oracle_components_cte()},

@@ -1342,3 +1342,29 @@ def dedup_spans_apply(
             F.coalesce("_n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
         )
     )
+
+
+def cluster_size_report(components: DataFrame) -> DataFrame:
+    """Near-dup cluster-size histogram over a ``(doc_id, component_id)``
+    frame: one row per cluster size — ``(cluster_size, n_clusters,
+    n_docs)`` — the telemetry that distinguishes a corpus of scattered
+    pair-dups from one dominated by template farms (a handful of
+    10^5-member clusters), which changes both the dedup retention
+    policy and the crawl budget.
+
+    Scale shape: two map-side-combined aggregates, each over data no
+    larger than the components frame (clusters, then sizes) — the
+    second input is cluster-cardinality, the third size-cardinality.
+    """
+    sizes = components.groupBy("component_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )

@@ -395,3 +395,21 @@ class TestOutlinkExtraction:
             graph.page_outlinks(pages)._jdf.queryExecution(), "formatted"
         )
         assert "Exchange" not in plan
+
+
+class TestClusterSizeReport:
+    def test_histogram_counts(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.dedup import (
+            cluster_size_report,
+        )
+
+        comp = spark.createDataFrame(
+            # cluster 1: 3 docs, clusters 2+3: 2 docs each
+            [(10, 1), (11, 1), (12, 1), (20, 2), (21, 2), (30, 3), (31, 3)],
+            "doc_id bigint, component_id bigint",
+        )
+        got = {
+            r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+            for r in cluster_size_report(comp).collect()
+        }
+        assert got == {3: (1, 3), 2: (2, 4)}
