@@ -71,10 +71,27 @@ def host_pagerank(
     iters: int = 3,
     checkpoint: bool = True,
 ) -> DataFrame:
-    """``iters`` rounds of damped PageRank over the host graph.
+    """``iters`` rounds of damped PageRank over the synthetic host
+    graph (see `_pagerank_rounds` for the update rule and plan shape).
+    Returns ``(host string, rank bigint)`` on the ``SCALE`` fixed-point
+    scale."""
+    edges = host_edges(docs, n_hosts)
+    ranks = _pagerank_rounds(edges, iters=iters, checkpoint=checkpoint)
+    return ranks.select(
+        F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+        "rank",
+    )
 
-    Returns ``(host string, rank bigint)`` with ``rank`` on the
-    ``SCALE`` fixed-point scale.  Update rule (all bigint ``div``):
+
+def _pagerank_rounds(
+    edges: DataFrame,
+    iters: int = 3,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """``iters`` rounds of damped PageRank over an ``(src, dst)``
+    multigraph of any key type; returns ``(h, rank bigint)``.
+
+    Update rule (all bigint ``div``):
 
         rank'(h) = (15·SCALE) div (100·n)
                  + (85 · Σ_{e: src→h} rank(src) div outdeg(src)) div 100
@@ -89,7 +106,6 @@ def host_pagerank(
     """
     from pyspark.sql.window import Window
 
-    edges = host_edges(docs, n_hosts)
     ck = RoundCheckpointer(edges)
     # Collapse the corpus-sized multigraph once: weight = edge
     # multiplicity; out-degree = sum of multiplicities per src, a
@@ -118,8 +134,8 @@ def host_pagerank(
     n = hosts.count()
     if n == 0:
         ck.release_pinned()  # nothing downstream references the pins
-        return docs.sparkSession.createDataFrame(
-            [], "host string, rank bigint"
+        return edges.sparkSession.createDataFrame(
+            [], "h string, rank bigint"
         )
 
     base = (15 * SCALE) // (100 * n)  # driver-side ints: exact
@@ -150,10 +166,7 @@ def host_pagerank(
         # references the pinned w/hosts blocks any more.  (iters=0
         # returns a projection OF hosts — the pin must then outlive us.)
         ck.release_pinned()
-    return ranks.select(
-        F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
-        "rank",
-    )
+    return ranks
 
 
 def host_pagerank_oracle_sql(
@@ -276,3 +289,32 @@ def outlink_summary(pages: DataFrame) -> DataFrame:
             F.min("anchor").alias("sample_anchor"),
         )
     )
+
+
+def outlink_host_edges(pages: DataFrame) -> DataFrame:
+    """Real ``(src, dst)`` host edges from the extracted link table:
+    absolute ``http(s)://`` hrefs resolve to their own host, relative
+    hrefs to the source host (RFC 3986 same-origin resolution for the
+    path-only case).  This is the actual WAT → webgraph derivation —
+    `host_edges`' synthetic structure with the synthesis removed."""
+    links = page_outlinks(pages)
+    dst = F.when(
+        F.col("href").rlike("^https?://"),
+        F.regexp_extract("href", URL_HOST_RE, 1),
+    ).otherwise(F.col("host"))
+    return links.select(
+        F.col("host").alias("src"), dst.alias("dst")
+    ).filter(F.col("dst") != "")
+
+
+def outlink_pagerank(
+    pages: DataFrame, iters: int = 3, checkpoint: bool = True
+) -> DataFrame:
+    """Damped PageRank over the REAL extracted link graph — the full
+    Common-Crawl derivation end-to-end: HTML → ``<a href>`` scan →
+    host edges → `_pagerank_rounds`.  Returns ``(host string,
+    rank bigint)`` on the ``SCALE`` fixed-point scale."""
+    ranks = _pagerank_rounds(
+        outlink_host_edges(pages), iters=iters, checkpoint=checkpoint
+    )
+    return ranks.select(F.col("h").alias("host"), "rank")

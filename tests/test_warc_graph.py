@@ -413,3 +413,72 @@ class TestClusterSizeReport:
             for r in cluster_size_report(comp).collect()
         }
         assert got == {3: (1, 3), 2: (2, 4)}
+
+
+class TestOutlinkPagerank:
+    """PageRank over REAL extracted links (the WAT → webgraph path)."""
+
+    def _pages(self, spark, rows):
+        return spark.createDataFrame(
+            [(u, dt.datetime(2025, 1, 1), h, None, "en") for u, h in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    def _corpus(self, spark):
+        # a.test and b.test both point at hub.test (absolute links);
+        # b.test also links relatively (self-host edge); hub links to a.
+        mk = lambda links: (
+            "<html><body>" + "".join(links) + "</body></html>"
+        ).encode()
+        rows = [
+            ("https://a.test/1", mk(['<a href="https://hub.test/x">hub</a>'])),
+            ("https://b.test/1", mk([
+                '<a href="https://hub.test/y">hub</a>',
+                '<a href="/local">self</a>',
+            ])),
+            ("https://hub.test/1", mk(['<a href="https://a.test/z">a</a>'])),
+        ]
+        return self._pages(spark, rows)
+
+    def test_absolute_and_relative_edges(self, spark):
+        got = sorted(
+            (r["src"], r["dst"])
+            for r in graph.outlink_host_edges(self._corpus(spark)).collect()
+        )
+        assert got == [
+            ("a.test", "hub.test"),
+            ("b.test", "b.test"),
+            ("b.test", "hub.test"),
+            ("hub.test", "a.test"),
+        ]
+
+    def test_matches_python_model(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.graph import SCALE
+
+        edges = [
+            ("a.test", "hub.test"),
+            ("b.test", "b.test"),
+            ("b.test", "hub.test"),
+            ("hub.test", "a.test"),
+        ]
+        hosts = sorted({h for e in edges for h in e})
+        n = len(hosts)
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        ranks = {h: SCALE // n for h in hosts}
+        for _ in range(3):
+            contrib = {h: 0 for h in hosts}
+            for s, d in edges:
+                contrib[d] += ranks[s] // outdeg[s]
+            ranks = {
+                h: (15 * SCALE) // (100 * n) + (85 * contrib[h]) // 100
+                for h in hosts
+            }
+        got = {
+            r["host"]: r["rank"]
+            for r in graph.outlink_pagerank(self._corpus(spark)).collect()
+        }
+        assert got == ranks
+        # the hub (two in-links) outranks everyone
+        assert max(got, key=got.get) == "hub.test"
