@@ -57,8 +57,12 @@ def warc_record_bytes(
     url: Column | str = "url",
     warc_ts: Column | str = "warc_ts",
     html: Column | str = "html",
+    rec_type: str = "response",
+    content_type: str = "text/html",
 ) -> Column:
-    """One WARC/1.0 response record as a binary column (JVM-only).
+    """One WARC/1.0 record as a binary column (JVM-only).  The default
+    header pair is the raw-capture ``response``/``text/html`` record;
+    WET conversion records pass ``conversion``/``text/plain``.
 
     ``Content-Length`` is the payload's BYTE length: the payload is
     cast to binary first (string → UTF-8 bytes) and both the length and
@@ -72,10 +76,10 @@ def warc_record_bytes(
     payload = _b(F.col(html) if isinstance(html, str) else html)
     header = F.concat(
         F.lit("WARC/1.0"), F.lit(_CRLF),
-        F.lit("WARC-Type: response"), F.lit(_CRLF),
+        F.lit(f"WARC-Type: {rec_type}"), F.lit(_CRLF),
         F.lit("WARC-Target-URI: "), url, F.lit(_CRLF),
         F.lit("WARC-Date: "), F.date_format(warc_ts, _DATE_FMT), F.lit(_CRLF),
-        F.lit("Content-Type: text/html"), F.lit(_CRLF),
+        F.lit(f"Content-Type: {content_type}"), F.lit(_CRLF),
         F.lit("Content-Length: "),
         F.length(payload).cast("string"), F.lit(_CRLF),
         F.lit(_CRLF),
@@ -91,7 +95,9 @@ _CHUNK_SCHEMA = T.StructType(
 )
 
 
-def warc_chunks(pages: DataFrame, n_chunks: int = 8) -> DataFrame:
+def warc_chunks(
+    pages: DataFrame, n_chunks: int = 8, record: Column | None = None
+) -> DataFrame:
     """Pack pages into ``n_chunks`` WARC shard blobs.
 
     Returns ``(chunk_id bigint, data binary)``.  Membership is
@@ -111,7 +117,7 @@ def warc_chunks(pages: DataFrame, n_chunks: int = 8) -> DataFrame:
     the knob that bounds it, exactly as WARC shard sizing does in a
     real crawl pipeline.
     """
-    rec = warc_record_bytes().alias("rec")
+    rec = (warc_record_bytes() if record is None else record).alias("rec")
     keyed = pages.select(
         F.pmod(F.xxhash64("url"), F.lit(n_chunks)).alias("chunk_id"),
         F.col("url"),
@@ -221,4 +227,27 @@ def warc_roundtrip_report(pages: DataFrame, n_chunks: int = 8) -> DataFrame:
         "warc_ts",
         F.length("html").cast("long").alias("n_bytes"),
         F.md5("html").alias("payload_md5"),
+    )
+
+
+def wet_chunks(
+    extracted: DataFrame, n_chunks: int = 8, text_col: str = "markdown"
+) -> DataFrame:
+    """WET sidecar shards: ``conversion`` records carrying the
+    EXTRACTED text per url — the third Common Crawl artifact (WARC =
+    raw capture, WAT = link metadata via `operators.graph`, WET = the
+    ``*.warc.wet`` extracted-text files most corpus pipelines actually
+    consume).  Same deterministic chunking, framing, and ordering
+    contract as :func:`warc_chunks`; payload bytes are the UTF-8 text,
+    so a parse round-trip recovers the extraction byte-exactly.
+    """
+    rec = warc_record_bytes(
+        html=F.col(text_col),
+        rec_type="conversion",
+        content_type="text/plain",
+    )
+    return warc_chunks(
+        extracted.select("url", "warc_ts", F.col(text_col)),
+        n_chunks=n_chunks,
+        record=rec,
     )

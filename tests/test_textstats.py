@@ -115,3 +115,16 @@ class TestBpeInduce:
         rows = bpe_induce(docs, n_merges=4, top_n=10**6).collect()
         after = sum(len(r["symbol"]) * r["n_tokens"] for r in rows)
         assert after == before
+
+
+def test_bpe_token_count_decreases_monotonically(spark, docs):
+    """Each learned merge can only reduce (or at worst preserve) the
+    corpus token count — the compression direction that makes BPE
+    training meaningful."""
+    from deepseek_ocr_customvllm_spark.operators.textstats import bpe_induce
+
+    totals = []
+    for k in (0, 2, 4):
+        rows = bpe_induce(docs, n_merges=k, top_n=None).collect()
+        totals.append(sum(r["n_tokens"] for r in rows))
+    assert totals[0] > totals[1] > totals[2]

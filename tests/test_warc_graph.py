@@ -482,3 +482,42 @@ class TestOutlinkPagerank:
         assert got == ranks
         # the hub (two in-links) outranks everyone
         assert max(got, key=got.get) == "hub.test"
+
+
+class TestWetExport:
+    """WET conversion-record export of the EXTRACTED text."""
+
+    def test_roundtrip_recovers_extraction_bytes(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.extract import (
+            extract_pages,
+        )
+
+        pages = synth_pages_df(spark, 30, num_partitions=3)
+        extracted = extract_pages(pages, num_partitions=4).select(
+            "url", "warc_ts", "markdown"
+        )
+        want = {
+            r["url"]: r["markdown"].encode("utf-8")
+            for r in extracted.collect()
+        }
+        parsed = warc.parse_warc(warc.wet_chunks(extracted, n_chunks=4))
+        got = {r["url"]: bytes(r["html"]) for r in parsed.collect()}
+        assert got == want and len(got) == 30
+
+    def test_conversion_headers(self, spark):
+        extracted = spark.createDataFrame(
+            [("https://docs.test/1", dt.datetime(2025, 1, 1), "extracted text")],
+            "url string, warc_ts timestamp, markdown string",
+        )
+        (r,) = warc.wet_chunks(extracted, n_chunks=1).collect()
+        blob = bytes(r["data"])
+        assert b"WARC-Type: conversion\r\n" in blob
+        assert b"Content-Type: text/plain\r\n" in blob
+        assert b"extracted text\r\n\r\n" in blob
+
+    def test_raw_warc_headers_unchanged(self, spark):
+        pages = synth_pages_df(spark, 3, num_partitions=1)
+        (r,) = warc.warc_chunks(pages, n_chunks=1).collect()
+        blob = bytes(r["data"])
+        assert b"WARC-Type: response\r\n" in blob
+        assert b"Content-Type: text/html\r\n" in blob
