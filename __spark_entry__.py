@@ -1278,11 +1278,12 @@ m AS (
     length(regexp_replace(t, ' ', '', 'g')) AS n_word_chars,
     length(t) - length(regexp_replace(t, '#', '', 'g'))
       + len(regexp_extract_all(t, '\\.\\.\\.')) AS n_symbols,
-    len(string_split(text, chr(10))) AS n_lines,
+    len(list_filter(string_split(text, chr(10)), l -> l <> '')) AS n_lines,
     len(list_filter(string_split(text, chr(10)),
                     l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS n_bullets,
-    len(string_split(text, chr(10)))
-      - len(list_distinct(string_split(text, chr(10)))) AS n_dup
+    len(list_filter(string_split(text, chr(10)), l -> l <> ''))
+      - len(list_distinct(list_filter(string_split(text, chr(10)),
+                                      l -> l <> ''))) AS n_dup
   FROM norm
 ),
 f AS (

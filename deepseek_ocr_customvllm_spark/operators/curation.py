@@ -951,7 +951,85 @@ def output_shard_plan(
 # Curation funnel telemetry
 # ---------------------------------------------------------------------------
 
-def curation_funnel(docs: DataFrame) -> DataFrame:
+def _funnel_flags(docs: DataFrame, lang_gate: bool = True) -> DataFrame:
+    """The funnel's per-doc gate flags — ONE corpus scan shared by the
+    report (:func:`curation_funnel`) and the apply path
+    (:func:`funnel_apply`), so the two can never disagree on what a
+    gate means.  Returns ``(doc_id, fp, s1, s2, s3)`` (cumulative
+    survival flags; ``fp`` = md5 of the normalized text).
+
+    ``lang_gate=False`` turns stage 2 into a pass-through (the stage
+    row is still reported, dropping nothing) — for multilingual dumps
+    where an English-stopword gate is wrong by construction."""
+    from .textstats import BULLET_LINE_RE, STOPWORD_PATTERN
+
+    d = with_norm(docs)
+    t = F.col("t")
+    n_tok = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
+    n_stop = F.size(
+        F.regexp_extract_all(t, F.lit(STOPWORD_PATTERN), F.lit(0))
+    )
+    n_word_chars = F.length(F.regexp_replace(t, " ", ""))
+    n_symbols = (
+        F.length(t)
+        - F.length(F.regexp_replace(t, "#", ""))
+        + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), F.lit(0)))
+    )
+    # Line ratios run over NON-EMPTY lines: structured text (markdown,
+    # reflowed HTML) uses blank lines as block separators, and counting
+    # them as "duplicate lines" would flunk every well-formed document
+    # (Gopher's rule targets repeated content, not layout).
+    lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda ln: ln != ""
+    )
+    n_lines = F.size(lines)
+    n_bullets = F.size(F.filter(lines, lambda ln: ln.rlike(BULLET_LINE_RE)))
+    n_dup = n_lines - F.size(F.array_distinct(lines))
+
+    s1 = t != ""
+    s2 = s1 & (n_stop * 10 >= n_tok) if lang_gate else s1
+    gopher_ok = (
+        (3 * n_tok <= n_word_chars)
+        & (n_word_chars <= 10 * n_tok)
+        & (10 * n_symbols <= n_tok)
+        & (10 * n_bullets <= 9 * n_lines)
+        & (10 * n_dup <= 3 * n_lines)
+    )
+    s3 = s2 & gopher_ok
+    return d.select(
+        "doc_id",
+        F.md5(t).alias("fp"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        s3.alias("s3"),
+    )
+
+
+def _funnel_keepers(flagged: DataFrame) -> DataFrame:
+    """Canonical (min doc_id) per fingerprint among stage-3 survivors."""
+    return (
+        flagged.where(F.col("s3"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def funnel_apply(docs: DataFrame, lang_gate: bool = True) -> DataFrame:
+    """APPLY the funnel: return only the documents that survive every
+    stage (nonempty → lang → Gopher → exact-dedup canonical), original
+    columns intact.  Shares :func:`_funnel_flags` with the report, so
+    ``funnel_apply(docs).count() == curation_funnel(docs)``'s final
+    ``n_kept`` by construction (pinned in tests)."""
+    flagged = _funnel_flags(docs, lang_gate=lang_gate)
+    keep_ids = (
+        flagged.join(_funnel_keepers(flagged), "fp")
+        .where(F.col("s3") & (F.col("doc_id") == F.col("keep_doc_id")))
+        .select("doc_id")
+    )
+    return docs.join(keep_ids, "doc_id")
+
+
+def curation_funnel(docs: DataFrame, lang_gate: bool = True) -> DataFrame:
     """Stage-by-stage survival funnel of the standard curation cascade —
     the single report a production corpus team watches per crawl dump
     (RefinedWeb Fig. 2 and FineWeb both publish exactly this shape:
@@ -979,48 +1057,8 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
     stage rows with ``stack`` — at 10^12 docs nothing but the
     fingerprint Exchange moves data.
     """
-    from .textstats import BULLET_LINE_RE, STOPWORD_PATTERN
-
-    d = with_norm(docs)
-    t = F.col("t")
-    n_tok = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
-    n_stop = F.size(
-        F.regexp_extract_all(t, F.lit(STOPWORD_PATTERN), F.lit(0))
-    )
-    n_word_chars = F.length(F.regexp_replace(t, " ", ""))
-    n_symbols = (
-        F.length(t)
-        - F.length(F.regexp_replace(t, "#", ""))
-        + F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), F.lit(0)))
-    )
-    lines = F.split(F.col("text"), "\n")
-    n_lines = F.size(lines)
-    n_bullets = F.size(F.filter(lines, lambda ln: ln.rlike(BULLET_LINE_RE)))
-    n_dup = n_lines - F.size(F.array_distinct(lines))
-
-    s1 = t != ""
-    s2 = s1 & (n_stop * 10 >= n_tok)
-    gopher_ok = (
-        (3 * n_tok <= n_word_chars)
-        & (n_word_chars <= 10 * n_tok)
-        & (10 * n_symbols <= n_tok)
-        & (10 * n_bullets <= 9 * n_lines)
-        & (10 * n_dup <= 3 * n_lines)
-    )
-    s3 = s2 & gopher_ok
-
-    flagged = d.select(
-        "doc_id",
-        F.md5(t).alias("fp"),
-        s1.alias("s1"),
-        s2.alias("s2"),
-        s3.alias("s3"),
-    )
-    keepers = (
-        flagged.where(F.col("s3"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("keep_doc_id"))
-    )
+    flagged = _funnel_flags(docs, lang_gate=lang_gate)
+    keepers = _funnel_keepers(flagged)
     s4 = F.col("s3") & (F.col("doc_id") == F.col("keep_doc_id"))
     agg = (
         flagged.join(keepers, "fp", "left")
