@@ -1024,7 +1024,11 @@ def funnel_apply(docs: DataFrame, lang_gate: bool = True) -> DataFrame:
     keep_ids = (
         flagged.join(_funnel_keepers(flagged), "fp")
         .where(F.col("s3") & (F.col("doc_id") == F.col("keep_doc_id")))
+        # distinct: a doc_id hash collision (two texts, two fps, one id)
+        # could otherwise list the id twice and duplicate rows through
+        # the join below
         .select("doc_id")
+        .distinct()
     )
     return docs.join(keep_ids, "doc_id")
 
