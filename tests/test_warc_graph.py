@@ -521,3 +521,66 @@ class TestWetExport:
         blob = bytes(r["data"])
         assert b"WARC-Type: response\r\n" in blob
         assert b"Content-Type: text/html\r\n" in blob
+
+
+class TestOutlinkRegexParity:
+    """The outlink regexes must mean the same thing in Java (Spark) and
+    Python `re` (the VALUES-oracle twin) — property-tested over random
+    link soup, not just the fixture corpus."""
+
+    def test_random_anchor_soup_matches_python_twin(self, spark):
+        import random
+        import re
+
+        from deepseek_ocr_customvllm_spark.operators.graph import (
+            A_TAG_RE,
+            ANCHOR_RE,
+            HREF_RE,
+        )
+
+        rng = random.Random(42)
+        words = "data spark link page index about contact ref x-y z_9".split()
+        hrefs = ["/a", "/b?q=1", "https://ext.test/p", "", "/trail/", "#frag"]
+        rows = []
+        for i in range(40):
+            parts = ["<html><body>"]
+            for _ in range(rng.randint(0, 6)):
+                quote = rng.choice(['"', "'"])
+                href = rng.choice(hrefs)
+                anchor = " ".join(
+                    rng.sample(words, rng.randint(0, 3))
+                )
+                extra = rng.choice(["", ' class="x"', " rel=nofollow"])
+                parts.append(
+                    f"<a{extra} href={quote}{href}{quote}>{anchor}</a>"
+                    if rng.random() < 0.8
+                    else f"<a {rng.choice(words)}>{anchor}</a>"
+                )
+                parts.append(rng.choice(["<p>filler</p>", "text", "<div>"]))
+            parts.append("</body></html>")
+            rows.append((f"https://h{i % 5}.test/{i}", "".join(parts).encode()))
+
+        df = spark.createDataFrame(
+            [(u, dt.datetime(2025, 1, 1), h, None, "en") for u, h in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        got = sorted(
+            (r["url"], r["href"], r["anchor"])
+            for r in graph.page_outlinks(df).collect()
+        )
+        want = []
+        for u, h in rows:
+            html = h.decode()
+            if not html.startswith("<html"):
+                continue
+            for tag in re.findall(A_TAG_RE, html):
+                href_m = re.search(HREF_RE, tag)
+                anchor_m = re.search(ANCHOR_RE, tag)
+                want.append(
+                    (
+                        u,
+                        href_m.group(1) if href_m else "",
+                        anchor_m.group(1) if anchor_m else "",
+                    )
+                )
+        assert got == sorted(want) and len(want) > 50
