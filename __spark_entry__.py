@@ -1543,6 +1543,52 @@ def _oracle_bpe_induce(n_merges: int = BPE_MERGES, top_n: int = BPE_TOP_N) -> st
     )
 
 
+def _q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift between consecutive dumps: integer
+    centroid means + cross-multiplied squared cosine in basis points —
+    the representation-level twin of snapshot_term_drift."""
+    return similarity.embedding_drift(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def _oracle_embedding_drift(dump_size: int = 100) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id // {dump_size} AS dump,
+         list_transform(embedding, x -> cast(round(x * {similarity.QUANT}) AS bigint)) AS qe
+  FROM embeddings
+),
+comps AS (
+  SELECT dump, u.i - 1 AS dim, u.x AS x
+  FROM (
+    SELECT dump,
+           unnest(list_transform(qe, (x, i) -> {{'x': x, 'i': i}})) AS u
+    FROM q
+  )
+),
+sums AS (
+  SELECT dump, dim, cast(sum(x) AS bigint) AS s, count(*) AS n
+  FROM comps GROUP BY 1, 2
+),
+cent AS (SELECT dump, dim, n, s // n AS c FROM sums),
+joined AS (
+  SELECT a.dump AS dump_from, b.dump AS dump_to,
+         a.n AS n_from, b.n AS n_to,
+         cast(sum(a.c * b.c) AS bigint) AS dot,
+         cast(sum(a.c * a.c) AS bigint) AS na,
+         cast(sum(b.c * b.c) AS bigint) AS nb
+  FROM cent a JOIN cent b ON a.dump + 1 = b.dump AND a.dim = b.dim
+  GROUP BY 1, 2, 3, 4
+)
+SELECT dump_from, dump_to, n_from, n_to,
+       cast(sign(dot) AS int) AS dot_sign,
+       (10000 * ((dot // 1000) * (dot // 1000)))
+         // greatest((na // 1000) * (nb // 1000), 1) AS cos2_x10000
+FROM joined
+"""
+
+
 MIXTURE_BUDGET = 1_000_000
 
 
@@ -2254,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixture_match_report": _q_fixture_match_report,
         "bpe_induce": _q_bpe_induce,
         "dup_cluster_histogram": _q_dup_cluster_histogram,
+        "embedding_drift": _q_embedding_drift,
         # --- r05-green; the prefix survivors get an r06 row, the
         #     overflow rotates forward in round 7 ---
         "dedup_recall_report": _q_dedup_recall_report,
@@ -3897,6 +3944,7 @@ ORDER BY doc_id
 WITH RECURSIVE {_oracle_components_cte()}
 SELECT doc_id, component_id FROM comp
 """,
+        "embedding_drift": _oracle_embedding_drift(),
         "dup_cluster_histogram": f"""
 WITH RECURSIVE {_oracle_components_cte()},
 sizes AS (

@@ -632,3 +632,71 @@ def semdedup_prune(
         .drop("_beaten")
         .orderBy("vec_id")
     )
+
+
+def embedding_drift(emb: DataFrame, dump_size: int = 100) -> DataFrame:
+    """Embedding-space drift between consecutive crawl snapshots — the
+    representation-level counterpart of `curation.snapshot_term_drift`
+    (a dump whose embedding centroid swings is a content-mix or
+    encoder-version change even when the token distribution looks
+    stable, and vice versa; production corpora monitor both).
+
+    Vectors map to dumps of ``dump_size`` consecutive ``vec_id``s (the
+    shared snapshot convention).  Each dump's centroid is the
+    per-dimension integer mean of the quantized embedding
+    (``sum div n`` — quantized units, exact in both engines), and
+    consecutive centroids compare by squared cosine in basis points via
+    the same cross-multiplied integer form as
+    :func:`embedding_cosine_duplicates` (``div 1000`` downscale keeps
+    every product under 2^63 at any corpus size).  Returns one row per
+    pair: ``(dump_from, dump_to, n_from, n_to, dot_sign,
+    cos2_x10000)`` — identical distributions score ~10000, orthogonal
+    drift scores ~0.
+
+    Scale shape: one posexplode → map-side-combined ``(dump, dim)``
+    sums (n_dumps × dim rows survive); centroids, the consecutive-pair
+    join, and the cosine rollup all run on that tiny aggregate.  The
+    sums aggregate feeds the join's both sides, so it is
+    localCheckpoint-ed (same rationale as ``snapshot_term_drift``).
+    """
+    q = quantized(emb).select(
+        F.expr(f"vec_id div {int(dump_size)}").alias("dump"), "qe"
+    )
+    comps = q.select("dump", F.posexplode("qe").alias("dim", "x"))
+    sums = comps.groupBy("dump", "dim").agg(
+        F.sum("x").alias("s"), F.count("*").alias("n")
+    )
+    sums = sums.localCheckpoint()
+    cent = sums.select(
+        "dump", "dim", "n", F.expr("s div n").alias("c")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.dump") + 1 == F.col("b.dump"))
+        & (F.col("a.dim") == F.col("b.dim")),
+    ).select(
+        F.col("a.dump").alias("dump_from"),
+        F.col("b.dump").alias("dump_to"),
+        F.col("a.n").alias("n_from"),
+        F.col("b.n").alias("n_to"),
+        (F.col("a.c") * F.col("b.c")).alias("xy"),
+        (F.col("a.c") * F.col("a.c")).alias("xx"),
+        (F.col("b.c") * F.col("b.c")).alias("yy"),
+    )
+    agg = joined.groupBy("dump_from", "dump_to", "n_from", "n_to").agg(
+        F.sum("xy").alias("dot"),
+        F.sum("xx").alias("na"),
+        F.sum("yy").alias("nb"),
+    )
+    return agg.select(
+        "dump_from",
+        "dump_to",
+        "n_from",
+        "n_to",
+        F.signum("dot").cast("int").alias("dot_sign"),
+        F.expr(
+            "(10000 * ((dot div 1000) * (dot div 1000)))"
+            " div greatest((na div 1000) * (nb div 1000), 1)"
+        ).alias("cos2_x10000"),
+    )

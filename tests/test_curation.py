@@ -960,3 +960,46 @@ class TestMixturePlan:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestEmbeddingDrift:
+    """Representation-level drift: identical distributions score ~1e4,
+    orthogonal shifts near 0."""
+
+    def test_shifted_dump_detected(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.similarity import (
+            embedding_drift,
+        )
+
+        rows = []
+        # dumps 0 and 1: vectors clustered around +e0; dump 2: around +e1
+        for i in range(30):
+            base = [0.0] * 8
+            if i < 20:
+                base[0] = 2.0
+            else:
+                base[1] = 2.0
+            base[i % 8] += 0.01 * (i % 5)  # small deterministic noise
+            rows.append((i, base, 0))
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        )
+        got = {
+            (r["dump_from"], r["dump_to"]): (r["dot_sign"], r["cos2_x10000"])
+            for r in embedding_drift(df, dump_size=10).collect()
+        }
+        assert got[(0, 1)][0] == 1 and got[(0, 1)][1] > 9500  # same dist
+        assert got[(1, 2)][1] < 2000  # orthogonal shift detected
+
+    def test_single_scan_plan(self, spark):
+        from deepseek_ocr_customvllm_spark.operators.similarity import (
+            embedding_drift,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = embedding_drift(emb)
+        plan = out.sparkSession._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Scan parquet" not in plan  # checkpointed sums only
+        assert "Scan ExistingRDD" in plan
