@@ -2238,71 +2238,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTES.md "driver query budget").  STANDING ROTATION RULE: every
     # entry WITHOUT a row in round N runs in the first 50 of round N+1,
     # so no entry's driver row is ever more than one round stale.
-    # Round 6 order:
-    # 1-20   the twenty entries without an r05 row (tail 51-70 last
-    #        round, all r04-green) — must get an r06 row;
-    # 21+    round-6 additions/changes (brand-new or semantics-changed
-    #        operators — a fresh row beats any rotation claim), then
-    #        r05-green entries; whatever the additions push past ~50
-    #        is r05-green and rotates forward in round 7;
-    # tail   r05-green entries, cheapest/heaviest-oracle ones last
-    #        (the two biggest VALUES oracles close the list so a driver
-    #        truncation also trims the most runtime).
+    # Round 7 order (the concrete target pre-planned in NOTES.md at the
+    # end of round 6; CORRECTNESS_r06.json had exactly 50 rows, so the
+    # addition budget was one retirement):
+    # 1-49   every entry without an r06 driver row (positions 51-100
+    #        last round, all r05-green) — must get an r07 row;
+    #        `corpus_length_report_hist` RETIRED from the registry (its
+    #        oracle was identical to `corpus_length_report`'s; the
+    #        operator + property tests remain) to fund the round-7
+    #        addition;
+    # 50     round-7 addition (near-dup application composed into the
+    #        per-dump pipeline) slots in right behind the rotated group;
+    # 51+    the round-6 prefix (all r06-green) in its present order.
     return {
-        # --- 1-20: r04-green, no r05 row — must get an r06 row ---
-        "ann_topk_dot": _q_ann_topk_dot,
-        "ann_lsh_bucket": _q_ann_lsh_bucket,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "compression_quality": _q_compression_quality,
-        "source_quality_report": _q_source_quality_report,
-        "embedding_norm_stats": _q_embedding_norm_stats,
-        "resume_anti_join": _q_resume_anti_join,
-        "events_asof_join": _q_events_asof_join,
-        "customer_running_revenue": _q_customer_running_revenue,
-        "extract_documents_pipeline": _q_extract_documents_pipeline,
-        "extract_block_histogram": _q_extract_block_histogram,
-        "extract_synth_summary": _q_extract_synth_summary,
-        "domain_quota_sample": _q_domain_quota_sample,
-        "repetition_signals": _q_repetition_signals,
-        "corpus_length_report": _q_corpus_length_report,
-        "ann_recall_report": _q_ann_recall_report,
-        "flagship_doc_stats": _q_flagship_doc_stats,
-        "tpch_q1": _q_tpch_q1,
-        "top_customers_per_region": _q_top_customers_per_region,
-        # --- 21+: round-6 additions / changed operators ---
-        "sequence_pack_rows": _q_sequence_pack_rows,
-        "token_count_subword": _q_token_count_subword,
-        "eval_contamination_report": _q_eval_contamination_report,
-        "lsh_bucket_audit": _q_lsh_bucket_audit,
-        "doc_novelty": _q_doc_novelty,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "domain_dup_report": _q_domain_dup_report,
-        "snapshot_dedup_report": _q_snapshot_dedup_report,
-        "bigram_surprisal": _q_bigram_surprisal,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "host_pagerank": _q_host_pagerank,
-        "warc_extract_pipeline": _q_warc_extract_pipeline,
-        "c4_line_filter": _q_c4_line_filter,
-        "quality_classifier": _q_quality_classifier,
-        "inverted_index": _q_inverted_index,
-        "domain_blocklist": _q_domain_blocklist,
-        "quality_classifier_eval": _q_quality_classifier_eval,
-        "bm25_topk": _q_bm25_topk,
-        "output_shard_plan": _q_output_shard_plan,
-        "table_profile": _q_table_profile,
-        "unicode_normalize": _q_unicode_normalize,
-        "outlink_summary": _q_outlink_summary,
-        "curation_funnel": _q_curation_funnel,
-        "snapshot_term_drift": _q_snapshot_term_drift,
-        "script_profile": _q_script_profile,
-        "mixture_plan": _q_mixture_plan,
-        "fixture_match_report": _q_fixture_match_report,
-        "bpe_induce": _q_bpe_induce,
-        "dup_cluster_histogram": _q_dup_cluster_histogram,
-        "embedding_drift": _q_embedding_drift,
-        # --- r05-green; the prefix survivors get an r06 row, the
-        #     overflow rotates forward in round 7 ---
+        # --- 1-49: r05-green, no r06 row — must get an r07 row ---
         "dedup_recall_report": _q_dedup_recall_report,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
@@ -2333,9 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_rolling_fingerprint": _q_doc_rolling_fingerprint,
         "lang_stratified_sample": _q_lang_stratified_sample,
-        # --- tail: r05-green, rotate forward in round 7 ---
         "ann_recall_clustered": _q_ann_recall_clustered,
-        "corpus_length_report_hist": _q_corpus_length_report_hist,
         "paragraph_dedup": _q_paragraph_dedup,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "pii_redact": _q_pii_redact,
@@ -2354,6 +2301,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_inspect": _q_multimodal_inspect,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
+        # --- 50: round-7 additions slot here, behind the rotated group ---
+        # --- 51+: round-6 prefix, all r06-green, present order ---
+        "ann_topk_dot": _q_ann_topk_dot,
+        "ann_lsh_bucket": _q_ann_lsh_bucket,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "compression_quality": _q_compression_quality,
+        "source_quality_report": _q_source_quality_report,
+        "embedding_norm_stats": _q_embedding_norm_stats,
+        "resume_anti_join": _q_resume_anti_join,
+        "events_asof_join": _q_events_asof_join,
+        "customer_running_revenue": _q_customer_running_revenue,
+        "extract_documents_pipeline": _q_extract_documents_pipeline,
+        "extract_block_histogram": _q_extract_block_histogram,
+        "extract_synth_summary": _q_extract_synth_summary,
+        "domain_quota_sample": _q_domain_quota_sample,
+        "repetition_signals": _q_repetition_signals,
+        "corpus_length_report": _q_corpus_length_report,
+        "ann_recall_report": _q_ann_recall_report,
+        "flagship_doc_stats": _q_flagship_doc_stats,
+        "tpch_q1": _q_tpch_q1,
+        "top_customers_per_region": _q_top_customers_per_region,
+        "sequence_pack_rows": _q_sequence_pack_rows,
+        "token_count_subword": _q_token_count_subword,
+        "eval_contamination_report": _q_eval_contamination_report,
+        "lsh_bucket_audit": _q_lsh_bucket_audit,
+        "doc_novelty": _q_doc_novelty,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "domain_dup_report": _q_domain_dup_report,
+        "snapshot_dedup_report": _q_snapshot_dedup_report,
+        "bigram_surprisal": _q_bigram_surprisal,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "host_pagerank": _q_host_pagerank,
+        "warc_extract_pipeline": _q_warc_extract_pipeline,
+        "c4_line_filter": _q_c4_line_filter,
+        "quality_classifier": _q_quality_classifier,
+        "inverted_index": _q_inverted_index,
+        "domain_blocklist": _q_domain_blocklist,
+        "quality_classifier_eval": _q_quality_classifier_eval,
+        "bm25_topk": _q_bm25_topk,
+        "output_shard_plan": _q_output_shard_plan,
+        "table_profile": _q_table_profile,
+        "unicode_normalize": _q_unicode_normalize,
+        "outlink_summary": _q_outlink_summary,
+        "curation_funnel": _q_curation_funnel,
+        "snapshot_term_drift": _q_snapshot_term_drift,
+        "script_profile": _q_script_profile,
+        "mixture_plan": _q_mixture_plan,
+        "fixture_match_report": _q_fixture_match_report,
+        "bpe_induce": _q_bpe_induce,
+        "dup_cluster_histogram": _q_dup_cluster_histogram,
+        "embedding_drift": _q_embedding_drift,
     }
 
 
@@ -3160,10 +3159,11 @@ FROM documents d
 LEFT JOIN top2 USING (doc_id)
 LEFT JOIN dup3 USING (doc_id)
 """,
+        # corpus_length_report_hist retired from the registry in round 7
+        # (its oracle was this identical SQL — a duplicate driver row);
+        # the histogram-mode operator + its bit-identity property tests
+        # remain in force (tests/test_properties.py).
         "corpus_length_report": _LENGTH_REPORT_SQL,
-        # the histogram path must produce the IDENTICAL report: same
-        # oracle, bit-for-bit
-        "corpus_length_report_hist": _LENGTH_REPORT_SQL,
         "duplicate_spans": f"""
 WITH {{aug}},
 norm AS (SELECT doc_id, {_NORM_DUCK} AS t FROM aug),
