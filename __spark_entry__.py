@@ -789,6 +789,25 @@ def _q_corpus_dedup_apply(spark, sf_dir):
     )
 
 
+def _q_pipeline_kept_corpus(spark, sf_dir):
+    """The per-dump pipeline's kept corpus (round-7 composition,
+    `pipeline_job.run_pipeline(near_dedup="best")`'s document set):
+    funnel gates (nonempty → Gopher → exact-dedup canonical; the
+    English lang gate off, the pipeline's multilingual default) THEN
+    the MinHash near-dup keeper with quality-priority retention —
+    `dedup_job.run_dedup_job(keep="best")` over the funnel survivors.
+    Exact-recall configuration (max_bucket=None) per the standing
+    oracle rule.  Pins the composed semantics the production CLI runs:
+    canonical selection restricted to gate survivors, keeper = argmax
+    quality_score (tie min doc_id) per near-dup cluster."""
+    from deepseek_ocr_customvllm_spark.dedup_job import run_dedup_job
+
+    aug = _augmented_docs(_docs(spark, sf_dir))
+    kept = curation.funnel_apply(aug, lang_gate=False)
+    survivors = run_dedup_job(kept, max_bucket=None, keep="best")
+    return survivors.select("doc_id", F.length("text").alias("n_chars"))
+
+
 def _q_embedding_kmeans(spark, sf_dir):
     """Iterative distributed k-means (Lloyd's) over quantized embeddings:
     broadcast-literal assignment (map-only) + aggregated centroid update
@@ -1313,6 +1332,95 @@ SELECT cast(1 AS int) AS stage_idx, 'nonempty' AS stage, n0 AS n_in, n1 AS n_kep
 UNION ALL SELECT 2, 'lang_en', n1, n2 FROM agg
 UNION ALL SELECT 3, 'gopher_keep', n2, n3 FROM agg
 UNION ALL SELECT 4, 'exact_dedup', n3, n4 FROM agg
+"""
+
+
+def _oracle_pipeline_kept_corpus() -> str:
+    """Twin of `_q_pipeline_kept_corpus` — the composed per-dump kept
+    set: funnel survivors (nonempty → Gopher → exact-dedup canonical,
+    lang gate OFF) feed the MinHash components and the quality-priority
+    keeper.  The funnel-flag expressions are the `_oracle_curation_funnel`
+    ones minus the lang stage; the minhash/verify/components scaffolds
+    are the shared `_shingle_cte`/`_INTER_SIZES_CTE`/walk shapes, run
+    over the ``kept`` CTE instead of ``aug``."""
+    min_aggs = _minhash_min_aggs()
+    band_selects = _minhash_band_selects()
+    return f"""
+WITH RECURSIVE {_AUG_CTE.strip().rstrip()},
+fnorm AS (SELECT doc_id, text, {_NORM_DUCK} AS t FROM aug),
+fm AS (
+  SELECT doc_id, text, t, md5(t) AS fp,
+    CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_tok,
+    length(regexp_replace(t, ' ', '', 'g')) AS n_word_chars,
+    length(t) - length(regexp_replace(t, '#', '', 'g'))
+      + len(regexp_extract_all(t, '\\.\\.\\.')) AS n_symbols,
+    len(list_filter(string_split(text, chr(10)), l -> l <> '')) AS n_lines,
+    len(list_filter(string_split(text, chr(10)),
+                    l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS n_bullets,
+    len(list_filter(string_split(text, chr(10)), l -> l <> ''))
+      - len(list_distinct(list_filter(string_split(text, chr(10)),
+                                      l -> l <> ''))) AS n_dup
+  FROM fnorm
+),
+ff AS (
+  SELECT doc_id, text, fp,
+    (t <> '')
+      AND (3 * n_tok <= n_word_chars) AND (n_word_chars <= 10 * n_tok)
+      AND (10 * n_symbols <= n_tok)
+      AND (10 * n_bullets <= 9 * n_lines)
+      AND (10 * n_dup <= 3 * n_lines) AS s3
+  FROM fm
+),
+fkeep AS (SELECT fp, min(doc_id) AS keep_doc_id FROM ff WHERE s3 GROUP BY fp),
+kept AS (
+  SELECT f.doc_id, f.text
+  FROM ff f JOIN fkeep k USING (fp)
+  WHERE f.s3 AND f.doc_id = k.keep_doc_id
+),
+{_shingle_cte('kept')},
+sig AS (SELECT doc_id, {min_aggs} FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+{_INTER_SIZES_CTE},
+vpairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE floor(i.n_int * 10000.0 / (na.n + nb.n - i.n_int)) / 10000
+        >= {dedup.JACCARD_MIN}
+),
+sym AS (
+  SELECT id_a, id_b FROM vpairs
+  UNION
+  SELECT id_b AS id_a, id_a AS id_b FROM vpairs
+),
+walk(doc_id, comp) AS (
+  SELECT DISTINCT id_a AS doc_id, id_a AS comp FROM sym
+  UNION
+  SELECT s.id_a AS doc_id, w.comp
+  FROM sym s JOIN walk w ON w.doc_id = s.id_b
+),
+components AS (
+  SELECT doc_id, min(comp) AS component_id FROM walk GROUP BY doc_id
+),
+{_oracle_quality_cte('kept')},
+ranked AS (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC)
+           AS rn
+  FROM components c JOIN q USING (doc_id)
+)
+SELECT k.doc_id, length(k.text) AS n_chars
+FROM kept k
+WHERE k.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
 """
 
 
@@ -2301,7 +2409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_inspect": _q_multimodal_inspect,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
-        # --- 50: round-7 additions slot here, behind the rotated group ---
+        # --- 50: round-7 addition, behind the rotated group ---
+        "pipeline_kept_corpus": _q_pipeline_kept_corpus,
         # --- 51+: round-6 prefix, all r06-green, present order ---
         "ann_topk_dot": _q_ann_topk_dot,
         "ann_lsh_bucket": _q_ann_lsh_bucket,
@@ -3345,6 +3454,7 @@ WHERE a.doc_id NOT IN (
   SELECT doc_id FROM components WHERE doc_id <> component_id
 )
 """,
+        "pipeline_kept_corpus": _oracle_pipeline_kept_corpus(),
         "embedding_kmeans": _oracle_kmeans(),
         "events_retention": """
 WITH e AS (

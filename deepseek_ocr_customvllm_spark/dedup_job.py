@@ -74,9 +74,27 @@ def run_dedup_job(
     extraction when a page was crawled twice).
     """
     if keep not in ("min_id", "best"):
+        # validate BEFORE the (eager, checkpointing) minhash pass
         raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
     pairs = dedup.minhash_lsh_duplicates(docs, max_bucket=max_bucket)
     comp = dedup.duplicate_components(pairs.select("id_a", "id_b"))
+    return drop_non_canonical(docs, comp, keep=keep)
+
+
+def drop_non_canonical(
+    docs: DataFrame, comp: DataFrame, keep: str = "min_id"
+) -> DataFrame:
+    """Apply a retention policy to precomputed near-dup ``comp``
+    ``(doc_id, component_id)`` rows: drop every non-canonical cluster
+    member from ``docs``, original columns intact.
+
+    Split out of :func:`run_dedup_job` so a caller that already built
+    the components for telemetry (the per-dump ``pipeline_job``) can
+    apply them without a second MinHash pass — at scale the banded
+    self-join is the expensive leg, and it must run exactly once.
+    """
+    if keep not in ("min_id", "best"):
+        raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
     if keep == "best":
         from pyspark.sql.window import Window
 

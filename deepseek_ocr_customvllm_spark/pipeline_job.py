@@ -2,7 +2,8 @@
 operational capstone a corpus team runs on every crawl snapshot:
 
     read pages -> fused extraction -> funnel gates (nonempty / lang /
-    Gopher / exact-dedup canonical) -> packed training shards
+    Gopher / exact-dedup canonical) -> [optional MinHash near-dup
+    keeper, ``--near-dedup[=best]``] -> packed training shards
     + WET extracted-text shards + a one-line JSON telemetry report
     (funnel stage counts, near-dup cluster histogram, docs/sec).
 
@@ -20,7 +21,10 @@ repartition), the funnel's single fingerprint Exchange, the packer's
 single shard Exchange, and the WET chunker's single chunk Exchange —
 four shuffles end to end, each on a different (and necessary) key.
 The extracted frame feeds three consumers (funnel, packs, WET), so it
-is persisted once up front.
+is persisted once up front.  The optional near-dedup stage adds the
+banded self-join + component propagation over the (already gated)
+funnel survivors — ONE MinHash pass shared by the histogram telemetry
+and the keeper application.
 """
 
 from __future__ import annotations
@@ -45,6 +49,7 @@ from deepseek_ocr_customvllm_spark.operators.curation import (
     sequence_pack_rows,
     write_packed_shards,
 )
+from deepseek_ocr_customvllm_spark.dedup_job import drop_non_canonical
 from deepseek_ocr_customvllm_spark.operators.dedup import (
     cluster_size_report,
     duplicate_components,
@@ -64,15 +69,30 @@ def run_pipeline(
     n_shards: int = 8,
     max_bucket: int | None = 100,
     lang_gate: bool = False,
+    near_dedup: str | None = None,
 ) -> dict:
     """Extract → gate → dedup-canonicalize → pack → WET, returning the
     telemetry dict.  ``max_bucket`` follows the STANDING RULE: the
-    production hot-bucket cap defaults ON for the near-dup telemetry
-    leg (the funnel's exact-dedup gate needs no cap — it is an exact
+    production hot-bucket cap defaults ON for the near-dup leg (the
+    funnel's exact-dedup gate needs no cap — it is an exact
     fingerprint aggregate).  ``lang_gate`` defaults OFF: the funnel's
     stopword rule is English-specific and a general dump is
     multilingual — pass ``lang_gate=True`` (CLI ``--lang-en``) for an
-    English-only corpus."""
+    English-only corpus.
+
+    ``near_dedup`` (``None`` | ``"min_id"`` | ``"best"``) APPLIES the
+    MinHash near-dup keeper between the funnel and the packer — the
+    ``dedup_job`` core over the funnel survivors, so only one member of
+    each near-dup cluster reaches the packed shards and the WET export.
+    When enabled, ONE MinHash pass over the post-funnel corpus feeds
+    BOTH the cluster-histogram telemetry and the application (the
+    banded self-join is the expensive leg and must run exactly once);
+    when off, the histogram is computed over the full extracted corpus
+    as before and nothing near-dup is dropped (telemetry-only)."""
+    if near_dedup not in (None, "min_id", "best"):
+        raise ValueError(
+            f"near_dedup must be None, 'min_id' or 'best', got {near_dedup!r}"
+        )
     t0 = time.time()
     extracted = extract_pages(pages_df, num_partitions=num_partitions)
     # Three consumers below (docs frame feeds funnel/apply/pack; the
@@ -100,15 +120,32 @@ def run_pipeline(
     ]
     kept = funnel_apply(docs, lang_gate=lang_gate)
 
-    pairs = minhash_lsh_duplicates(
-        docs.select("doc_id", "text"), max_bucket=max_bucket
-    )
-    hist = [
-        r.asDict()
-        for r in cluster_size_report(
-            duplicate_components(pairs.select("id_a", "id_b"))
-        ).collect()
-    ]
+    n_dedup_dropped = 0
+    if near_dedup is not None:
+        # One MinHash pass over the FUNNEL SURVIVORS feeds both the
+        # histogram telemetry and the keeper application.  Running the
+        # keeper post-funnel matters semantically: canonical selection
+        # is restricted to members that survived the gates (a cluster
+        # whose min-id member was gate-dropped still keeps its best
+        # surviving member — anti-joining against components computed
+        # over the full corpus would lose the whole cluster).
+        kept_ids = kept.select("doc_id", "text")
+        pairs = minhash_lsh_duplicates(kept_ids, max_bucket=max_bucket)
+        comp = duplicate_components(pairs.select("id_a", "id_b"))
+        hist = [r.asDict() for r in cluster_size_report(comp).collect()]
+        n_before = kept.count()
+        kept = drop_non_canonical(kept, comp, keep=near_dedup).persist()
+        n_dedup_dropped = n_before - kept.count()
+    else:
+        pairs = minhash_lsh_duplicates(
+            docs.select("doc_id", "text"), max_bucket=max_bucket
+        )
+        hist = [
+            r.asDict()
+            for r in cluster_size_report(
+                duplicate_components(pairs.select("id_a", "id_b"))
+            ).collect()
+        ]
 
     packs = sequence_pack_rows(
         kept.select("doc_id", "text"), seq_len=seq_len, n_shards=n_shards
@@ -123,11 +160,16 @@ def run_pipeline(
     n_wet_chunks = spark.read.parquet(f"{out_dir}/wet").count()
 
     extracted.unpersist()
+    if near_dedup is not None:
+        kept.unpersist()
     wall = time.time() - t0
     return {
         "n_extracted": n_extracted,
         "funnel": funnel_rows,
-        "n_kept": funnel_rows[-1]["n_kept"] if funnel_rows else 0,
+        "n_kept": (funnel_rows[-1]["n_kept"] if funnel_rows else 0)
+        - n_dedup_dropped,
+        "near_dedup": near_dedup,
+        "n_dedup_dropped": n_dedup_dropped,
         "dup_cluster_histogram": hist,
         "n_packs": n_packs,
         "seq_len": seq_len,
@@ -155,7 +197,17 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--exact-recall",
         action="store_true",
-        help="disable the hot-bucket cap in the near-dup telemetry leg",
+        help="disable the hot-bucket cap in the near-dup leg",
+    )
+    parser.add_argument(
+        "--near-dedup",
+        nargs="?",
+        const="min_id",
+        choices=("min_id", "best"),
+        default=None,
+        help="APPLY the MinHash near-dup keeper between the funnel and "
+        "the packer (bare flag = min_id retention; '=best' keeps the "
+        "highest-quality cluster member)",
     )
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
@@ -181,6 +233,7 @@ def main(argv=None) -> None:
                 n_shards=args.shards,
                 max_bucket=None if args.exact_recall else 100,
                 lang_gate=args.lang_en,
+                near_dedup=args.near_dedup,
             )
         )
     )
