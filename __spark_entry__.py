@@ -819,7 +819,11 @@ def _q_embedding_kmeans(spark, sf_dir):
 def _oracle_kmeans(k: int = 8, n_iter: int = 2) -> str:
     """The same Lloyd's iterations unrolled as chained CTEs.  Integer
     arithmetic end to end; centroid division truncates toward zero in
-    both engines (DuckDB ``//`` floors, hence the CASE)."""
+    both engines.  The CASE keeps that explicit and sign-safe rather
+    than leaning on DuckDB's integer ``//`` semantics (1.0.0 truncates
+    like Spark ``div`` — verified — but floor-vs-truncate is exactly
+    the kind of engine choice an oracle must not hinge on; see NOTES
+    "integer division" rule)."""
     tzdiv = "cast(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS bigint)"
     parts = [
         f"""
@@ -883,8 +887,9 @@ def _q_events_retention(spark, sf_dir):
     integer week arithmetic end to end (portable + deterministic)."""
     _ensure_utc(spark)
     ev = load_table(spark, sf_dir, "events")
-    # floor(), not div: Spark div truncates toward zero while the
-    # oracle's // floors — they disagree for pre-1970 timestamps
+    # floor(), not div: the oracle buckets with floor(epoch/604800),
+    # which FLOORS, while Spark div truncates toward zero — they would
+    # disagree for pre-1970 timestamps, so both engines use floor()
     e = ev.select(
         "user_id",
         F.floor(F.unix_timestamp("ts") / F.lit(604800)).cast("long").alias("week"),
@@ -1679,7 +1684,15 @@ sums AS (
   SELECT dump, dim, cast(sum(x) AS bigint) AS s, count(*) AS n
   FROM comps GROUP BY 1, 2
 ),
-cent AS (SELECT dump, dim, n, s // n AS c FROM sums),
+cent AS (
+  -- sign-safe toward-zero division (the kmeans-oracle CASE): per-dim
+  -- sums are frequently negative, and the installed DuckDB 1.0.0's
+  -- integer // happens to truncate like Spark div, but parity must not
+  -- hinge on that engine choice (see NOTES "integer division" rule)
+  SELECT dump, dim, n,
+         CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS c
+  FROM sums
+),
 joined AS (
   SELECT a.dump AS dump_from, b.dump AS dump_to,
          a.n AS n_from, b.n AS n_to,
@@ -1688,12 +1701,18 @@ joined AS (
          cast(sum(b.c * b.c) AS bigint) AS nb
   FROM cent a JOIN cent b ON a.dump + 1 = b.dump AND a.dim = b.dim
   GROUP BY 1, 2, 3, 4
+),
+scaled AS (
+  SELECT dump_from, dump_to, n_from, n_to, dot,
+         CASE WHEN dot >= 0 THEN dot // 1000
+              ELSE -((-dot) // 1000) END AS dk,
+         na // 1000 AS nak, nb // 1000 AS nbk
+  FROM joined
 )
 SELECT dump_from, dump_to, n_from, n_to,
        cast(sign(dot) AS int) AS dot_sign,
-       (10000 * ((dot // 1000) * (dot // 1000)))
-         // greatest((na // 1000) * (nb // 1000), 1) AS cos2_x10000
-FROM joined
+       (10000 * (dk * dk)) // greatest(nak * nbk, 1) AS cos2_x10000
+FROM scaled
 """
 
 

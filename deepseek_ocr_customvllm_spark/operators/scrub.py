@@ -219,9 +219,11 @@ def chunk_documents(
     d = docs.select("doc_id", norm.alias("t")).filter(F.col("t") != "")
     d = d.withColumn("ts", F.split("t", " "))
     # n_chunks = ceil((n - overlap) / step), floored at 1 so every
-    # non-empty doc yields a chunk (greatest() is explicit: Spark `div`
-    # truncates toward zero while the DuckDB oracle's `//` floors, and
-    # only the clamp makes the tiny-doc case agree between them)
+    # non-empty doc yields a chunk.  greatest() is explicit: the
+    # numerator goes negative for tiny docs, where truncating (Spark
+    # div, and the installed DuckDB 1.0.0's integer //) and flooring
+    # division diverge — the clamp pins the result to 0 in BOTH engines
+    # whatever their negative-quotient choice (NOTES "integer division")
     chunks = F.expr(
         f"transform(sequence(0, greatest((size(ts) - {overlap} - 1) div {step}, 0)),"
         f" i -> slice(ts, i * {step} + 1, {chunk_tokens}))"

@@ -70,6 +70,7 @@ def run_pipeline(
     max_bucket: int | None = 100,
     lang_gate: bool = False,
     near_dedup: str | None = None,
+    wet_chunk_bytes: int = 1 << 30,
 ) -> dict:
     """Extract → gate → dedup-canonicalize → pack → WET, returning the
     telemetry dict.  ``max_bucket`` follows the STANDING RULE: the
@@ -88,7 +89,15 @@ def run_pipeline(
     BOTH the cluster-histogram telemetry and the application (the
     banded self-join is the expensive leg and must run exactly once);
     when off, the histogram is computed over the full extracted corpus
-    as before and nothing near-dup is dropped (telemetry-only)."""
+    as before and nothing near-dup is dropped (telemetry-only).
+
+    The WET leg sizes its own chunk count from the kept corpus's total
+    markdown BYTES against ``wet_chunk_bytes`` (default 1 GiB), never
+    from the packing shard count (ADVICE r6): a WET chunk is assembled
+    as one in-memory blob in one task, so ``n_shards`` chunks over a
+    real dump would concentrate ~1/n_shards of the dump's extracted
+    bytes in a single task and OOM.  The derived count is floored at
+    ``n_shards`` so small corpora keep their shard layout."""
     if near_dedup not in (None, "min_id", "best"):
         raise ValueError(
             f"near_dedup must be None, 'min_id' or 'best', got {near_dedup!r}"
@@ -153,8 +162,15 @@ def run_pipeline(
     write_packed_shards(packs, f"{out_dir}/packed")
     n_packs = spark.read.parquet(f"{out_dir}/packed").count()
 
+    if wet_chunk_bytes <= 0:
+        raise ValueError(f"wet_chunk_bytes must be > 0, got {wet_chunk_bytes}")
+    total_md_bytes = (
+        kept.agg(F.sum(F.octet_length("markdown")).alias("b")).collect()[0]["b"]
+        or 0
+    )
+    n_wet = max(n_shards, -(-total_md_bytes // wet_chunk_bytes))
     wet = wet_chunks(
-        kept.select("url", "warc_ts", "markdown"), n_chunks=n_shards
+        kept.select("url", "warc_ts", "markdown"), n_chunks=n_wet
     )
     wet.write.mode("overwrite").parquet(f"{out_dir}/wet")
     n_wet_chunks = spark.read.parquet(f"{out_dir}/wet").count()
@@ -200,6 +216,13 @@ def main(argv=None) -> None:
         help="disable the hot-bucket cap in the near-dup leg",
     )
     parser.add_argument(
+        "--wet-chunk-bytes",
+        type=int,
+        default=1 << 30,
+        help="target bytes per WET chunk; the WET chunk count is "
+        "ceil(total markdown bytes / this), floored at --shards",
+    )
+    parser.add_argument(
         "--near-dedup",
         nargs="?",
         const="min_id",
@@ -234,6 +257,7 @@ def main(argv=None) -> None:
                 max_bucket=None if args.exact_recall else 100,
                 lang_gate=args.lang_en,
                 near_dedup=args.near_dedup,
+                wet_chunk_bytes=args.wet_chunk_bytes,
             )
         )
     )

@@ -70,8 +70,24 @@ def warc_record_bytes(
     never drift from the payload even on non-ASCII string columns.
     The date is rendered in the session timezone, so callers pin UTC
     (`_ensure_utc`) the way every other timestamp-bearing plan here does.
+
+    The url is percent-escaped for CR/LF before it enters the
+    CRLF-delimited header: an untrusted crawl url containing a raw
+    ``\\r\\n\\r\\n`` would otherwise terminate the header before
+    ``Content-Length`` and corrupt record framing for the rest of the
+    blob.  Only the two control bytes are escaped (``%0D`` / ``%0A``,
+    their standard URI encoding — RFC 3986 forbids raw controls in a
+    URI, and ISO 28500 forbids them in ``WARC-Target-URI``); legitimate
+    ``%XX`` sequences already in the url pass through untouched, so no
+    double-escaping.  The escape is JVM ``regexp_replace`` — the encode
+    path stays whole-stage codegen.  The date needs no guard: it is
+    rendered by ``date_format`` from a timestamp and cannot contain
+    controls.
     """
     url = F.col(url) if isinstance(url, str) else url
+    url = F.regexp_replace(
+        F.regexp_replace(url, "\r", "%0D"), "\n", "%0A"
+    )
     warc_ts = F.col(warc_ts) if isinstance(warc_ts, str) else warc_ts
     payload = _b(F.col(html) if isinstance(html, str) else html)
     header = F.concat(
@@ -151,21 +167,32 @@ def parse_warc_blob(data: bytes) -> List[Tuple[str, _dt.datetime, bytes]]:
     """Parse one WARC blob into ``(url, warc_ts, html)`` records.
 
     Strict per-record framing (version line, ``Content-Length`` payload
-    slice, blank-line terminator); a malformed record aborts THIS blob's
-    remaining bytes (framing is lost once lengths stop lining up) but
-    records already parsed are kept — per-record isolation, same
-    contract as the extractor's row-level FAILED handling.
+    slice, blank-line terminator); a malformed record loses framing, so
+    the parser RESYNCHRONIZES on the next ``WARC/1.0\\r\\n`` marker
+    (the standard warcio-style recovery) instead of aborting the blob —
+    one torn record costs itself, not every record sorted after it in
+    the shard.  Records already parsed are always kept — per-record
+    isolation, same contract as the extractor's row-level FAILED
+    handling.  The resync scan only runs on the malformed path; a
+    payload legitimately containing the marker bytes is never rescanned
+    because well-framed records are skipped by ``Content-Length``.
     """
     out: List[Tuple[str, _dt.datetime, bytes]] = []
     pos = 0
     n = len(data)
+
+    def _resync(from_pos: int) -> int:
+        nxt = data.find(b"WARC/1.0\r\n", from_pos)
+        return nxt if nxt >= 0 else n
+
     while pos < n:
         hdr_end = data.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
             break
         lines = data[pos:hdr_end].decode("utf-8", "replace").split(_CRLF)
         if not lines or not lines[0].startswith("WARC/"):
-            break
+            pos = _resync(pos + 1)
+            continue
         fields = {}
         for line in lines[1:]:
             k, sep, v = line.partition(":")
@@ -176,16 +203,19 @@ def parse_warc_blob(data: bytes) -> List[Tuple[str, _dt.datetime, bytes]]:
             url = fields["warc-target-uri"]
             ts = _dt.datetime.strptime(fields["warc-date"], _PY_DATE_FMT)
         except (KeyError, ValueError):
-            break
+            pos = _resync(pos + 1)
+            continue
         if length < 0:
             # A negative length would slice back INTO the header (the
             # terminator check would then pass vacuously on the header's
             # own CRLFCRLF and emit a phantom empty record): malformed.
-            break
+            pos = _resync(pos + 1)
+            continue
         body_start = hdr_end + 4
         body_end = body_start + length
         if body_end + 4 > n or data[body_end : body_end + 4] != b"\r\n\r\n":
-            break
+            pos = _resync(pos + 1)
+            continue
         out.append((url, ts, data[body_start:body_end]))
         pos = body_end + 4
     return out

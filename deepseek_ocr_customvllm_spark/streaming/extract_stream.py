@@ -174,17 +174,22 @@ def run_stream_with_state(
     (``app/tasks/tasks.py:8-37``: process, then ack/update the job row).
     Protocol details live on :func:`_drain_content_keyed`.
 
-    The content key is ``(url, warc_ts)``: extraction is deterministic
-    per page, and warc_ts distinguishes a re-crawl of the same url
-    (which SHOULD re-extract) from a replay of the same file.  The key
-    hashes two pass-through SOURCE columns — Spark cannot column-prune
+    The content key is ``(url, warc_ts, html)``: extraction is
+    deterministic per page, warc_ts distinguishes a re-crawl of the
+    same url, and the html bytes distinguish a CORRECTED landing file
+    that republishes the same urls/timestamps with different content —
+    which must re-extract, not be treated as a replay (ADVICE r6; the
+    WARC stream keys raw shard bytes and never had this gap).  The key
+    hashes pass-through SOURCE columns only — Spark cannot column-prune
     through the extraction mapInPandas, so keying a post-extraction
-    frame would make every replay-skip pay a full extraction run.  ONE
-    file per micro-batch: the content key identifies a batch by what's
-    in it, so batches must be STABLE units across replays — and the
-    only stable unit a file source has is the file.  (Landing files are
-    dump-sized in production; per-batch overhead is amortized by file
-    size, not file count.)
+    frame would make every replay-skip pay a full extraction run;
+    hashing html is one columnar scan of the batch file, paid once per
+    replay decision, never an extraction.  ONE file per micro-batch:
+    the content key identifies a batch by what's in it, so batches must
+    be STABLE units across replays — and the only stable unit a file
+    source has is the file.  (Landing files are dump-sized in
+    production; per-batch overhead is amortized by file size, not file
+    count.)
     """
     from .dedup_stream import _content_key
 
@@ -200,7 +205,7 @@ def run_stream_with_state(
         checkpoint_dir,
         state_dir,
         STREAM_ID,
-        key_of=lambda b: _content_key(b, "url", "warc_ts"),
+        key_of=lambda b: _content_key(b, "url", "warc_ts", "html"),
         pages_of=lambda b: b,
     )
 

@@ -184,3 +184,35 @@ class TestPipelineNearDedup:
                 str(tmp_path_factory.mktemp("bad")),
                 near_dedup="newest",
             )
+
+
+class TestWetChunkSizing:
+    def test_wet_chunk_count_derived_from_bytes(self, spark, tmp_path_factory):
+        """ADVICE r6: the WET leg must size its chunk count from the
+        corpus bytes, not reuse the packing shard count — a tiny byte
+        target forces many chunks, each bounded by roughly the target."""
+        from deepseek_ocr_customvllm_spark.pipeline_job import run_pipeline
+        from deepseek_ocr_customvllm_spark.sources.pages import synth_pages_df
+
+        pages = synth_pages_df(spark, 120, num_partitions=4)
+        out = str(tmp_path_factory.mktemp("wetsize"))
+        m = run_pipeline(
+            spark, pages, out, seq_len=64, n_shards=2,
+            wet_chunk_bytes=20_000,
+        )
+        assert m["n_wet_chunks"] > 2  # would be 2 under the old reuse
+        sizes = [
+            len(bytes(r["data"]))
+            for r in spark.read.parquet(f"{out}/wet").collect()
+        ]
+        # xxhash64 chunking is statistical, not bin-packing: allow a
+        # generous factor over the target, but nothing near "whole
+        # corpus in one task"
+        assert max(sizes) < 20_000 * 4
+        assert sum(sizes) > 20_000  # corpus genuinely exceeds one chunk
+
+        with pytest.raises(ValueError, match="wet_chunk_bytes"):
+            run_pipeline(
+                spark, pages, str(tmp_path_factory.mktemp("bad")),
+                wet_chunk_bytes=0,
+            )

@@ -1312,6 +1312,51 @@ class TestSecondReviewRegressions:
         assert all(r["attempt"] == 1 for r in store.read().collect())
         assert store.read().count() == 20
 
+    def test_corrected_content_same_urls_reextracts(self, spark, tmpdir):
+        """ADVICE r6: a landing file republishing the SAME urls and
+        warc_ts with DIFFERENT html is a correction, not a replay — the
+        content key includes the html bytes, so it must re-extract
+        (attempt == 2), while a byte-identical republish still skips."""
+        from deepseek_ocr_customvllm_spark.plans.state import ParquetStateStore
+        from deepseek_ocr_customvllm_spark.streaming.extract_stream import (
+            run_stream_with_state,
+        )
+
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        pages = synth_pages_df(spark, 10, num_partitions=1)
+        pages.write.parquet(os.path.join(landing, "b1"))
+        args = (
+            landing + "/*",
+            os.path.join(tmpdir, "out"),
+            os.path.join(tmpdir, "ckpt"),
+            os.path.join(tmpdir, "state"),
+        )
+        assert run_stream_with_state(spark, *args) == 10
+        # corrected republish: same urls/warc_ts, different html bytes
+        pages.withColumn(
+            "html",
+            F.concat(F.col("html"), F.lit(b"<!-- corrected -->")),
+        ).write.parquet(os.path.join(landing, "b2"))
+        run_stream_with_state(spark, *args)
+        store = ParquetStateStore(spark, os.path.join(tmpdir, "state"))
+        state = store.read().collect()
+        assert len(state) == 10
+        assert all(r["attempt"] == 2 for r in state)
+        # byte-identical republish of the correction: a true replay,
+        # must skip (attempts unchanged)
+        pages.withColumn(
+            "html",
+            F.concat(F.col("html"), F.lit(b"<!-- corrected -->")),
+        ).write.parquet(os.path.join(landing, "b3"))
+        run_stream_with_state(spark, *args)
+        assert all(
+            r["attempt"] == 2
+            for r in ParquetStateStore(
+                spark, os.path.join(tmpdir, "state")
+            ).read().collect()
+        )
+
     def test_empty_landing_returns_zero(self, spark, tmpdir):
         from deepseek_ocr_customvllm_spark.streaming.extract_stream import (
             run_stream_with_state,

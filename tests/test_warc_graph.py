@@ -102,18 +102,59 @@ class TestWarcRoundtrip:
         out = warc.parse_warc_blob(torn)
         assert [(u, t) for u, t, _ in out] == [("u1", ts), ("u2", ts)]
         assert [bytes(h) for _, _, h in out] == [b"aaa", b"bbbb"]
-        # Garbage between records loses framing from that point on.
-        assert warc.parse_warc_blob(b"junk" + good) == []
+        # Garbage before/between records: the parser resynchronizes on
+        # the next WARC/1.0 marker — one bad span costs itself, not the
+        # records after it.
+        recovered = warc.parse_warc_blob(b"junk" + good)
+        assert [(u, t) for u, t, _ in recovered] == [("u1", ts), ("u2", ts)]
+        mid = rec("u1", b"aaa") + b"WARC/1.0\r\nbroken\r\n\r\n" + rec(
+            "u2", b"bbbb"
+        )
+        recovered_mid = warc.parse_warc_blob(mid)
+        assert [u for u, _, _ in recovered_mid] == ["u1", "u2"]
         assert warc.parse_warc_blob(b"") == []
         # Negative Content-Length: the terminator check would pass
-        # vacuously on the header's own CRLFCRLF — must abort, never
-        # emit a phantom empty record.
+        # vacuously on the header's own CRLFCRLF — must never emit a
+        # phantom empty record; resync then recovers the good records.
         neg = (
             b"WARC/1.0\r\nWARC-Target-URI: u9\r\n"
             b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
             b"Content-Length: -4\r\n\r\n" + good
         )
-        assert warc.parse_warc_blob(neg) == []
+        assert [u for u, _, _ in warc.parse_warc_blob(neg)] == ["u1", "u2"]
+
+    def test_crlf_in_url_cannot_corrupt_framing(self, spark):
+        # ADVICE r6 (medium): an untrusted crawl url carrying raw
+        # CR/LF would otherwise truncate the CRLF-delimited header
+        # before Content-Length and poison the blob after it.  The
+        # encoder percent-escapes exactly the two control bytes; every
+        # record in the shard parses, and the poisoned row comes back
+        # under its escaped url.
+        evil = "https://docs.test/x/1?a=1\r\n\r\nWARC-Injected: yes"
+        rows = [
+            (evil, dt.datetime(2025, 1, 1), b"<html>evil</html>"),
+            # sorts AFTER the evil url in-blob: the row the old abort
+            # behavior silently dropped
+            ("https://zzz.test/ok", dt.datetime(2025, 1, 1), b"<html>ok</html>"),
+        ]
+        pages = spark.createDataFrame(
+            rows, schema="url string, warc_ts timestamp, html binary"
+        )
+        out = warc.parse_warc(warc.warc_chunks(pages, n_chunks=1)).collect()
+        got = {r["url"]: bytes(r["html"]) for r in out}
+        assert got == {
+            "https://docs.test/x/1?a=1%0D%0A%0D%0AWARC-Injected: yes":
+                b"<html>evil</html>",
+            "https://zzz.test/ok": b"<html>ok</html>",
+        }
+        # a url with legitimate %XX escapes is NOT double-escaped
+        pct = "https://docs.test/p?q=a%20b%0D"
+        pages2 = spark.createDataFrame(
+            [(pct, dt.datetime(2025, 1, 1), b"x")],
+            schema="url string, warc_ts timestamp, html binary",
+        )
+        out2 = warc.parse_warc(warc.warc_chunks(pages2, n_chunks=1)).collect()
+        assert out2[0]["url"] == pct
 
     def test_string_html_column_frames_by_bytes(self, spark):
         # A STRING html column with non-ASCII chars: Content-Length must
