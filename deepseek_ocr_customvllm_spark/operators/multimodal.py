@@ -8,19 +8,22 @@ handling is shared.
 
 Decode tiers:
 
-- **Uncompressed raster formats decode FOR REAL**, stdlib-only:
-  24-bit BMP (``_decode_bmp``) and binary/ascii PPM (``_decode_ppm``),
-  with deterministic nearest-neighbour grayscale thumbnailing as the
-  resize stage (:func:`grayscale_thumb`).  :func:`image_features` is the
+- **Raster formats decode FOR REAL, stdlib-only**: 24-bit BMP
+  (``_decode_bmp``), binary/ascii PPM (``_decode_ppm``), and — since
+  round 7 — non-interlaced 8-bit grayscale/RGB/RGBA PNG
+  (``_decode_png``: ``zlib`` inflate + all five PNG row filters +
+  per-chunk CRC validation), with deterministic nearest-neighbour
+  grayscale thumbnailing as the resize stage
+  (:func:`grayscale_thumb`).  :func:`image_features` is the
   oracle-checked Spark operator over them.
-- **Compressed codecs (PNG/JPEG) decode behind a capability gate**:
-  when PIL is importable they decode for real through the same
-  {width, height, rows} contract; otherwise ``decode_stub`` raises
-  ``NotImplementedError`` (PIL/ffmpeg are not in this runtime) and
-  per-row isolation turns them into ``unsupported`` feature rows
-  instead of task failures.  Video stays stubbed either way.
-  The ``image_features`` oracle runs on the stdlib formats only, so it
-  is green in both environments.
+- **Remaining compressed codecs (JPEG/MP3) decode behind a capability
+  gate**: when PIL is importable JPEG decodes for real through the
+  same {width, height, rows} contract; otherwise ``decode_stub``
+  raises ``NotImplementedError`` (PIL/ffmpeg are not in this runtime)
+  and per-row isolation turns them into ``unsupported`` feature rows
+  instead of task failures.  PNG variants outside the implemented
+  profile (16-bit, palette, interlaced) take the same honest
+  ``NotImplementedError`` path.  Video stays stubbed either way.
 """
 
 from __future__ import annotations
@@ -188,6 +191,190 @@ def _decode_ppm(payload: bytes) -> dict:
     return {"media_type": "image/ppm", "width": width, "height": height, "rows": rows}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA (8-bit)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/
+    up-left to the linear estimate, ties left > up > up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png(
+    seed: int, width: int = 21, height: int = 14, color_type: int = 2
+) -> bytes:
+    """Deterministic non-interlaced 8-bit PNG — pure function of
+    ``seed``, same pixel recurrence as :func:`synth_bmp`.  The per-row
+    FILTER TYPE cycles ``(seed + y) % 5``, so a corpus of these
+    exercises every one of the five unfilter paths in
+    :func:`_decode_png`; the encoder applies the real filter transform
+    (delta against left/up/average/Paeth), making encode→decode a
+    meaningful round trip rather than a filter-0 tautology."""
+    import zlib
+
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"color_type must be one of 0/2/6, got {color_type}")
+    nch = _PNG_CHANNELS[color_type]
+    stride = width * nch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            v = (seed * 2654435761 + y * 97 + x * 31) & 0xFFFFFFFF
+            px = ((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF, (v >> 24) & 0xFF)
+            if color_type == 0:
+                line.append(px[0])
+            else:
+                line += bytes(px[:nch])
+        ft = (seed + y) % 5
+        filtered = bytearray(stride)
+        for i in range(stride):
+            a = line[i - nch] if i >= nch else 0
+            b = prev[i]
+            c = prev[i - nch] if i >= nch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                pred = _paeth(a, b, c)
+            filtered[i] = (line[i] - pred) & 0xFF
+        raw.append(ft)
+        raw += filtered
+        prev = bytes(line)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Non-interlaced 8-bit grayscale/RGB/RGBA PNG -> the shared
+    {width, height, rgb rows top-down} contract, stdlib-only: chunk
+    walk with CRC validation, ``zlib`` inflate of the concatenated
+    IDAT stream, and the five row unfilters (RFC 2083 §6).  RGBA drops
+    alpha (feature math runs on channel sums); variants outside the
+    profile (16-bit, palette, interlaced) raise ``NotImplementedError``
+    — the honest capability gate, isolated per-row upstream."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat: list = []
+    seen_iend = False
+    while pos + 12 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13 or not idat or not seen_iend:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if comp != 0 or filt != 0:
+        raise ValueError("bad PNG IHDR compression/filter method")
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"unsupported PNG variant (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace}); implemented: 8-bit non-interlaced "
+            "grayscale/RGB/RGBA"
+        )
+    if not (0 < width <= 1 << 15) or not (0 < height <= 1 << 15):
+        raise ValueError("bad PNG dimensions")
+    nch = _PNG_CHANNELS[ctype]
+    stride = width * nch
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG IDAT stream: {e}") from None
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG raster size mismatch")
+    prev = bytes(stride)
+    rows = []
+    pos = 0
+    for _y in range(height):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                c = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        prev = bytes(line)
+        if ctype == 0:
+            row = [(v, v, v) for v in line]
+        elif ctype == 2:
+            row = [
+                (line[3 * x], line[3 * x + 1], line[3 * x + 2])
+                for x in range(width)
+            ]
+        else:
+            row = [
+                (line[4 * x], line[4 * x + 1], line[4 * x + 2])
+                for x in range(width)
+            ]
+        rows.append(row)
+    return {
+        "media_type": "image/png",
+        "width": width,
+        "height": height,
+        "rows": rows,
+    }
+
+
 def synth_wav(seed: int, n_samples: int = 800, rate: int = 8000) -> bytes:
     """Deterministic 16-bit mono PCM WAV — pure function of ``seed``."""
     samples = bytearray()
@@ -242,11 +429,19 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def synth_media_payload(doc_id: int) -> bytes:
-    """Deterministic mixed media corpus keyed by doc id: BMPs, PPMs, and
-    some compressed-codec payloads (which must become 'unsupported' rows,
-    not failures)."""
+    """Deterministic mixed media corpus keyed by doc id: BMPs, PPMs,
+    real PNGs (color type cycling gray/RGB/RGBA, filters cycling per
+    row inside each), and some codec payloads that must become
+    'unsupported' rows, not failures (JPEG junk, and a 16-bit PNG that
+    exercises the decoder's profile gate)."""
+    if doc_id % 31 == 0:
+        return b"\xff\xd8\xff\xe0" + b"jpeg-not-decodable"
+    if doc_id % 37 == 0:
+        # a structurally valid but out-of-profile PNG: 16-bit depth
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+        return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
     if doc_id % 29 == 0:
-        return b"\x89PNG\r\n\x1a\n" + b"compressed-not-decodable"
+        return synth_png(doc_id, color_type=(0, 2, 6)[(doc_id // 29) % 3])
     if doc_id % 7 == 3:
         return synth_ppm(doc_id)
     return synth_bmp(doc_id)
@@ -266,10 +461,10 @@ def decode_image(payload: bytes) -> dict:
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P3"):
         return _decode_ppm(payload)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        if _PILImage is not None:
-            return _decode_with_pil(payload)
-        return decode_stub(payload, "image/png")
+    if payload[:8] == _PNG_SIG:
+        # stdlib decode unconditionally (never PIL, even when present):
+        # the oracle math must be one implementation in every environment
+        return _decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
         if _PILImage is not None:
             return _decode_with_pil(payload)
@@ -415,7 +610,7 @@ def _image_features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def image_features(media_df: DataFrame) -> DataFrame:
     """``(media_id long, payload binary)`` -> decoded image feature rows.
 
-    Real decode (BMP/PPM) + exact integer channel sums + md5 of the
+    Real decode (BMP/PPM/PNG) + exact integer channel sums + md5 of the
     deterministic grayscale thumbnail; all math is integer so a DuckDB /
     pure-Python oracle reproduces it bit-for-bit.
     """

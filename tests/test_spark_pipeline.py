@@ -588,22 +588,31 @@ class TestMultimodalPlumbing:
             decode_stub(b"\x89PNG", "image/png")
 
     def test_compressed_decode_capability_gate(self):
-        """PNG decode picks PIL when importable, the honest stub
-        otherwise — both paths covered, whichever environment runs."""
+        """JPEG decode picks PIL when importable, the honest stub
+        otherwise — both paths covered, whichever environment runs.
+        (PNG left this gate in round 7: it decodes stdlib-real.)"""
         import pytest as _pytest
 
         from deepseek_ocr_customvllm_spark.operators import multimodal as mm
 
         if mm._PILImage is None:
             with _pytest.raises(NotImplementedError):
-                mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+                mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
         else:
             import io
 
             buf = io.BytesIO()
-            mm._PILImage.new("RGB", (2, 1), (5, 6, 7)).save(buf, "PNG")
+            mm._PILImage.new("RGB", (2, 1), (5, 6, 7)).save(buf, "JPEG")
             img = mm.decode_image(buf.getvalue())
-            assert img["width"] == 2 and img["rows"][0][0] == (5, 6, 7)
+            assert img["width"] == 2
+
+    def test_png_decodes_stdlib_even_if_pil_present(self):
+        """PNG must take the stdlib decoder unconditionally — one
+        implementation of the oracle math in every environment."""
+        from deepseek_ocr_customvllm_spark.operators import multimodal as mm
+
+        img = mm.decode_image(mm.synth_png(9, width=4, height=3))
+        assert img["media_type"] == "image/png"
 
 
 class TestSimhashBanding:
@@ -834,6 +843,93 @@ class TestImageDecode:
         assert image_feature_row(3, b"")["media_type"] == "unsupported"
         assert image_feature_row(4, synth_bmp(4)[:40])["media_type"] == "unsupported"
         assert image_feature_row(5, None)["media_type"] == "unsupported"
+
+    def test_png_round_trip_all_color_types_and_filters(self):
+        """synth_png applies the real filter transforms (type cycling
+        per row) and _decode_png must invert every one of them exactly:
+        decoded pixels == the generator recurrence, for gray/RGB/RGBA
+        and heights that cover all five filters."""
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _decode_png,
+            synth_png,
+        )
+
+        for ctype in (0, 2, 6):
+            for seed in (0, 1, 7, 1234):
+                w, h = 13 + seed % 5, 9 + seed % 4  # odd sizes, h >= 5
+                img = _decode_png(synth_png(seed, w, h, color_type=ctype))
+                assert (img["width"], img["height"]) == (w, h)
+                assert img["media_type"] == "image/png"
+                for y in range(h):
+                    for x in range(w):
+                        v = (seed * 2654435761 + y * 97 + x * 31) & 0xFFFFFFFF
+                        px = (
+                            (v >> 16) & 0xFF,
+                            (v >> 8) & 0xFF,
+                            v & 0xFF,
+                        )
+                        if ctype == 0:
+                            exp = (px[0], px[0], px[0])
+                        else:  # RGB and RGBA both surface the rgb triple
+                            exp = px
+                        assert img["rows"][y][x] == exp, (ctype, seed, x, y)
+
+    def test_png_malformed_and_out_of_profile(self):
+        import struct as _s
+
+        import pytest as _pytest
+
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _PNG_SIG,
+            _decode_png,
+            _png_chunk,
+            image_feature_row,
+            synth_png,
+        )
+
+        good = synth_png(5, width=6, height=4)
+        # corrupt one IDAT byte: CRC check must catch it
+        bad = bytearray(good)
+        bad[len(bad) // 2] ^= 0xFF
+        with _pytest.raises(ValueError):
+            _decode_png(bytes(bad))
+        # truncated chunk
+        with _pytest.raises(ValueError):
+            _decode_png(good[:-6])
+        # out-of-profile variants gate with NotImplementedError and
+        # isolate as 'unsupported' rows upstream
+        for depth, ctype, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+            ihdr = _s.pack(">IIBBBBB", 2, 1, depth, ctype, 0, 0, interlace)
+            p = (
+                _PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", b"x")
+                + _png_chunk(b"IEND", b"")
+            )
+            with _pytest.raises(NotImplementedError):
+                _decode_png(p)
+            assert image_feature_row(1, p)["media_type"] == "unsupported"
+
+    def test_png_feature_rows_through_spark(self, spark):
+        """The synthetic media corpus now carries real PNGs: the Spark
+        image_features output must contain decoded image/png rows whose
+        channel sums equal the pure-Python twin, plus 'unsupported'
+        rows for the JPEG junk and the 16-bit PNG plant."""
+        import __spark_entry__ as em
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            image_feature_row,
+            synth_media_payload,
+        )
+
+        out = {
+            r["media_id"]: r.asDict()
+            for r in em._q_image_features(spark, SF0001).collect()
+        }
+        kinds = {r["media_type"] for r in out.values()}
+        assert "image/png" in kinds and "unsupported" in kinds
+        for mid, row in out.items():
+            exp = image_feature_row(mid, synth_media_payload(mid))
+            assert row == exp, mid
 
     def test_thumbnail_deterministic_and_sized(self):
         from deepseek_ocr_customvllm_spark.operators.multimodal import (
