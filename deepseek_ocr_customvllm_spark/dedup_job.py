@@ -23,7 +23,8 @@ oracle-compared should come through here.
 Run under spark-submit (the module file is the application — spark-submit
 has no ``-m`` flag)::
 
-    spark-submit --py-files dist/deepseek_ocr_customvllm_spark.zip \\
+    spark-submit --driver-memory 8g \\
+        --py-files dist/deepseek_ocr_customvllm_spark.zip \\
         deepseek_ocr_customvllm_spark/dedup_job.py \\
         --docs /data/documents_parquet --out /data/deduped \\
         --max-bucket 100

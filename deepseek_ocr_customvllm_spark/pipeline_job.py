@@ -12,9 +12,15 @@ oracle-verified (`extract_pages`, `curation_funnel`/`funnel_apply`,
 `sequence_pack_rows`, `wet_chunks`, `cluster_size_report`): the job
 adds orchestration and I/O, no new semantics.  Run:
 
-    spark-submit --py-files dist/deepseek_ocr_customvllm_spark.zip \\
+    spark-submit --driver-memory 8g \\
+        --py-files dist/deepseek_ocr_customvllm_spark.zip \\
         deepseek_ocr_customvllm_spark/pipeline_job.py \\
         --synth 2000 --out /data/dump0 [--seq-len 2048] [--shards 8]
+
+(``--driver-memory`` matters under spark-submit: the in-code
+``spark.driver.memory`` in `plans.session.get_spark` cannot resize an
+already-started JVM, and local mode runs every task thread inside the
+driver heap — the 1g default OOMs the near-dedup stage at ~20k docs.)
 
 Scale shape: one extraction pass (map-only after the salted
 repartition), the funnel's single fingerprint Exchange, the packer's
