@@ -243,6 +243,133 @@ DOCS_STREAM_SCHEMA = T.StructType(
 _BANDS_READ_SCHEMA = "doc_id BIGINT, band INT, bk STRING, batch STRING"
 _SH_READ_SCHEMA = "doc_id BIGINT, sh STRING, n BIGINT, batch STRING"
 
+_COMPACTION_MANIFEST = "compaction.json"
+
+
+def _read_compaction(store_dir: str) -> dict:
+    """The store's compaction manifest: which committed content keys
+    have been folded into which compacted partition.  Absent manifest =
+    nothing compacted (the pre-compaction layout)."""
+    import json
+    import os
+
+    path = os.path.join(store_dir, _COMPACTION_MANIFEST)
+    if not os.path.exists(path):
+        return {"version": 0, "folded": [], "partition": None}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _store_read_paths(
+    data_dir: str, committed: list, folded: set, cpart: str | None
+) -> list:
+    """Resolve the parquet paths holding the committed keys' rows:
+    the compacted partition (when one exists) plus one ``batch=<key>``
+    dir per not-yet-folded committed key."""
+    paths = [f"{data_dir}/batch={cpart}"] if cpart else []
+    paths += [f"{data_dir}/batch={k}" for k in committed if k not in folded]
+    return paths
+
+
+def compact_incremental_store(spark, store_dir: str, state_dir: str) -> dict:
+    """Fold every ledger-committed ``batch=<content-key>`` partition of
+    the band/shingle store into ONE compacted partition each — the
+    periodic maintenance a long-running incremental-dedup stream needs:
+    without it the per-batch old-side read opens one partition per
+    committed batch forever (the deep-history smoke measured the
+    residual scan cost; BASELINE.md round 7).
+
+    Protocol (crash-safe at every step):
+
+    1. committed keys come from the LEDGER (torn partitions of a
+       crashed, never-committed batch are invisible here, exactly as in
+       the sink's read path);
+    2. the union of the current compacted partition (if any) and all
+       not-yet-folded committed partitions is written to a fresh
+       ``batch=compacted-<version+1>`` dir for bands and shingles —
+       a crash before step 3 leaves unreferenced dirs that the next
+       compaction overwrites (same deterministic name);
+    3. the manifest swap is one atomic ``os.replace`` — readers see
+       either the old folded-set or the new one, never half;
+    4. superseded dirs (the previous compacted partition + the folded
+       ``batch=`` dirs, and any orphans from prior crashes) are removed
+       AFTER the manifest commit; a crash mid-delete leaves orphans
+       that are never read (path resolution is manifest+ledger-driven)
+       and are swept by the next compaction.
+
+    The ledger itself is untouched: replay decisions still key on
+    content, so a replayed batch skips before any store read whether or
+    not its data has been folded.  Returns a stats dict.
+    """
+    import json
+    import os
+    import shutil
+
+    from ..plans.state import ParquetStateStore
+
+    store = ParquetStateStore(spark, state_dir)
+    prefix = INCR_STREAM_ID + ":"
+    committed = [
+        s[len(prefix):] for s in store.applied_map() if s.startswith(prefix)
+    ]
+    man = _read_compaction(store_dir)
+    folded = set(man["folded"])
+    pending = [k for k in committed if k not in folded]
+    bands_dir = os.path.join(store_dir, "bands")
+    sh_dir = os.path.join(store_dir, "shingles")
+    if not pending:
+        return {
+            "compacted": False,
+            "committed_keys": len(committed),
+            "pending_keys": 0,
+            "partition": man["partition"],
+        }
+
+    new_part = f"compacted-{man['version'] + 1:04d}"
+    stats = {}
+    for d, schema in ((bands_dir, _BANDS_READ_SCHEMA), (sh_dir, _SH_READ_SCHEMA)):
+        src = _store_read_paths(d, committed, folded, man["partition"])
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", d)
+            .parquet(*src)
+            .drop("batch")
+        )
+        df.write.mode("overwrite").parquet(f"{d}/batch={new_part}")
+        stats[os.path.basename(d) + "_rows"] = spark.read.parquet(
+            f"{d}/batch={new_part}"
+        ).count()
+
+    tmp = os.path.join(store_dir, _COMPACTION_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": man["version"] + 1,
+                "folded": sorted(folded | set(pending)),
+                "partition": new_part,
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(store_dir, _COMPACTION_MANIFEST))
+
+    # post-commit sweep: superseded dirs + orphans from prior crashes
+    keep = {f"batch={new_part}"}
+    all_folded = folded | set(pending)
+    for d in (bands_dir, sh_dir):
+        for entry in os.listdir(d):
+            if entry in keep or not entry.startswith("batch="):
+                continue
+            key = entry[len("batch="):]
+            if key in all_folded or key.startswith("compacted-"):
+                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+    return {
+        "compacted": True,
+        "committed_keys": len(committed),
+        "pending_keys": len(pending),
+        "partition": new_part,
+        **stats,
+    }
+
 
 def _content_key(batch_df: DataFrame, *cols: str) -> str:
     """Deterministic, order-independent key of a micro-batch's CONTENT:
@@ -377,12 +504,14 @@ def run_incremental_dedup_stream(
         # partition PATHS, not an isin() filter: the path list never
         # touches a half-written (torn) partition of a crashed batch,
         # and an in-list would grow into unbounded codegen as batches
-        # accumulate.  (The path list itself is one entry per committed
-        # batch; a production store compacts committed batches
-        # periodically, which folds this — and the ledger — back down.)
+        # accumulate.  Keys already folded by a compaction
+        # (:func:`compact_incremental_store`) resolve to the single
+        # compacted partition instead of one dir per batch.
         if committed:
-            band_paths = [f"{bands_dir}/batch={c}" for c in committed]
-            sh_paths = [f"{sh_dir}/batch={c}" for c in committed]
+            man = _read_compaction(store_dir)
+            folded, cpart = set(man["folded"]), man["partition"]
+            band_paths = _store_read_paths(bands_dir, committed, folded, cpart)
+            sh_paths = _store_read_paths(sh_dir, committed, folded, cpart)
             old_bands = D._cap_hot_buckets(
                 spark.read.schema(_BANDS_READ_SCHEMA)
                 .option("basePath", bands_dir)

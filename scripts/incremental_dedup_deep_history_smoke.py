@@ -23,6 +23,12 @@ the accumulated store in both phases.  Asserted invariants:
   join is an equi-join on band keys and candidate verification touches
   only matched docs' shingles, so the wall must not scale anywhere near
   the 100x+ store growth);
+- compaction: after phase B, `compact_incremental_store` folds every
+  committed batch partition into one compacted partition each, and two
+  more probe dumps drain against the compacted store — admission stays
+  exact and the walls are reported alongside (the path-list/partition
+  overhead the compaction removes is the residual the two-phase ratio
+  measures);
 - driver RSS reported and bounded (nothing here collects unbounded
   data driver-side).
 
@@ -149,9 +155,11 @@ def main() -> None:
         "seed ids must not alias probe ids through the body modulus"
     )
     assert args.deep <= _PROBE_BASE, "seed range must stay below the probe base"
-    assert _PROBE_BASE + args.probes * args.dump < _BODY_MOD, (
-        "probe ids must stay inside one body-modulus period"
+    assert _PROBE_BASE + (args.probes + 2) * args.dump < _BODY_MOD, (
+        "probe ids (incl. the two post-compaction probes) must stay "
+        "inside one body-modulus period"
     )
+    assert args.dump % 10 == 0, "--dump must be a multiple of 10"
 
     from deepseek_ocr_customvllm_spark.plans.session import get_spark
 
@@ -168,6 +176,44 @@ def main() -> None:
         ratio = deep["probe_wall_mean_s"] / max(
             shallow["probe_wall_mean_s"], 1e-9
         )
+
+        # --- compaction: fold the deep store, then two more probes ----
+        from deepseek_ocr_customvllm_spark.streaming.dedup_stream import (
+            compact_incremental_store,
+            run_incremental_dedup_stream,
+        )
+
+        t0 = time.time()
+        cstats = compact_incremental_store(
+            spark,
+            os.path.join(deep_root, "store"),
+            os.path.join(deep_root, "state"),
+        )
+        compact_wall = time.time() - t0
+        assert cstats["compacted"], cstats
+        landing = os.path.join(deep_root, "landing")
+        sargs = (
+            landing + "/*",
+            os.path.join(deep_root, "out"),
+            os.path.join(deep_root, "ckpt"),
+            os.path.join(deep_root, "store"),
+            os.path.join(deep_root, "state"),
+        )
+        expect = args.deep + args.probes * (args.dump - args.dump // 10)
+        post_walls = []
+        for i in range(args.probes, args.probes + 2):
+            _write_probe(
+                spark,
+                os.path.join(landing, f"dump_{i:03d}"),
+                i,
+                args.dump,
+                args.deep,
+            )
+            t1 = time.time()
+            admitted = run_incremental_dedup_stream(spark, *sargs)
+            post_walls.append(round(time.time() - t1, 2))
+            expect += args.dump - args.dump // 10
+            assert admitted == expect, (i, admitted, expect)
         rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
         result = {
             "smoke": "incremental_dedup_deep_history",
@@ -180,6 +226,15 @@ def main() -> None:
             ),
             "probe_wall_ratio_deep_vs_shallow": round(ratio, 2),
             "max_ratio": args.max_ratio,
+            "compaction": {
+                "wall_s": round(compact_wall, 2),
+                "committed_keys_folded": cstats["pending_keys"],
+                "bands_rows": cstats.get("bands_rows"),
+                "post_compaction_probe_walls_s": post_walls,
+                "post_compaction_probe_wall_mean_s": round(
+                    sum(post_walls) / len(post_walls), 2
+                ),
+            },
             "driver_rss_mb": round(rss_mb, 1),
         }
         assert ratio <= args.max_ratio, result

@@ -2286,6 +2286,181 @@ class TestIncrementalDedupStream:
         assert state == {"10": 1}
 
 
+class TestIncrementalStoreCompaction:
+    """Round-7 store maintenance: compact_incremental_store folds the
+    per-batch band/shingle partitions into one compacted partition —
+    the periodic operation that bounds the sink's old-side path list
+    (deep-history smoke, BASELINE.md r7) — without changing a single
+    dedup decision, surviving replays, crashes, and re-compaction."""
+
+    @staticmethod
+    def _mk_docs(spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _texts(self):
+        base = " ".join(f"base{j}" for j in range(40))
+        near = " ".join(
+            (f"mut{j}" if j == 0 else f"base{j}") for j in range(40)
+        )
+        fresh1 = " ".join(f"uno{j}" for j in range(40))
+        fresh2 = " ".join(f"dos{j}" for j in range(40))
+        return base, near, fresh1, fresh2
+
+    def test_compaction_preserves_semantics_and_folds_dirs(
+        self, spark, tmpdir
+    ):
+        from deepseek_ocr_customvllm_spark.streaming.dedup_stream import (
+            compact_incremental_store,
+            run_incremental_dedup_stream,
+        )
+
+        base, near, fresh1, fresh2 = self._texts()
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        store_dir = os.path.join(tmpdir, "store")
+        state_dir = os.path.join(tmpdir, "state")
+        args = (
+            landing + "/*",
+            os.path.join(tmpdir, "out"),
+            os.path.join(tmpdir, "ckpt"),
+            store_dir,
+            state_dir,
+        )
+        self._mk_docs(
+            spark, [(10, base), (11, near), (12, fresh1)]
+        ).coalesce(1).write.parquet(os.path.join(landing, "b1"))
+        assert run_incremental_dedup_stream(spark, *args) == 2
+
+        stats = compact_incremental_store(spark, store_dir, state_dir)
+        assert stats["compacted"] and stats["partition"] == "compacted-0001"
+        assert stats["pending_keys"] == 1
+        # the store now holds EXACTLY one partition per table, with the
+        # same admitted doc set
+        for sub in ("bands", "shingles"):
+            entries = sorted(os.listdir(os.path.join(store_dir, sub)))
+            assert entries == ["batch=compacted-0001"], (sub, entries)
+        bands = spark.read.parquet(os.path.join(store_dir, "bands"))
+        assert {
+            r.doc_id for r in bands.select("doc_id").distinct().collect()
+        } == {10, 12}
+
+        # a new batch dedups against the COMPACTED store identically:
+        # exact + near dups of the folded base drop, fresh admits
+        self._mk_docs(
+            spark, [(20, base), (21, near), (22, fresh2)]
+        ).coalesce(1).write.parquet(os.path.join(landing, "b2"))
+        run_incremental_dedup_stream(spark, *args)
+        out = spark.read.parquet(os.path.join(tmpdir, "out"))
+        assert {r.doc_id for r in out.collect()} == {10, 12, 22}
+
+        # second compaction folds the new batch and supersedes the old
+        # compacted partition; a third is a no-op
+        stats2 = compact_incremental_store(spark, store_dir, state_dir)
+        assert stats2["compacted"] and stats2["partition"] == "compacted-0002"
+        for sub in ("bands", "shingles"):
+            entries = sorted(os.listdir(os.path.join(store_dir, sub)))
+            assert entries == ["batch=compacted-0002"], (sub, entries)
+        bands2 = spark.read.parquet(os.path.join(store_dir, "bands"))
+        assert {
+            r.doc_id for r in bands2.select("doc_id").distinct().collect()
+        } == {10, 12, 22}
+        stats3 = compact_incremental_store(spark, store_dir, state_dir)
+        assert not stats3["compacted"] and stats3["pending_keys"] == 0
+
+    def test_checkpoint_loss_replay_after_compaction(self, spark, tmpdir):
+        import shutil as _sh
+
+        from deepseek_ocr_customvllm_spark.plans.state import (
+            ParquetStateStore,
+        )
+        from deepseek_ocr_customvllm_spark.streaming.dedup_stream import (
+            compact_incremental_store,
+            run_incremental_dedup_stream,
+        )
+
+        base, near, fresh1, fresh2 = self._texts()
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        store_dir = os.path.join(tmpdir, "store")
+        state_dir = os.path.join(tmpdir, "state")
+        args = (
+            landing + "/*",
+            os.path.join(tmpdir, "out"),
+            os.path.join(tmpdir, "ckpt"),
+            store_dir,
+            state_dir,
+        )
+        self._mk_docs(spark, [(10, base), (12, fresh1)]).coalesce(
+            1
+        ).write.parquet(os.path.join(landing, "b1"))
+        run_incremental_dedup_stream(spark, *args)
+        compact_incremental_store(spark, store_dir, state_dir)
+        # checkpoint loss + a new file: the replayed batch skips by
+        # content (its data partitions no longer exist — folded), the
+        # new file dedups against the compacted store
+        _sh.rmtree(os.path.join(tmpdir, "ckpt"))
+        self._mk_docs(
+            spark, [(30, near), (31, fresh2)]
+        ).coalesce(1).write.parquet(os.path.join(landing, "b2"))
+        assert run_incremental_dedup_stream(spark, *args) == 3
+        out = spark.read.parquet(os.path.join(tmpdir, "out"))
+        assert {r.doc_id for r in out.collect()} == {10, 12, 31}
+        state = {
+            r["url"]: r["attempt"]
+            for r in ParquetStateStore(spark, state_dir).read().collect()
+        }
+        assert state == {"10": 1, "12": 1, "31": 1}
+
+    def test_crash_before_manifest_commit_is_invisible(self, spark, tmpdir):
+        """Orphan compacted dirs from a crash BEFORE the manifest swap
+        must be ignored by the sink and overwritten by the next
+        compaction."""
+        import shutil as _sh
+
+        from deepseek_ocr_customvllm_spark.streaming.dedup_stream import (
+            compact_incremental_store,
+            run_incremental_dedup_stream,
+        )
+
+        base, near, fresh1, fresh2 = self._texts()
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        store_dir = os.path.join(tmpdir, "store")
+        state_dir = os.path.join(tmpdir, "state")
+        args = (
+            landing + "/*",
+            os.path.join(tmpdir, "out"),
+            os.path.join(tmpdir, "ckpt"),
+            store_dir,
+            state_dir,
+        )
+        self._mk_docs(spark, [(10, base)]).coalesce(1).write.parquet(
+            os.path.join(landing, "b1")
+        )
+        run_incremental_dedup_stream(spark, *args)
+        # simulate the crash window: compacted data dirs written with
+        # GARBAGE content, but no manifest — unreferenced, must not be
+        # read by anything
+        for sub in ("bands", "shingles"):
+            d = os.path.join(store_dir, sub)
+            real = [e for e in os.listdir(d) if e.startswith("batch=")][0]
+            orphan = os.path.join(d, "batch=compacted-0001")
+            _sh.copytree(os.path.join(d, real), orphan)
+        # the sink ignores the orphan (no manifest): a near-dup batch
+        # still drops against the ledger-resolved partitions only
+        self._mk_docs(spark, [(20, near), (21, fresh1)]).coalesce(
+            1
+        ).write.parquet(os.path.join(landing, "b2"))
+        assert run_incremental_dedup_stream(spark, *args) == 2
+        # the retried compaction overwrites the orphan and commits
+        stats = compact_incremental_store(spark, store_dir, state_dir)
+        assert stats["compacted"] and stats["partition"] == "compacted-0001"
+        bands = spark.read.parquet(os.path.join(store_dir, "bands"))
+        assert {
+            r.doc_id for r in bands.select("doc_id").distinct().collect()
+        } == {10, 21}
+
+
 class TestDedupRetentionAndTelemetry:
     """Round-6 retention + telemetry family: quality-priority keeper,
     per-domain dup rate, cross-snapshot re-crawl curve."""
