@@ -323,11 +323,17 @@ def _decode_png(payload: bytes) -> dict:
         raise ValueError("bad PNG dimensions")
     nch = _PNG_CHANNELS[ctype]
     stride = width * nch
+    expected = (stride + 1) * height
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bounded inflate: a decompression-bomb IDAT (tiny declared
+        # dims, 1000:1 stream) must fail as a ValueError-sized check,
+        # never materialize gigabytes before the size comparison —
+        # MemoryError would escape the per-row isolation net upstream
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"bad PNG IDAT stream: {e}") from None
-    if len(raw) != (stride + 1) * height:
+    if len(raw) != expected or dec.unconsumed_tail or dec.decompress(b"", 1):
         raise ValueError("PNG raster size mismatch")
     prev = bytes(stride)
     rows = []
@@ -437,9 +443,18 @@ def synth_media_payload(doc_id: int) -> bytes:
     if doc_id % 31 == 0:
         return b"\xff\xd8\xff\xe0" + b"jpeg-not-decodable"
     if doc_id % 37 == 0:
-        # a structurally valid but out-of-profile PNG: 16-bit depth
+        # a structurally valid but out-of-profile PNG: 16-bit depth.
+        # It carries a real IDAT so the decode reaches (and exercises)
+        # the depth gate, not the missing-chunk check.
+        import zlib as _z
+
         ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
-        return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(b"\x00" * 13))
+            + _png_chunk(b"IEND", b"")
+        )
     if doc_id % 29 == 0:
         return synth_png(doc_id, color_type=(0, 2, 6)[(doc_id // 29) % 3])
     if doc_id % 7 == 3:

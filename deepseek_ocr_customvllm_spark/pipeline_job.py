@@ -108,6 +108,10 @@ def run_pipeline(
         raise ValueError(
             f"near_dedup must be None, 'min_id' or 'best', got {near_dedup!r}"
         )
+    if wet_chunk_bytes <= 0:
+        # validate up front: failing after the extract/funnel/pack legs
+        # would waste the whole run and leave a partial output dir
+        raise ValueError(f"wet_chunk_bytes must be > 0, got {wet_chunk_bytes}")
     t0 = time.time()
     extracted = extract_pages(pages_df, num_partitions=num_partitions)
     # Three consumers below (docs frame feeds funnel/apply/pack; the
@@ -148,7 +152,11 @@ def run_pipeline(
         pairs = minhash_lsh_duplicates(kept_ids, max_bucket=max_bucket)
         comp = duplicate_components(pairs.select("id_a", "id_b"))
         hist = [r.asDict() for r in cluster_size_report(comp).collect()]
-        n_before = kept.count()
+        # pre-dedup count comes from the funnel report, not a fresh
+        # kept.count() — funnel_apply shares _funnel_flags with
+        # curation_funnel (pinned by test), and re-counting would pay a
+        # full extra fingerprint Exchange over the corpus
+        n_before = funnel_rows[-1]["n_kept"] if funnel_rows else 0
         kept = drop_non_canonical(kept, comp, keep=near_dedup).persist()
         n_dedup_dropped = n_before - kept.count()
     else:
@@ -168,8 +176,6 @@ def run_pipeline(
     write_packed_shards(packs, f"{out_dir}/packed")
     n_packs = spark.read.parquet(f"{out_dir}/packed").count()
 
-    if wet_chunk_bytes <= 0:
-        raise ValueError(f"wet_chunk_bytes must be > 0, got {wet_chunk_bytes}")
     total_md_bytes = (
         kept.agg(F.sum(F.octet_length("markdown")).alias("b")).collect()[0]["b"]
         or 0

@@ -173,9 +173,16 @@ def parse_warc_blob(data: bytes) -> List[Tuple[str, _dt.datetime, bytes]]:
     one torn record costs itself, not every record sorted after it in
     the shard.  Records already parsed are always kept — per-record
     isolation, same contract as the extractor's row-level FAILED
-    handling.  The resync scan only runs on the malformed path; a
-    payload legitimately containing the marker bytes is never rescanned
-    because well-framed records are skipped by ``Content-Length``.
+    handling.  A WELL-FRAMED record's payload is never rescanned — its
+    bytes are skipped wholesale by ``Content-Length``.  The malformed
+    record's own bytes ARE rescanned (that is what resync is), with the
+    documented consequence: if a torn record's payload happens to
+    contain a well-formed embedded WARC record, that embedded record is
+    emitted as real — the standard warcio-style recovery trade.
+    Framing of OUR shards (`warc_chunks`) is always exact, so this path
+    only runs on externally produced WARC files, whose producer
+    controls record framing (and thus could emit any records directly)
+    anyway — resync adds recovery, not a new trust boundary.
     """
     out: List[Tuple[str, _dt.datetime, bytes]] = []
     pos = 0

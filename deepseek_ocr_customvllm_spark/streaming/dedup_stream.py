@@ -284,18 +284,28 @@ def compact_incremental_store(spark, store_dir: str, state_dir: str) -> dict:
     1. committed keys come from the LEDGER (torn partitions of a
        crashed, never-committed batch are invisible here, exactly as in
        the sink's read path);
-    2. the union of the current compacted partition (if any) and all
+    2. dirs superseded by the PREVIOUS compaction are swept first (the
+       deferred sweep — see below);
+    3. the union of the current compacted partition (if any) and all
        not-yet-folded committed partitions is written to a fresh
        ``batch=compacted-<version+1>`` dir for bands and shingles —
-       a crash before step 3 leaves unreferenced dirs that the next
+       a crash before step 4 leaves unreferenced dirs that the next
        compaction overwrites (same deterministic name);
-    3. the manifest swap is one atomic ``os.replace`` — readers see
+    4. the manifest swap is one atomic ``os.replace`` — readers see
        either the old folded-set or the new one, never half;
-    4. superseded dirs (the previous compacted partition + the folded
-       ``batch=`` dirs, and any orphans from prior crashes) are removed
-       AFTER the manifest commit; a crash mid-delete leaves orphans
-       that are never read (path resolution is manifest+ledger-driven)
-       and are swept by the next compaction.
+    5. the dirs THIS compaction superseded are left on disk — the next
+       compaction's step 2 removes them.
+
+    The DEFERRED sweep is the concurrency contract: a stream
+    micro-batch that resolved its old-side path list against the
+    pre-swap manifest may still be scanning the just-folded ``batch=``
+    dirs when the swap lands, so this call never deletes what it
+    itself supersedes — only what the previous compaction superseded,
+    giving in-flight readers a full inter-compaction period of grace.
+    Run compactions spaced further apart than a micro-batch takes
+    (minutes vs seconds in production) and the race cannot bite; true
+    concurrent-writer safety beyond that (two compactions at once)
+    is NOT provided — it is a single-operator maintenance command.
 
     The ledger itself is untouched: replay decisions still key on
     content, so a replayed batch skips before any store read whether or
@@ -317,12 +327,36 @@ def compact_incremental_store(spark, store_dir: str, state_dir: str) -> dict:
     pending = [k for k in committed if k not in folded]
     bands_dir = os.path.join(store_dir, "bands")
     sh_dir = os.path.join(store_dir, "shingles")
+
+    # deferred sweep (step 2): remove what the PREVIOUS compaction
+    # superseded — folded batch dirs and compacted partitions other
+    # than the current manifest's (including crash orphans).  Never
+    # touches this call's own supersessions, so a reader mid-scan on
+    # the pre-swap path list keeps its files until the next cycle.
+    # Runs on the no-op path too: calling compaction with nothing
+    # pending is how an operator finishes the previous cycle's cleanup.
+    cur_part = man["partition"]
+    n_swept = 0
+    for d in (bands_dir, sh_dir):
+        if not os.path.isdir(d):
+            continue
+        for entry in os.listdir(d):
+            if not entry.startswith("batch="):
+                continue
+            key = entry[len("batch="):]
+            if key == cur_part:
+                continue
+            if key in folded or key.startswith("compacted-"):
+                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+                n_swept += 1
+
     if not pending:
         return {
             "compacted": False,
             "committed_keys": len(committed),
             "pending_keys": 0,
             "partition": man["partition"],
+            "swept_dirs": n_swept,
         }
 
     new_part = f"compacted-{man['version'] + 1:04d}"
@@ -351,22 +385,14 @@ def compact_incremental_store(spark, store_dir: str, state_dir: str) -> dict:
             f,
         )
     os.replace(tmp, os.path.join(store_dir, _COMPACTION_MANIFEST))
-
-    # post-commit sweep: superseded dirs + orphans from prior crashes
-    keep = {f"batch={new_part}"}
-    all_folded = folded | set(pending)
-    for d in (bands_dir, sh_dir):
-        for entry in os.listdir(d):
-            if entry in keep or not entry.startswith("batch="):
-                continue
-            key = entry[len("batch="):]
-            if key in all_folded or key.startswith("compacted-"):
-                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+    # no post-commit sweep: the dirs this call superseded stay on disk
+    # for in-flight readers; the NEXT compaction's step 2 removes them
     return {
         "compacted": True,
         "committed_keys": len(committed),
         "pending_keys": len(pending),
         "partition": new_part,
+        "swept_dirs": n_swept,
         **stats,
     }
 

@@ -151,9 +151,9 @@ def main() -> None:
     ap.add_argument("--probes", type=int, default=4)
     ap.add_argument("--max-ratio", type=float, default=3.0)
     args = ap.parse_args()
-    assert args.deep < _BODY_MOD - _PROBE_BASE or args.deep <= _PROBE_BASE, (
-        "seed ids must not alias probe ids through the body modulus"
-    )
+    # the seed range [0, deep) and the probe range must have disjoint
+    # residues mod _BODY_MOD; with both ranges inside one period that
+    # reduces to the seed staying below the probe base
     assert args.deep <= _PROBE_BASE, "seed range must stay below the probe base"
     assert _PROBE_BASE + (args.probes + 2) * args.dump < _BODY_MOD, (
         "probe ids (incl. the two post-compaction probes) must stay "

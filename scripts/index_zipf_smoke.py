@@ -91,13 +91,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # --- plan shape: the cap lives INSIDE the aggregate -----------------
+    import re
+
     plan = textstats.inverted_index(
         _corpus(spark, 100, zipf=True), k=args.k
     )._jdf.queryExecution().optimizedPlan().toString()
-    assert f"WHEN (rn <= {args.k}) THEN doc_id" in plan.replace("#", " ").replace(
-        "rn 0L", "rn"
-    ) or "CASE WHEN" in plan, plan[:2000]
-    assert "collect_list(CASE WHEN" in plan, plan[:2000]
+    # the exact capped-collect expression, attribute ids wildcarded —
+    # no fallback: if the cap ever moves outside the aggregate this
+    # MUST fail
+    pat = (
+        r"collect_list\(CASE WHEN \(rn#\d+ <= "
+        + str(args.k)
+        + r"\) THEN doc_id#\d+L END"
+    )
+    assert re.search(pat, plan), plan[:2000]
 
     walls: dict = {}
     for label, zipf in (("uniform", False), ("zipf", True)):

@@ -910,6 +910,35 @@ class TestImageDecode:
                 _decode_png(p)
             assert image_feature_row(1, p)["media_type"] == "unsupported"
 
+    def test_png_decompression_bomb_bounded(self):
+        """A bomb PNG (tiny declared dims, megabytes of inflatable
+        IDAT) must fail as ValueError after at most raster+1 inflated
+        bytes — never materialize the full stream (MemoryError would
+        escape the per-row isolation net)."""
+        import struct as _s
+        import zlib as _z
+
+        import pytest as _pytest
+
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _PNG_SIG,
+            _decode_png,
+            _png_chunk,
+            image_feature_row,
+        )
+
+        ihdr = _s.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)  # 2x1 RGB: 7 raw bytes
+        bomb_idat = _z.compress(b"\x00" * (64 << 20), 9)  # 64 MB -> ~64 KB
+        p = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", bomb_idat)
+            + _png_chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError, match="raster size"):
+            _decode_png(p)
+        assert image_feature_row(1, p)["media_type"] == "unsupported"
+
     def test_png_feature_rows_through_spark(self, spark):
         """The synthetic media corpus now carries real PNGs: the Spark
         image_features output must contain decoded image/png rows whose
@@ -2334,14 +2363,18 @@ class TestIncrementalStoreCompaction:
         stats = compact_incremental_store(spark, store_dir, state_dir)
         assert stats["compacted"] and stats["partition"] == "compacted-0001"
         assert stats["pending_keys"] == 1
-        # the store now holds EXACTLY one partition per table, with the
-        # same admitted doc set
+        # DEFERRED sweep: the folded batch dir survives this cycle (an
+        # in-flight reader may still be scanning it); the compacted
+        # partition is live alongside it
         for sub in ("bands", "shingles"):
             entries = sorted(os.listdir(os.path.join(store_dir, sub)))
-            assert entries == ["batch=compacted-0001"], (sub, entries)
-        bands = spark.read.parquet(os.path.join(store_dir, "bands"))
+            assert len(entries) == 2 and "batch=compacted-0001" in entries, (
+                sub, entries,
+            )
+        cpart = os.path.join(store_dir, "bands", "batch=compacted-0001")
         assert {
-            r.doc_id for r in bands.select("doc_id").distinct().collect()
+            r.doc_id
+            for r in spark.read.parquet(cpart).select("doc_id").collect()
         } == {10, 12}
 
         # a new batch dedups against the COMPACTED store identically:
@@ -2353,19 +2386,31 @@ class TestIncrementalStoreCompaction:
         out = spark.read.parquet(os.path.join(tmpdir, "out"))
         assert {r.doc_id for r in out.collect()} == {10, 12, 22}
 
-        # second compaction folds the new batch and supersedes the old
-        # compacted partition; a third is a no-op
+        # second compaction: sweeps cycle-1's supersession (the folded
+        # b1 dir), folds the new batch into compacted-0002, defers
+        # sweeping compacted-0001 and the b2 dir to the next cycle
         stats2 = compact_incremental_store(spark, store_dir, state_dir)
         assert stats2["compacted"] and stats2["partition"] == "compacted-0002"
+        assert stats2["swept_dirs"] == 2  # b1's dir in bands + shingles
+        for sub in ("bands", "shingles"):
+            entries = sorted(os.listdir(os.path.join(store_dir, sub)))
+            assert "batch=compacted-0002" in entries
+            assert "batch=compacted-0001" in entries  # deferred
+            assert len(entries) == 3, (sub, entries)  # + b2's batch dir
+        cpart2 = os.path.join(store_dir, "bands", "batch=compacted-0002")
+        assert {
+            r.doc_id
+            for r in spark.read.parquet(cpart2).select("doc_id").collect()
+        } == {10, 12, 22}
+
+        # third call: nothing pending — pure cleanup of cycle-2's
+        # supersessions, leaving exactly the live partition per table
+        stats3 = compact_incremental_store(spark, store_dir, state_dir)
+        assert not stats3["compacted"] and stats3["pending_keys"] == 0
+        assert stats3["swept_dirs"] == 4  # compacted-0001 + b2 dir, x2
         for sub in ("bands", "shingles"):
             entries = sorted(os.listdir(os.path.join(store_dir, sub)))
             assert entries == ["batch=compacted-0002"], (sub, entries)
-        bands2 = spark.read.parquet(os.path.join(store_dir, "bands"))
-        assert {
-            r.doc_id for r in bands2.select("doc_id").distinct().collect()
-        } == {10, 12, 22}
-        stats3 = compact_incremental_store(spark, store_dir, state_dir)
-        assert not stats3["compacted"] and stats3["pending_keys"] == 0
 
     def test_checkpoint_loss_replay_after_compaction(self, spark, tmpdir):
         import shutil as _sh
@@ -2396,8 +2441,8 @@ class TestIncrementalStoreCompaction:
         run_incremental_dedup_stream(spark, *args)
         compact_incremental_store(spark, store_dir, state_dir)
         # checkpoint loss + a new file: the replayed batch skips by
-        # content (its data partitions no longer exist — folded), the
-        # new file dedups against the compacted store
+        # content (its data now resolves to the compacted partition),
+        # the new file dedups against the compacted store
         _sh.rmtree(os.path.join(tmpdir, "ckpt"))
         self._mk_docs(
             spark, [(30, near), (31, fresh2)]
