@@ -2456,6 +2456,45 @@ class TestIncrementalStoreCompaction:
         }
         assert state == {"10": 1, "12": 1, "31": 1}
 
+    def test_maintenance_cli_compacts(self, spark, tmpdir):
+        """The maintenance_job CLI drives compaction end-to-end and
+        prints the stats JSON line."""
+        import contextlib
+        import io
+        import json as _json
+
+        from deepseek_ocr_customvllm_spark import maintenance_job
+        from deepseek_ocr_customvllm_spark.streaming.dedup_stream import (
+            run_incremental_dedup_stream,
+        )
+
+        base, _, _, _ = self._texts()
+        landing = os.path.join(tmpdir, "landing")
+        os.makedirs(landing)
+        self._mk_docs(spark, [(10, base)]).coalesce(1).write.parquet(
+            os.path.join(landing, "b1")
+        )
+        run_incremental_dedup_stream(
+            spark,
+            landing + "/*",
+            os.path.join(tmpdir, "out"),
+            os.path.join(tmpdir, "ckpt"),
+            os.path.join(tmpdir, "store"),
+            os.path.join(tmpdir, "state"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            maintenance_job.main(
+                [
+                    "--store", os.path.join(tmpdir, "store"),
+                    "--state", os.path.join(tmpdir, "state"),
+                    "--master", "local[4]",
+                ]
+            )
+        out = _json.loads(buf.getvalue().strip())
+        assert out["compacted"] and out["partition"] == "compacted-0001"
+        assert out["job"] == "compact_incremental_store"
+
     def test_crash_before_manifest_commit_is_invisible(self, spark, tmpdir):
         """Orphan compacted dirs from a crash BEFORE the manifest swap
         must be ignored by the sink and overwritten by the next
