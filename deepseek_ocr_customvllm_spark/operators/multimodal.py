@@ -9,21 +9,21 @@ handling is shared.
 Decode tiers:
 
 - **Raster formats decode FOR REAL, stdlib-only**: 24-bit BMP
-  (``_decode_bmp``), binary/ascii PPM (``_decode_ppm``), and — since
-  round 7 — non-interlaced 8-bit grayscale/RGB/RGBA PNG
-  (``_decode_png``: ``zlib`` inflate + all five PNG row filters +
-  per-chunk CRC validation), with deterministic nearest-neighbour
-  grayscale thumbnailing as the resize stage
-  (:func:`grayscale_thumb`).  :func:`image_features` is the
-  oracle-checked Spark operator over them.
-- **Remaining compressed codecs (JPEG/MP3) decode behind a capability
-  gate**: when PIL is importable JPEG decodes for real through the
-  same {width, height, rows} contract; otherwise ``decode_stub``
-  raises ``NotImplementedError`` (PIL/ffmpeg are not in this runtime)
-  and per-row isolation turns them into ``unsupported`` feature rows
-  instead of task failures.  PNG variants outside the implemented
-  profile (16-bit, palette, interlaced) take the same honest
-  ``NotImplementedError`` path.  Video stays stubbed either way.
+  (``_decode_bmp``), binary/ascii PPM (``_decode_ppm``), non-interlaced
+  8-bit grayscale/RGB/RGBA PNG (``_decode_png``: ``zlib`` inflate +
+  all five PNG row filters + per-chunk CRC validation), and — late
+  round 7 — baseline sequential JPEG (`operators.jpegcodec`: Huffman
+  entropy decode, dequant, IDCT, chroma upsampling, JFIF color
+  convert), with deterministic nearest-neighbour grayscale
+  thumbnailing as the resize stage (:func:`grayscale_thumb`).
+  :func:`image_features` is the oracle-checked Spark operator over
+  them.
+- **The remaining capability gate is narrow and honest**: PNG variants
+  outside the implemented profile (16-bit, palette, interlaced) and
+  JPEG outside baseline (progressive, arithmetic, 12-bit) raise
+  ``NotImplementedError``; per-row isolation turns them into
+  ``unsupported`` feature rows instead of task failures.  MP3 and
+  video stay stubbed (``decode_stub``).
 """
 
 from __future__ import annotations
@@ -54,35 +54,15 @@ INSPECT_SCHEMA = T.StructType(
 )
 
 
-try:  # capability gate: PNG/JPEG decode for real when PIL is installed
-    from PIL import Image as _PILImage  # type: ignore
-except ImportError:  # honest stub otherwise — no codec libs in this runtime
-    _PILImage = None
-
-
 def decode_stub(payload: bytes, media_type: str) -> object:
-    """Placeholder for compressed-codec decode when the codec library is
-    absent (PIL / ffmpeg are not in this container).  Uncompressed
-    formats always decode for real — see :func:`decode_image`."""
+    """Placeholder for the codecs still outside the stdlib decoders'
+    reach (MP3, video — ffmpeg-class libraries are not in this
+    container).  Raster images decode for real — see
+    :func:`decode_image` and `operators.jpegcodec`."""
     raise NotImplementedError(
         f"decoding media_type={media_type!r} requires codec libraries "
         "not present in this runtime"
     )
-
-
-def _decode_with_pil(payload: bytes) -> dict:
-    """PNG/JPEG -> the same {width, height, rows} contract as the stdlib
-    decoders, via PIL when importable (same downstream feature math)."""
-    import io
-
-    im = _PILImage.open(io.BytesIO(payload)).convert("RGB")
-    w, h = im.size
-    px = list(im.getdata())
-    return {
-        "width": w,
-        "height": h,
-        "rows": [px[y * w : (y + 1) * w] for y in range(h)],
-    }
 
 
 # ---------------------------------------------------------------------------
@@ -437,11 +417,24 @@ def decode_wav(payload: bytes) -> dict:
 def synth_media_payload(doc_id: int) -> bytes:
     """Deterministic mixed media corpus keyed by doc id: BMPs, PPMs,
     real PNGs (color type cycling gray/RGB/RGBA, filters cycling per
-    row inside each), and some codec payloads that must become
-    'unsupported' rows, not failures (JPEG junk, and a 16-bit PNG that
-    exercises the decoder's profile gate)."""
+    row inside each), real baseline JPEGs (4:4:4 and 4:2:0 alternating,
+    restart markers every third), and payloads that must become
+    'unsupported' rows, not failures (truncated-JPEG junk, and a
+    16-bit PNG that exercises the PNG profile gate)."""
+    if doc_id % 41 == 0:
+        return b"\xff\xd8\xff\xe0" + b"jpeg-truncated-junk"
     if doc_id % 31 == 0:
-        return b"\xff\xd8\xff\xe0" + b"jpeg-not-decodable"
+        from .jpegcodec import synth_jpeg
+
+        k = doc_id // 31
+        return synth_jpeg(
+            doc_id,
+            width=16 + (k % 3) * 4,
+            height=12 + (k % 2) * 4,
+            quality=85,
+            subsample=bool(k % 2),
+            restart_interval=2 if k % 3 == 0 else 0,
+        )
     if doc_id % 37 == 0:
         # a structurally valid but out-of-profile PNG: 16-bit depth.
         # It carries a real IDAT so the decode reaches (and exercises)
@@ -480,10 +473,13 @@ def decode_image(payload: bytes) -> dict:
         # stdlib decode unconditionally (never PIL, even when present):
         # the oracle math must be one implementation in every environment
         return _decode_png(payload)
-    if payload[:3] == b"\xff\xd8\xff":
-        if _PILImage is not None:
-            return _decode_with_pil(payload)
-        return decode_stub(payload, "image/jpeg")
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        # same rule as PNG: always the stdlib baseline decoder, so the
+        # oracle math is one implementation everywhere; non-baseline
+        # streams raise through its honest NotImplementedError gate
+        return decode_jpeg(payload)
     raise ValueError("unknown image format")
 
 

@@ -587,24 +587,29 @@ class TestMultimodalPlumbing:
         with _pytest.raises(NotImplementedError):
             decode_stub(b"\x89PNG", "image/png")
 
-    def test_compressed_decode_capability_gate(self):
-        """JPEG decode picks PIL when importable, the honest stub
-        otherwise — both paths covered, whichever environment runs.
-        (PNG left this gate in round 7: it decodes stdlib-real.)"""
+    def test_out_of_profile_codecs_gate(self):
+        """PNG and JPEG both decode stdlib-real since round 7; the
+        capability gate now guards only out-of-profile streams
+        (progressive JPEG here) — NotImplementedError, isolated to an
+        'unsupported' row upstream."""
+        import struct as _s
+
         import pytest as _pytest
 
         from deepseek_ocr_customvllm_spark.operators import multimodal as mm
 
-        if mm._PILImage is None:
-            with _pytest.raises(NotImplementedError):
-                mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
-        else:
-            import io
-
-            buf = io.BytesIO()
-            mm._PILImage.new("RGB", (2, 1), (5, 6, 7)).save(buf, "JPEG")
-            img = mm.decode_image(buf.getvalue())
-            assert img["width"] == 2
+        progressive = (
+            b"\xff\xd8"
+            + b"\xff\xc2"
+            + _s.pack(">HBHHB", 11, 8, 8, 8, 1)
+            + bytes((1, 0x11, 0))
+        )
+        with _pytest.raises(NotImplementedError):
+            mm.decode_image(progressive)
+        assert (
+            mm.image_feature_row(1, progressive)["media_type"]
+            == "unsupported"
+        )
 
     def test_png_decodes_stdlib_even_if_pil_present(self):
         """PNG must take the stdlib decoder unconditionally — one
@@ -940,10 +945,11 @@ class TestImageDecode:
         assert image_feature_row(1, p)["media_type"] == "unsupported"
 
     def test_png_feature_rows_through_spark(self, spark):
-        """The synthetic media corpus now carries real PNGs: the Spark
-        image_features output must contain decoded image/png rows whose
-        channel sums equal the pure-Python twin, plus 'unsupported'
-        rows for the JPEG junk and the 16-bit PNG plant."""
+        """The synthetic media corpus now carries real PNGs and JPEGs:
+        the Spark image_features output must contain decoded image/png
+        and image/jpeg rows whose channel sums equal the pure-Python
+        twin, plus 'unsupported' rows for the junk and the 16-bit PNG
+        plant."""
         import __spark_entry__ as em
         from deepseek_ocr_customvllm_spark.operators.multimodal import (
             image_feature_row,
@@ -956,6 +962,7 @@ class TestImageDecode:
         }
         kinds = {r["media_type"] for r in out.values()}
         assert "image/png" in kinds and "unsupported" in kinds
+        assert "image/jpeg" in kinds
         for mid, row in out.items():
             exp = image_feature_row(mid, synth_media_payload(mid))
             assert row == exp, mid
