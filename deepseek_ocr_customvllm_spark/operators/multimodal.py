@@ -414,6 +414,119 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+# MPEG-1 Layer III frame-header tables (ISO 11172-3)
+_MP3_BITRATES = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_RATES = [44100, 48000, 32000]
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def parse_mp3_headers(payload: bytes) -> dict:
+    """MPEG-1 Layer III FRAME-HEADER walk — real container metadata
+    (sample rate, channel mode, exact frame count → duration) without
+    PCM decode, which stays behind :func:`decode_stub` (a full Layer
+    III synthesis filterbank is out of scope; header telemetry is what
+    a corpus audit actually reads).  Optional ID3v2 prefix is skipped
+    via its syncsafe size.  Returns the `decode_wav` contract with
+    ``energy``/``n_samples`` None (no PCM was produced — the honest
+    part of the row stays honest)."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        sz = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                raise ValueError("bad ID3v2 syncsafe size")
+            sz = (sz << 7) | b
+        pos = 10 + sz
+    n = len(payload)
+    n_frames = 0
+    rate = None
+    channels = None
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if n_frames:
+                break  # trailing junk after the last whole frame
+            raise ValueError("no MP3 frame sync")
+        version = (b1 >> 3) & 0x03
+        layer = (b1 >> 1) & 0x03
+        if version != 0b11 or layer != 0b01:
+            raise NotImplementedError(
+                "only MPEG-1 Layer III frame headers are parsed"
+            )
+        bitrate_idx = (b2 >> 4) & 0x0F
+        rate_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        if bitrate_idx in (0, 15) or rate_idx == 3:
+            raise ValueError("bad MP3 frame header (bitrate/rate index)")
+        frame_rate = _MP3_RATES[rate_idx]
+        if rate is None:
+            rate = frame_rate
+        elif frame_rate != rate:
+            raise ValueError("MP3 sample rate changes mid-stream")
+        mode = (b3 >> 6) & 0x03
+        ch = 1 if mode == 0b11 else 2
+        if channels is None:
+            channels = ch
+        frame_len = (
+            144 * _MP3_BITRATES[bitrate_idx] * 1000 // frame_rate + padding
+        )
+        if frame_len < 4 or pos + frame_len > n:
+            if n_frames:
+                break  # torn final frame: keep what fully parsed
+            raise ValueError("truncated MP3 frame")
+        n_frames += 1
+        pos += frame_len
+    if not n_frames:
+        raise ValueError("no MP3 frames")
+    return {
+        "media_type": "audio/mpeg",
+        "sample_rate": rate,
+        "channels": channels,
+        "duration_ms": (n_frames * _MP3_SAMPLES_PER_FRAME * 1000) // rate,
+        "energy": None,
+        "n_samples": None,
+    }
+
+
+def synth_mp3(seed: int, n_frames: int = 5, with_id3: bool = True) -> bytes:
+    """Deterministic MPEG-1 Layer III frame-header stream (headers are
+    real and self-consistent; frame bodies are seed-derived junk — no
+    PCM claim is made, matching what :func:`parse_mp3_headers` reads)."""
+    out = bytearray()
+    if with_id3:
+        tag = b"synthtag%d" % (seed % 100)
+        out += b"ID3\x04\x00\x00" + bytes(
+            (len(tag) >> 21) & 0x7F if i == 0
+            else (len(tag) >> 14) & 0x7F if i == 1
+            else (len(tag) >> 7) & 0x7F if i == 2
+            else len(tag) & 0x7F
+            for i in range(4)
+        ) + tag
+    rate_idx = seed % 3
+    rate = _MP3_RATES[rate_idx]
+    for f in range(n_frames):
+        bitrate_idx = 9 + ((seed + f) % 3)  # 128/160/192 kbps
+        padding = (seed + f) % 2
+        hdr = bytes(
+            (
+                0xFF,
+                0xFB,  # MPEG-1 Layer III, no CRC
+                (bitrate_idx << 4) | (rate_idx << 2) | (padding << 1),
+                0xC0 if seed % 2 else 0x00,  # mono / stereo
+            )
+        )
+        frame_len = 144 * _MP3_BITRATES[bitrate_idx] * 1000 // rate + padding
+        body = bytes(
+            ((seed * 31 + f * 7 + i) % 251) for i in range(frame_len - 4)
+        )
+        out += hdr + body
+    return bytes(out)
+
+
 def synth_media_payload(doc_id: int) -> bytes:
     """Deterministic mixed media corpus keyed by doc id: BMPs, PPMs,
     real PNGs (color type cycling gray/RGB/RGBA, filters cycling per
@@ -456,9 +569,17 @@ def synth_media_payload(doc_id: int) -> bytes:
 
 
 def synth_audio_payload(doc_id: int) -> bytes:
-    """Deterministic audio corpus: WAVs plus some mp3-header payloads."""
-    if doc_id % 23 == 0:
+    """Deterministic audio corpus: WAVs, real MP3 frame-header streams
+    (metadata parses, PCM honestly absent), and junk that must isolate
+    as 'unsupported'."""
+    if doc_id % 47 == 0:
         return b"ID3\x04\x00compressed-mp3-not-decodable"
+    if doc_id % 23 == 0:
+        return synth_mp3(
+            doc_id,
+            n_frames=3 + doc_id % 4,
+            with_id3=bool(doc_id % 2),
+        )
     return synth_wav(doc_id, n_samples=400 + (doc_id % 5) * 100)
 
 
@@ -644,9 +765,15 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def audio_feature_row(media_id: int, payload: Optional[bytes]) -> dict:
+    p = payload or b""
     try:
-        a = decode_wav(payload or b"")
-    except (ValueError, struct.error, IndexError):
+        if p[:3] == b"ID3" or (
+            len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+        ):
+            a = parse_mp3_headers(p)
+        else:
+            a = decode_wav(p)
+    except (ValueError, NotImplementedError, struct.error, IndexError):
         return {
             "media_id": media_id,
             "media_type": "unsupported",
@@ -671,9 +798,11 @@ def _audio_features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def audio_features(media_df: DataFrame) -> DataFrame:
-    """``(media_id long, payload binary)`` -> decoded PCM audio features
-    (real stdlib RIFF/WAV parse; compressed codecs isolate as
-    'unsupported' rows)."""
+    """``(media_id long, payload binary)`` -> audio feature rows: real
+    stdlib RIFF/WAV PCM decode (exact integer energy), real MPEG-1
+    Layer III frame-header metadata (`parse_mp3_headers` — rate/
+    channels/duration with energy honestly None), everything else
+    isolates as 'unsupported' rows."""
     return media_df.select("media_id", "payload").mapInPandas(
         _audio_features_batch, schema=AUDIO_FEATURES_SCHEMA
     )

@@ -967,6 +967,57 @@ class TestImageDecode:
             exp = image_feature_row(mid, synth_media_payload(mid))
             assert row == exp, mid
 
+    def test_mp3_header_metadata(self):
+        """Real MPEG-1 Layer III frame-header walk: exact frame-count
+        duration, ID3v2 skip, honest None energy; torn/foreign streams
+        isolate."""
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _MP3_RATES,
+            _MP3_SAMPLES_PER_FRAME,
+            audio_feature_row,
+            parse_mp3_headers,
+            synth_mp3,
+        )
+
+        for seed, frames, id3 in ((4, 5, True), (7, 3, False), (9, 6, True)):
+            a = parse_mp3_headers(synth_mp3(seed, n_frames=frames, with_id3=id3))
+            rate = _MP3_RATES[seed % 3]
+            assert a["media_type"] == "audio/mpeg"
+            assert a["sample_rate"] == rate
+            assert a["channels"] == (1 if seed % 2 else 2)
+            assert a["duration_ms"] == (
+                frames * _MP3_SAMPLES_PER_FRAME * 1000
+            ) // rate
+            assert a["energy"] is None and a["n_samples"] is None
+        # torn final frame: fully parsed frames are kept
+        full = synth_mp3(4, n_frames=5, with_id3=False)
+        torn = parse_mp3_headers(full[:-40])
+        assert torn["duration_ms"] < parse_mp3_headers(full)["duration_ms"]
+        # junk / malformed isolate as unsupported rows
+        assert (
+            audio_feature_row(1, b"ID3\x04\x00compressed-mp3-not-decodable")[
+                "media_type"
+            ]
+            == "unsupported"
+        )
+        assert audio_feature_row(2, b"\xff\xe0junk")["media_type"] == "unsupported"
+        # MPEG-2 version bits gate (NotImplementedError -> unsupported)
+        mpeg2 = bytes((0xFF, 0xF3, 0x90, 0x00)) + b"\x00" * 200
+        assert audio_feature_row(3, mpeg2)["media_type"] == "unsupported"
+        # the corpus plants parse through the feature row
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            synth_audio_payload,
+        )
+
+        kinds = set()
+        for doc_id in range(0, 500):
+            kinds.add(
+                audio_feature_row(doc_id, synth_audio_payload(doc_id))[
+                    "media_type"
+                ]
+            )
+        assert kinds == {"audio/wav", "audio/mpeg", "unsupported"}
+
     def test_thumbnail_deterministic_and_sized(self):
         from deepseek_ocr_customvllm_spark.operators.multimodal import (
             decode_image,
