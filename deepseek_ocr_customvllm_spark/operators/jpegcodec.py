@@ -123,6 +123,17 @@ _COS = [
 ]
 _C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
 
+#: Decode pixel budget: SOF dimensions are attacker-declared, and the
+#: component planes (plus the pure-Python rows structure) are allocated
+#: from them BEFORE any entropy data validates — without a cap a
+#: ~300-byte payload declaring 65535x65535 drives 100+ GB of
+#: allocation, and MemoryError/OOM-kill escapes the per-row isolation
+#: net upstream (same bomb class the PNG decoder guards).  4M pixels is
+#: far above any thumbnail/test corpus and keeps worst-case allocation
+#: in the tens of MB; a production native codec swaps in behind the
+#: same contract with its own limits.
+PIXEL_BUDGET = 1 << 22
+
 
 # ---------------------------------------------------------------------------
 # decoder
@@ -230,19 +241,35 @@ def _idct_block(coeffs: List[int]) -> List[List[int]]:
     Natural-order layout follows the standard: index ``v*8 + u`` with
     ``v`` the VERTICAL frequency (pairs with pixel row ``y``) and ``u``
     the horizontal one — externally produced JPEGs decode un-transposed
-    and our emitted streams are standard-compliant."""
+    and our emitted streams are standard-compliant.
+
+    Genuinely separable (two 1-D passes, ~4x fewer multiplies than the
+    direct double sum — this is the codec's hottest loop)."""
+    # pass 1: inverse over the horizontal frequency u, per frequency row
+    tmp = []
+    for v in range(8):
+        base = v * 8
+        trow = []
+        for x in range(8):
+            s = 0.0
+            cx = _COS[x]
+            for u in range(8):
+                c = coeffs[base + u]
+                if c:
+                    s += _C[u] * cx[u] * c
+            trow.append(s)
+        tmp.append(trow)
+    # pass 2: inverse over the vertical frequency v, per pixel column
     out = []
     for y in range(8):
+        cy = _COS[y]
         row = []
         for x in range(8):
             s = 0.0
             for v in range(8):
-                cv = _C[v] * _COS[y][v]
-                base = v * 8
-                for u in range(8):
-                    c = coeffs[base + u]
-                    if c:
-                        s += cv * _C[u] * _COS[x][u] * c
+                t = tmp[v][x]
+                if t:
+                    s += _C[v] * cy[v] * t
             val = int(round(s / 4.0)) + 128
             row.append(0 if val < 0 else 255 if val > 255 else val)
         out.append(row)
@@ -268,12 +295,23 @@ def decode_jpeg(payload: bytes) -> dict:
             raise ValueError("truncated JPEG (no SOS)")
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # the marker code — skip them instead of misreading a fill
+        # byte as marker id 0xFF
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG (fill bytes to EOF)")
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD8:  # stray SOI
             continue
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no length
             continue
+        if marker == 0xD9:  # EOI is lengthless: reaching it pre-SOS is fatal
+            raise ValueError("JPEG EOI before scan data")
+        if marker == 0x00:
+            raise ValueError("bad JPEG marker code 0x00")
         if pos + 2 > n:
             raise ValueError("truncated JPEG segment header")
         seglen = struct.unpack_from(">H", payload, pos)[0]
@@ -321,17 +359,24 @@ def decode_jpeg(payload: bytes) -> dict:
             ncomp = seg[5]
             if w == 0 or h == 0 or ncomp not in (1, 3):
                 raise ValueError("unsupported JPEG frame geometry")
+            if w * h > PIXEL_BUDGET:
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} exceed the decode pixel "
+                    f"budget ({PIXEL_BUDGET})"
+                )
             comps = []
             for i in range(ncomp):
                 cid = seg[6 + 3 * i]
                 hv = seg[7 + 3 * i]
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4) or not (1 <= cv <= 4):
+                    # 0 would divide-by-zero the upsampler; >4 is
+                    # out of spec
+                    raise ValueError(
+                        f"bad JPEG sampling factors {ch}x{cv}"
+                    )
                 comps.append(
-                    {
-                        "id": cid,
-                        "h": hv >> 4,
-                        "v": hv & 0x0F,
-                        "tq": seg[8 + 3 * i],
-                    }
+                    {"id": cid, "h": ch, "v": cv, "tq": seg[8 + 3 * i]}
                 )
             frame = {"w": w, "h": h, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -358,12 +403,23 @@ def decode_jpeg(payload: bytes) -> dict:
                 scan.append((comp, td_ta >> 4, td_ta & 0x0F))
             if len(scan) != len(frame["comps"]):
                 raise NotImplementedError("multi-scan (non-interleaved) JPEG")
+            if len(frame["comps"]) == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved —
+                # one 8x8 data unit per MCU in the component's own block
+                # raster; its declared sampling factors scale nothing
+                # (there is no other component to scale against), so
+                # normalize to 1x1 or an external grayscale JPEG with
+                # h=v=2 would decode with scrambled MCU geometry
+                frame = {
+                    "w": frame["w"],
+                    "h": frame["h"],
+                    "comps": [dict(frame["comps"][0], h=1, v=1)],
+                }
+                scan = [(frame["comps"][0], scan[0][1], scan[0][2])]
             return _decode_scan(
                 payload, pos, frame, scan, qtables, huff_dc, huff_ac,
                 restart_interval,
             )
-        elif marker == 0xD9:  # EOI before SOS
-            raise ValueError("JPEG EOI before scan data")
         # APPn / COM / others: skipped
 
     raise ValueError("unreachable")
@@ -539,17 +595,28 @@ class _BitWriter:
 
 def _fdct_block(block: List[List[int]]) -> List[float]:
     """Separable forward DCT over a level-shifted 8x8 block (natural
-    order ``v*8 + u``, the standard layout — see :func:`_idct_block`)."""
+    order ``v*8 + u``, the standard layout — see :func:`_idct_block`).
+    Two 1-D passes, like the inverse."""
+    # pass 1: forward over x per pixel row -> t[y][u]
+    tmp = []
+    for y in range(8):
+        row = block[y]
+        trow = []
+        for u in range(8):
+            s = 0.0
+            for x in range(8):
+                s += (row[x] - 128) * _COS[x][u]
+            trow.append(s)
+        tmp.append(trow)
+    # pass 2: forward over y per horizontal frequency -> out[v*8+u]
     out = [0.0] * 64
     for v in range(8):
+        cv = _C[v]
         for u in range(8):
             s = 0.0
             for y in range(8):
-                cv = _COS[y][v]
-                row = block[y]
-                for x in range(8):
-                    s += (row[x] - 128) * _COS[x][u] * cv
-            out[v * 8 + u] = s * _C[v] * _C[u] / 4.0
+                s += tmp[y][u] * _COS[y][v]
+            out[v * 8 + u] = s * cv * _C[u] / 4.0
     return out
 
 

@@ -441,6 +441,11 @@ def parse_mp3_headers(payload: bytes) -> dict:
                 raise ValueError("bad ID3v2 syncsafe size")
             sz = (sz << 7) | b
         pos = 10 + sz
+        if payload[5] & 0x10:
+            # ID3v2.4 footer flag: the tag carries a trailing 10-byte
+            # footer NOT counted in the syncsafe size — skipping it is
+            # required or the frame-sync scan starts on the footer
+            pos += 10
     n = len(payload)
     n_frames = 0
     rate = None

@@ -153,6 +153,16 @@ class TestRoundTrip:
         assert all(
             r == g == b for row in img["rows"] for r, g, b in row
         )
+        # T.81 A.2: a single-component scan is NON-interleaved — its
+        # declared sampling factors scale nothing.  The same stream
+        # with the component declaring h=v=2 must decode identically
+        # (review r7: interleaved geometry would scramble it).
+        out2 = bytearray(out)
+        sof_at = bytes(out2).index(b"\xff\xc0")
+        assert out2[sof_at + 11] == 0x11
+        out2[sof_at + 11] = 0x22
+        img2 = J.decode_jpeg(bytes(out2))
+        assert img2["rows"] == img["rows"]
 
 
 class TestGatesAndMalformed:
@@ -192,6 +202,41 @@ class TestGatesAndMalformed:
         ):
             with pytest.raises((ValueError, NotImplementedError)):
                 J.decode_jpeg(bad)
+
+    def test_dimension_bomb_rejected_before_allocation(self):
+        """A ~300-byte payload declaring huge SOF dimensions must fail
+        at the budget check, never allocate attacker-sized planes
+        (review r7: 16000x16000 drove 6+ GB before the entropy decode
+        failed; MemoryError escapes per-row isolation)."""
+        sof = struct.pack(">HBHHB", 17, 8, 16000, 16000, 3)
+        sof += bytes((1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+        p = b"\xff\xd8" + b"\xff\xc0" + sof
+        with pytest.raises(ValueError, match="pixel budget"):
+            J.decode_jpeg(p)
+        assert image_feature_row(1, p)["media_type"] == "unsupported"
+
+    def test_zero_sampling_factor_rejected(self):
+        """h=0 in a component must raise ValueError at SOF parse, not
+        ZeroDivisionError in the upsampler (review r7, verified
+        exploit)."""
+        sof = struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+        sof += bytes((1, 0x01, 0, 2, 0x11, 1, 3, 0x11, 1))  # Y h=0,v=1
+        p = b"\xff\xd8" + b"\xff\xc0" + sof
+        with pytest.raises(ValueError, match="sampling"):
+            J.decode_jpeg(p)
+        assert image_feature_row(1, p)["media_type"] == "unsupported"
+
+    def test_fill_bytes_before_marker_accepted(self):
+        """T.81 B.1.1.2: 0xFF fill padding before a marker is legal and
+        some encoders emit it — inject fills before DQT and SOS of a
+        valid stream and the image must still decode identically."""
+        good = J.synth_jpeg(5, 16, 12)
+        ref = J.decode_jpeg(good)
+        # insert two fill bytes before the first DQT marker
+        i = good.index(b"\xff\xdb")
+        padded = good[:i] + b"\xff\xff" + good[i:]
+        img = J.decode_jpeg(padded)
+        assert img["rows"] == ref["rows"]
 
     def test_feature_row_isolation(self):
         assert (

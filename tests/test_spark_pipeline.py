@@ -989,6 +989,21 @@ class TestImageDecode:
                 frames * _MP3_SAMPLES_PER_FRAME * 1000
             ) // rate
             assert a["energy"] is None and a["n_samples"] is None
+        # ID3v2.4 FOOTER flag (0x10): the tag occupies 10+size+10
+        # bytes; the parser must skip the footer or the sync scan
+        # starts on it (review r7)
+        body = synth_mp3(4, n_frames=3, with_id3=False)
+        tag = b"ft"
+        footer_tagged = (
+            b"ID3\x04\x00\x10"
+            + bytes((0, 0, 0, len(tag)))
+            + tag
+            + b"3DI\x04\x00\x10"
+            + bytes((0, 0, 0, len(tag)))
+            + body
+        )
+        a = parse_mp3_headers(footer_tagged)
+        assert a["duration_ms"] == parse_mp3_headers(body)["duration_ms"]
         # torn final frame: fully parsed frames are kept
         full = synth_mp3(4, n_frames=5, with_id3=False)
         torn = parse_mp3_headers(full[:-40])
