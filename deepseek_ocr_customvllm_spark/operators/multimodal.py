@@ -532,6 +532,166 @@ def synth_mp3(seed: int, n_frames: int = 5, with_id3: bool = True) -> bytes:
     return bytes(out)
 
 
+def parse_mp4_boxes(payload: bytes) -> dict:
+    """ISO-BMFF (MP4) container-METADATA probe — a top-level box walk
+    plus one level into ``moov``: ``mvhd`` gives timescale/duration,
+    ``trak``/``tkhd`` give track count and the first visual track's
+    fixed-point width/height.  No sample decode (the codec payloads in
+    ``mdat`` stay behind :func:`decode_stub` / the frame sampler) —
+    this is the duration/track/resolution telemetry a corpus audit
+    reads, the video analogue of :func:`parse_mp3_headers`."""
+
+    def walk(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = struct.unpack_from(">I", data, pos)[0]
+            typ = data[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    raise ValueError("truncated MP4 largesize box")
+                size = struct.unpack_from(">Q", data, pos + 8)[0]
+                hdr = 16
+            elif size == 0:  # box extends to end of file
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("bad MP4 box size")
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    if len(payload) < 12:
+        raise ValueError("not an MP4 (too short)")
+    top = list(walk(payload, 0, len(payload)))
+    if not any(t == b"ftyp" for t, _, _ in top):
+        raise ValueError("not an MP4 (no ftyp)")
+    moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    timescale = duration = None
+    n_tracks = 0
+    width = height = None
+    for typ, s, e in walk(payload, moov[0], moov[1]):
+        if typ == b"mvhd":
+            ver = payload[s]
+            if ver == 1:
+                timescale = struct.unpack_from(">I", payload, s + 20)[0]
+                duration = struct.unpack_from(">Q", payload, s + 24)[0]
+            else:
+                timescale = struct.unpack_from(">I", payload, s + 12)[0]
+                duration = struct.unpack_from(">I", payload, s + 16)[0]
+        elif typ == b"trak":
+            n_tracks += 1
+            for t2, s2, e2 in walk(payload, s, e):
+                if t2 == b"tkhd" and width is None:
+                    ver = payload[s2]
+                    # v0: 4 ver/flags + 4+4 times + 4 id + 4 rsvd +
+                    # 4 dur + 8 rsvd + 2+2+2+2 layer/group/vol/rsvd +
+                    # 36 matrix = 76; v1's three 8-byte times add 12
+                    off = s2 + (88 if ver == 1 else 76)
+                    if off + 8 <= e2:
+                        w_fx, h_fx = struct.unpack_from(">II", payload, off)
+                        if w_fx and h_fx:  # audio tracks carry 0x0
+                            width = w_fx >> 16
+                            height = h_fx >> 16
+    if timescale is None or not timescale or duration is None:
+        raise ValueError("MP4 missing mvhd timing")
+    return {
+        "media_type": "video/mp4",
+        "duration_ms": (duration * 1000) // timescale,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+    }
+
+
+def _mp4_box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def synth_mp4(
+    seed: int, n_tracks: int = 2, with_video_track: bool = True
+) -> bytes:
+    """Deterministic minimal ISO-BMFF container: real ftyp/moov/mvhd/
+    trak/tkhd structure (the metadata the probe reads), mdat junk."""
+    timescale = 1000
+    duration = 2000 + (seed % 7) * 500
+    mvhd = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", seed % 1000, seed % 1000)  # times
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80  # rate/volume/matrix/predefines/next-track
+    )
+    traks = b""
+    for i in range(n_tracks):
+        is_video = with_video_track and i == 0
+        w = (320 + (seed % 5) * 16) if is_video else 0
+        h = (240 + (seed % 3) * 16) if is_video else 0
+        tkhd = (
+            b"\x00\x00\x00\x07"
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", i + 1)  # track id
+            + b"\x00" * 4
+            + struct.pack(">I", duration)
+            + b"\x00" * 52  # reserved/layer/volume/matrix
+            + struct.pack(">II", w << 16, h << 16)
+        )
+        traks += _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + traks)
+    mdat = _mp4_box(
+        b"mdat", bytes(((seed * 13 + i) % 251) for i in range(64))
+    )
+    return _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + mdat
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def video_feature_row(media_id: int, payload: Optional[bytes]) -> dict:
+    try:
+        v = parse_mp4_boxes(payload or b"")
+    except (ValueError, struct.error, IndexError):
+        return {
+            "media_id": media_id,
+            "media_type": "unsupported",
+            "duration_ms": None,
+            "n_tracks": None,
+            "width": None,
+            "height": None,
+        }
+    return {"media_id": media_id, **v}
+
+
+def _video_features_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = [
+            video_feature_row(mid, payload)
+            for mid, payload in zip(
+                pdf["media_id"].tolist(), pdf["payload"].tolist()
+            )
+        ]
+        yield pd.DataFrame(rows, columns=VIDEO_FEATURES_SCHEMA.fieldNames())
+
+
+def video_features(media_df: DataFrame) -> DataFrame:
+    """``(media_id long, payload binary)`` -> container metadata rows:
+    real ISO-BMFF box-walk probing (duration, track count, first visual
+    track resolution); non-MP4 payloads isolate as 'unsupported'.
+    Frame/sample DECODE stays with :func:`frame_samples` /
+    :func:`decode_stub` — the honest boundary."""
+    return media_df.select("media_id", "payload").mapInPandas(
+        _video_features_batch, schema=VIDEO_FEATURES_SCHEMA
+    )
+
+
 def synth_media_payload(doc_id: int) -> bytes:
     """Deterministic mixed media corpus keyed by doc id: BMPs, PPMs,
     real PNGs (color type cycling gray/RGB/RGBA, filters cycling per

@@ -1033,6 +1033,47 @@ class TestImageDecode:
             )
         assert kinds == {"audio/wav", "audio/mpeg", "unsupported"}
 
+    def test_mp4_container_probe(self, spark):
+        """Real ISO-BMFF box walk: mvhd duration, trak count, first
+        visual track resolution; junk isolates; the Spark operator
+        matches the pure-Python row."""
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            parse_mp4_boxes,
+            synth_mp4,
+            video_feature_row,
+            video_features,
+        )
+
+        v = parse_mp4_boxes(synth_mp4(4, n_tracks=2))
+        assert v["media_type"] == "video/mp4"
+        assert v["duration_ms"] == 2000 + (4 % 7) * 500
+        assert v["n_tracks"] == 2
+        assert v["width"] == 320 + (4 % 5) * 16
+        assert v["height"] == 240 + (4 % 3) * 16
+        # audio-only container: no visual track -> width/height None
+        a = parse_mp4_boxes(synth_mp4(5, n_tracks=1, with_video_track=False))
+        assert a["width"] is None and a["n_tracks"] == 1
+        # junk / torn isolate
+        assert video_feature_row(1, b"notamp4")["media_type"] == "unsupported"
+        assert (
+            video_feature_row(2, synth_mp4(4)[:20])["media_type"]
+            == "unsupported"
+        )
+        assert video_feature_row(3, None)["media_type"] == "unsupported"
+        # distributed == pure-Python, mixed corpus
+        rows = [
+            (i, synth_mp4(i) if i % 3 else b"junk" + bytes(8))
+            for i in range(24)
+        ]
+        media = spark.createDataFrame(
+            rows, schema="media_id long, payload binary"
+        )
+        got = {
+            r["media_id"]: r.asDict() for r in video_features(media).collect()
+        }
+        for i, payload in rows:
+            assert got[i] == video_feature_row(i, payload), i
+
     def test_thumbnail_deterministic_and_sized(self):
         from deepseek_ocr_customvllm_spark.operators.multimodal import (
             decode_image,
