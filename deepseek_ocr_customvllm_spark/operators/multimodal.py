@@ -11,13 +11,14 @@ Decode tiers:
 - **Raster formats decode FOR REAL, stdlib-only**: 24-bit BMP
   (``_decode_bmp``), binary/ascii PPM (``_decode_ppm``), non-interlaced
   8-bit grayscale/RGB/RGBA PNG (``_decode_png``: ``zlib`` inflate +
-  all five PNG row filters + per-chunk CRC validation), and — late
-  round 7 — baseline sequential JPEG (`operators.jpegcodec`: Huffman
-  entropy decode, dequant, IDCT, chroma upsampling, JFIF color
-  convert), with deterministic nearest-neighbour grayscale
-  thumbnailing as the resize stage (:func:`grayscale_thumb`).
-  :func:`image_features` is the oracle-checked Spark operator over
-  them.
+  all five PNG row filters + per-chunk CRC validation), GIF87a/89a
+  (``_decode_gif``: GIF-variant LSB-first LZW, global/local palettes,
+  interlace — first frame), and baseline sequential JPEG
+  (`operators.jpegcodec`: Huffman entropy decode, dequant, IDCT,
+  chroma upsampling, JFIF color convert), with deterministic
+  nearest-neighbour grayscale thumbnailing as the resize stage
+  (:func:`grayscale_thumb`).  :func:`image_features` is the
+  oracle-checked Spark operator over them.
 - **The remaining capability gate is narrow and honest**: PNG variants
   outside the implemented profile (16-bit, palette, interlaced) and
   JPEG outside baseline (progressive, arithmetic, 12-bit) raise
@@ -30,7 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
-from typing import Iterator, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -359,6 +360,278 @@ def _decode_png(payload: bytes) -> dict:
         "height": height,
         "rows": rows,
     }
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): real stdlib decode — LSB-first variable-width LZW,
+# global/local palettes, interlace; first frame surfaces as rows
+# ---------------------------------------------------------------------------
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> List[int]:
+    """GIF-variant LZW (LSB-first packing, variable 3..12-bit codes,
+    CLEAR/END, table growth at ``1 << code_size``).  NOT the PDF
+    variant (`pdf_extract._lzw_decode` is MSB-first with the
+    early-change quirk) — the two formats genuinely differ.  Output is
+    clamped to ``n_pixels`` (trailing junk ignored, truncation
+    raises)."""
+    if not 2 <= mcs <= 8:
+        raise ValueError("bad GIF LZW min code size")
+    clear = 1 << mcs
+    end = clear + 1
+    out: List[int] = []
+    table: List[List[int]] = []
+
+    def reset():
+        nonlocal table, code_size
+        table = [[i] for i in range(clear)] + [[], []]
+        code_size = mcs + 1
+
+    code_size = mcs + 1
+    reset()
+    prev: List[int] = []
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            bitbuf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            prev = []
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out.extend(entry)
+        if prev and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel data short of image size")
+    return out[:n_pixels]
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """GIF87a/89a -> the shared {width, height, rows} contract: the
+    FIRST image frame, palette-resolved to RGB, de-interlaced when
+    flagged; animation frames beyond the first are ignored (the
+    still-image semantics every thumbnailer uses).  Transparency is
+    surfaced as the palette color (no compositing target exists)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF global color table")
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image frame")
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                sz = payload[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02X}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        _left, _top, w, h = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        if w == 0 or h == 0 or w * h > (1 << 22):
+            raise ValueError("bad GIF image dimensions")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated GIF local color table")
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF (no LZW min code size)")
+        mcs = payload[pos]
+        pos += 1
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            chunks.append(payload[pos : pos + sz])
+            if len(chunks[-1]) < sz:
+                raise ValueError("truncated GIF data sub-block")
+            pos += sz
+        idx = _gif_lzw_decode(b"".join(chunks), mcs, w * h)
+        npal = len(pal) // 3
+        if max(idx) >= npal:
+            raise ValueError("GIF pixel index outside color table")
+        flat = [
+            (pal[3 * i], pal[3 * i + 1], pal[3 * i + 2]) for i in idx
+        ]
+        rows: List[List[Tuple[int, int, int]]] = [None] * h  # type: ignore
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for y in range(start, h, step):
+                    rows[y] = flat[src * w : (src + 1) * w]
+                    src += 1
+        else:
+            for y in range(h):
+                rows[y] = flat[y * w : (y + 1) * w]
+        return {
+            "media_type": "image/gif",
+            "width": w,
+            "height": h,
+            "rows": rows,
+        }
+    raise ValueError("truncated GIF (no blocks)")
+
+
+def _gif_lzw_compress(indices: List[int], mcs: int) -> bytes:
+    """Independent GIF-LZW compressor (greedy longest match, growth and
+    reset mirroring the format rules) — encoder and decoder share no
+    state machinery, so round trips are genuine inversion checks."""
+    clear = 1 << mcs
+    end = clear + 1
+    codes: List[Tuple[int, int]] = []  # (code, size at emission)
+
+    table: Dict[Tuple[int, ...], int]
+
+    def reset():
+        nonlocal table, next_code, code_size
+        table = {(i,): i for i in range(clear)}
+        next_code = end + 1
+        code_size = mcs + 1
+
+    next_code = 0
+    code_size = 0
+    reset()
+    codes.append((clear, code_size))
+    w: Tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        codes.append((table[w], code_size))
+        if next_code < 4096:
+            table[wk] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            codes.append((clear, code_size))
+            reset()
+        w = (k,)
+    if w:
+        codes.append((table[w], code_size))
+    codes.append((end, code_size))
+    # LSB-first pack
+    buf = bytearray()
+    acc = 0
+    nbits = 0
+    for code, size in codes:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def synth_gif(
+    seed: int,
+    width: int = 18,
+    height: int = 11,
+    n_colors: int = 8,
+    interlace: bool = False,
+    local_palette: bool = False,
+) -> bytes:
+    """Deterministic GIF: seed-derived palette + pixel indices through
+    the real LZW compressor; optional interlace and local-palette
+    layout so the decoder's variant paths get corpus coverage."""
+    bits = max(1, (n_colors - 1).bit_length())
+    pal_n = 1 << bits
+    pal = bytes(
+        (seed * 29 + i * 53 + c * 11) % 256
+        for i in range(pal_n)
+        for c in range(3)
+    )
+    idx = [
+        (seed * 2654435761 + y * 97 + x * 31) % n_colors
+        for y in range(height)
+        for x in range(width)
+    ]
+    if interlace:
+        order = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            order.extend(range(start, height, step))
+        stored = []
+        for y in order:
+            stored.extend(idx[y * width : (y + 1) * width])
+    else:
+        stored = idx
+    mcs = max(2, bits)
+    lzw = _gif_lzw_compress(stored, mcs)
+    out = bytearray(b"GIF89a")
+    gct_flag = 0 if local_palette else 0x80
+    out += struct.pack("<HH", width, height)
+    out += bytes((gct_flag | (bits - 1), 0, 0))
+    if not local_palette:
+        out += pal
+    # a GCE extension block, exercising the skip path
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    ipacked = (0x80 | (bits - 1)) if local_palette else 0
+    if interlace:
+        ipacked |= 0x40
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += bytes((ipacked,))
+    if local_palette:
+        out += pal
+    out += bytes((mcs,))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes((len(chunk),)) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def synth_wav(seed: int, n_samples: int = 800, rate: int = 8000) -> bytes:
@@ -696,7 +969,8 @@ def synth_media_payload(doc_id: int) -> bytes:
     """Deterministic mixed media corpus keyed by doc id: BMPs, PPMs,
     real PNGs (color type cycling gray/RGB/RGBA, filters cycling per
     row inside each), real baseline JPEGs (4:4:4 and 4:2:0 alternating,
-    restart markers every third), and payloads that must become
+    restart markers every third), real GIFs (interlace and
+    local-palette variants), and payloads that must become
     'unsupported' rows, not failures (truncated-JPEG junk, and a
     16-bit PNG that exercises the PNG profile gate)."""
     if doc_id % 41 == 0:
@@ -728,6 +1002,13 @@ def synth_media_payload(doc_id: int) -> bytes:
         )
     if doc_id % 29 == 0:
         return synth_png(doc_id, color_type=(0, 2, 6)[(doc_id // 29) % 3])
+    if doc_id % 43 == 0:
+        k = doc_id // 43
+        return synth_gif(
+            doc_id,
+            interlace=bool(k % 2),
+            local_palette=bool(k % 3 == 0),
+        )
     if doc_id % 7 == 3:
         return synth_ppm(doc_id)
     return synth_bmp(doc_id)
@@ -755,6 +1036,8 @@ def decode_image(payload: bytes) -> dict:
         return _decode_bmp(payload)
     if payload[:2] in (b"P6", b"P3"):
         return _decode_ppm(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:8] == _PNG_SIG:
         # stdlib decode unconditionally (never PIL, even when present):
         # the oracle math must be one implementation in every environment

@@ -915,6 +915,81 @@ class TestImageDecode:
                 _decode_png(p)
             assert image_feature_row(1, p)["media_type"] == "unsupported"
 
+    def test_gif_round_trip_exact(self):
+        """GIF is lossless: encode (independent real-LZW compressor) →
+        decode must reproduce the source indices' palette colors
+        EXACTLY, across interlace/local-palette variants and a
+        high-entropy image that forces LZW table growth."""
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _decode_gif,
+            _gif_lzw_compress,
+            _gif_lzw_decode,
+            synth_gif,
+        )
+
+        def expected(seed, w, h, n_colors):
+            bits = max(1, (n_colors - 1).bit_length())
+            pal_n = 1 << bits
+            pal = bytes(
+                (seed * 29 + i * 53 + c * 11) % 256
+                for i in range(pal_n)
+                for c in range(3)
+            )
+            return [
+                [
+                    tuple(
+                        pal[3 * ((seed * 2654435761 + y * 97 + x * 31) % n_colors) + c]
+                        for c in range(3)
+                    )
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ]
+
+        cases = [
+            (1, 18, 11, 8, False, False),
+            (2, 25, 13, 5, True, False),
+            (3, 9, 7, 16, False, True),
+            (4, 40, 31, 4, True, True),
+            (5, 8, 8, 2, False, False),
+        ]
+        for seed, w, h, nc, il, lp in cases:
+            img = _decode_gif(
+                synth_gif(seed, w, h, n_colors=nc, interlace=il,
+                          local_palette=lp)
+            )
+            assert (img["width"], img["height"]) == (w, h)
+            assert img["media_type"] == "image/gif"
+            assert img["rows"] == expected(seed, w, h, nc), (seed, il, lp)
+        # raw LZW layer: a high-entropy index stream long enough to
+        # grow the table through several code-size bumps and a reset
+        idx = [(i * 2654435761 >> 7) % 64 for i in range(20000)]
+        assert _gif_lzw_decode(_gif_lzw_compress(idx, 6), 6, len(idx)) == idx
+
+    def test_gif_malformed_isolates(self):
+        import pytest as _pytest
+
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _decode_gif,
+            image_feature_row,
+            synth_gif,
+        )
+
+        good = synth_gif(6)
+        img_sep = good.index(b"\x21\xf9") + 8  # block after the GCE
+        assert good[img_sep] == 0x2C
+        for bad in (
+            good[:-8],  # torn data sub-blocks
+            good[:12],  # torn header
+            b"GIF89a" + b"\x00" * 7 + b"\x3b",  # trailer, no image
+            good[:img_sep] + b"\x7f" + good[img_sep + 1 :],  # bad block id
+        ):
+            with _pytest.raises(ValueError):
+                _decode_gif(bad)
+            assert image_feature_row(1, bad)["media_type"] == "unsupported"
+        row = image_feature_row(2, good)
+        assert row["media_type"] == "image/gif" and row["sum_r"] > 0
+
     def test_png_decompression_bomb_bounded(self):
         """A bomb PNG (tiny declared dims, megabytes of inflatable
         IDAT) must fail as ValueError after at most raster+1 inflated
@@ -962,7 +1037,7 @@ class TestImageDecode:
         }
         kinds = {r["media_type"] for r in out.values()}
         assert "image/png" in kinds and "unsupported" in kinds
-        assert "image/jpeg" in kinds
+        assert "image/jpeg" in kinds and "image/gif" in kinds
         for mid, row in out.items():
             exp = image_feature_row(mid, synth_media_payload(mid))
             assert row == exp, mid
