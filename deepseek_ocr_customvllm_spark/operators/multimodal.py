@@ -19,12 +19,18 @@ Decode tiers:
   nearest-neighbour grayscale thumbnailing as the resize stage
   (:func:`grayscale_thumb`).  :func:`image_features` is the
   oracle-checked Spark operator over them.
+- **Container metadata parses for real where sample decode does not**:
+  MPEG-1 Layer III frame headers (:func:`parse_mp3_headers` — rate/
+  channels/duration) and ISO-BMFF/MP4 box walks
+  (:func:`parse_mp4_boxes` — duration/tracks/resolution) feed
+  `audio_features` / `video_features`; the compressed SAMPLE decode
+  those containers carry (MP3 PCM synthesis, video codecs) stays
+  behind ``decode_stub``.
 - **The remaining capability gate is narrow and honest**: PNG variants
   outside the implemented profile (16-bit, palette, interlaced) and
   JPEG outside baseline (progressive, arithmetic, 12-bit) raise
   ``NotImplementedError``; per-row isolation turns them into
-  ``unsupported`` feature rows instead of task failures.  MP3 and
-  video stay stubbed (``decode_stub``).
+  ``unsupported`` feature rows instead of task failures.
 """
 
 from __future__ import annotations
@@ -843,19 +849,33 @@ def parse_mp4_boxes(payload: bytes) -> dict:
     timescale = duration = None
     n_tracks = 0
     width = height = None
+    unknown_duration = False
     for typ, s, e in walk(payload, moov[0], moov[1]):
         if typ == b"mvhd":
+            # bound every read by THIS box's extent — a short/lying
+            # mvhd must fail loudly, not read the next sibling's bytes
+            # as timescale/duration
+            if e - s < 1:
+                raise ValueError("empty MP4 mvhd box")
             ver = payload[s]
             if ver == 1:
+                if e - s < 32:
+                    raise ValueError("truncated MP4 mvhd (v1)")
                 timescale = struct.unpack_from(">I", payload, s + 20)[0]
                 duration = struct.unpack_from(">Q", payload, s + 24)[0]
+                unknown_duration = duration == 0xFFFFFFFFFFFFFFFF
             else:
+                if e - s < 20:
+                    raise ValueError("truncated MP4 mvhd (v0)")
                 timescale = struct.unpack_from(">I", payload, s + 12)[0]
                 duration = struct.unpack_from(">I", payload, s + 16)[0]
+                unknown_duration = duration == 0xFFFFFFFF
         elif typ == b"trak":
             n_tracks += 1
             for t2, s2, e2 in walk(payload, s, e):
                 if t2 == b"tkhd" and width is None:
+                    if e2 - s2 < 1:
+                        continue
                     ver = payload[s2]
                     # v0: 4 ver/flags + 4+4 times + 4 id + 4 rsvd +
                     # 4 dur + 8 rsvd + 2+2+2+2 layer/group/vol/rsvd +
@@ -870,7 +890,11 @@ def parse_mp4_boxes(payload: bytes) -> dict:
         raise ValueError("MP4 missing mvhd timing")
     return {
         "media_type": "video/mp4",
-        "duration_ms": (duration * 1000) // timescale,
+        # the all-ones duration is ISO-BMFF's 'unknown' sentinel
+        # (fragmented/live captures) — surface None, not a bogus number
+        "duration_ms": (
+            None if unknown_duration else (duration * 1000) // timescale
+        ),
         "n_tracks": n_tracks,
         "width": width,
         "height": height,
@@ -920,7 +944,10 @@ VIDEO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
-        T.StructField("duration_ms", T.IntegerType()),
+        # LONG, not int: a v1 mvhd can legally carry durations past
+        # 2^31 ms, and an int32 column would fail the whole Arrow batch
+        # instead of isolating the row
+        T.StructField("duration_ms", T.LongType()),
         T.StructField("n_tracks", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),

@@ -1128,6 +1128,28 @@ class TestImageDecode:
         # audio-only container: no visual track -> width/height None
         a = parse_mp4_boxes(synth_mp4(5, n_tracks=1, with_video_track=False))
         assert a["width"] is None and a["n_tracks"] == 1
+        # unknown-duration sentinel (0xFFFFFFFF, fragmented/live files):
+        # duration surfaces None, never a bogus > int32 number that
+        # would fail the Arrow batch (review r7)
+        import struct as _s
+
+        g = bytearray(synth_mp4(4, n_tracks=1))
+        mvhd_at = bytes(g).index(b"mvhd") + 4
+        _s.pack_into(">I", g, mvhd_at + 16, 0xFFFFFFFF)
+        u = parse_mp4_boxes(bytes(g))
+        assert u["duration_ms"] is None and u["n_tracks"] == 1
+        media_u = spark.createDataFrame(
+            [(99, bytes(g))], schema="media_id long, payload binary"
+        )
+        assert video_features(media_u).collect()[0]["duration_ms"] is None
+        # a short (lying) mvhd box must fail loudly, not read sibling
+        # bytes as timing (review r7)
+        g2 = bytearray(synth_mp4(4, n_tracks=1))
+        m_at = bytes(g2).index(b"mvhd") - 4
+        _s.pack_into(">I", g2, m_at, 12)  # shrink mvhd to a 4-byte body
+        assert (
+            video_feature_row(5, bytes(g2))["media_type"] == "unsupported"
+        )
         # junk / torn isolate
         assert video_feature_row(1, b"notamp4")["media_type"] == "unsupported"
         assert (
