@@ -966,6 +966,88 @@ class TestImageDecode:
         idx = [(i * 2654435761 >> 7) % 64 for i in range(20000)]
         assert _gif_lzw_decode(_gif_lzw_compress(idx, 6), 6, len(idx)) == idx
 
+    def test_tiff_round_trip_matrix(self):
+        """TIFF is lossless in every supported layout: the full
+        gray/RGB x none/LZW/PackBits x byte-order x predictor x
+        multi-strip matrix must reproduce the generator pixels exactly
+        (the TIFF LZW is pdf_extract's MSB-first EarlyChange decoder
+        against an independent compressor — a real inversion check)."""
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _decode_tiff,
+            synth_tiff,
+        )
+
+        def expected(seed, w, h, gray):
+            rows = []
+            for y in range(h):
+                row = []
+                for x in range(w):
+                    v = (seed * 2654435761 + y * 97 + x * 31) & 0xFFFFFFFF
+                    px = ((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+                    row.append((px[0],) * 3 if gray else px)
+                rows.append(row)
+            return rows
+
+        n = 0
+        for gray in (False, True):
+            for comp in (1, 5, 32773):
+                for be in (False, True):
+                    for pred in (1, 2) if comp != 1 else (1,):
+                        for rps in (None, 4):
+                            t = synth_tiff(
+                                7, 17, 9, gray=gray, compression=comp,
+                                big_endian=be, predictor=pred,
+                                rows_per_strip=rps,
+                            )
+                            img = _decode_tiff(t)
+                            assert img["media_type"] == "image/tiff"
+                            assert img["rows"] == expected(7, 17, 9, gray)
+                            n += 1
+        assert n == 40
+
+    def test_tiff_lzw_crosses_code_widths(self):
+        """The independent TIFF-LZW compressor against pdf_extract's
+        decoder on a 60k high-entropy stream: forces growth through
+        every code width and a 4096-table clear/reset."""
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _lzw_decode,
+        )
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _tiff_lzw_compress,
+        )
+
+        data = bytes((i * 2654435761 >> 9) & 0xFF for i in range(60000))
+        assert _lzw_decode(_tiff_lzw_compress(data)) == data
+
+    def test_tiff_malformed_and_gates(self):
+        import pytest as _pytest
+
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _decode_tiff,
+            image_feature_row,
+            synth_tiff,
+        )
+
+        good = synth_tiff(3)
+        for bad in (good[:6], good[:40], b"II*\x00" + b"\xff" * 8):
+            with _pytest.raises(ValueError):
+                _decode_tiff(bad)
+            assert image_feature_row(1, bad)["media_type"] == "unsupported"
+        # out-of-profile: 16-bit samples gate (patch BitsPerSample)
+        import struct as _s
+
+        b = bytearray(synth_tiff(3, gray=True))
+        n_tags = _s.unpack_from("<H", b, 8)[0]
+        for i in range(n_tags):
+            pos = 10 + 12 * i
+            if _s.unpack_from("<H", b, pos)[0] == 258:
+                _s.pack_into("<H", b, pos + 8, 16)
+        with _pytest.raises(NotImplementedError):
+            _decode_tiff(bytes(b))
+        assert image_feature_row(2, bytes(b))["media_type"] == "unsupported"
+        row = image_feature_row(3, good)
+        assert row["media_type"] == "image/tiff" and row["thumb_hash"]
+
     def test_gif_malformed_isolates(self):
         import pytest as _pytest
 
