@@ -1166,15 +1166,26 @@ _BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 _EARLYCHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
 
 
-def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+def _lzw_decode(
+    data: bytes, early_change: int = 1, max_out: Optional[int] = None
+) -> bytes:
     """PDF-variant LZW (spec §7.4.4): 9→12-bit MSB-first codes, clear
-    code 256, EOD 257, code width grows ``early_change`` codes early."""
+    code 256, EOD 257, code width grows ``early_change`` codes early.
+
+    ``max_out`` bounds the INFLATED size: callers decoding
+    attacker-sized streams (TIFF strips in `operators.multimodal`) pass
+    the raster size they expect, so a decompression-bomb strip fails as
+    a ValueError instead of allocating multi-GB (PDF content streams
+    keep the historical unbounded default — their size is already
+    gated upstream by the document byte cap)."""
     table = {i: bytes([i]) for i in range(256)}
     next_code, code_len = 258, 9
     prev: Optional[bytes] = None
     out = bytearray()
     bitbuf = bitcnt = 0
     for byte in data:
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("LZW output exceeds caller bound")
         bitbuf = (bitbuf << 8) | byte
         bitcnt += 8
         while bitcnt >= code_len:

@@ -732,7 +732,7 @@ def _decode_tiff(payload: bytes) -> dict:
 
     def one(tag, default=None):
         v = tags.get(tag)
-        if v is None:
+        if not v:  # absent OR a malformed count=0 tag
             return default
         return v[0]
 
@@ -768,6 +768,12 @@ def _decode_tiff(payload: bytes) -> dict:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing strip layout")
     rows_per_strip = one(278, h)
+    if not rows_per_strip or rows_per_strip < 1:
+        raise ValueError("bad TIFF RowsPerStrip")
+    if len(offsets) != -(-h // rows_per_strip):
+        # surplus strips would give a negative n_rows below AND each
+        # would still be fully inflated — reject the malformed layout
+        raise ValueError("TIFF strip count does not match image height")
 
     stride = w * spp
     raster = bytearray()
@@ -779,7 +785,10 @@ def _decode_tiff(payload: bytes) -> dict:
         expected = stride * n_rows
         if compression == 5:
             try:
-                data = _lzw_decode(chunk)
+                # bound the inflate by the strip's raster size: a bomb
+                # strip fails here instead of allocating attacker-sized
+                # buffers (same guard class as PNG/JPEG/PackBits)
+                data = _lzw_decode(chunk, max_out=expected)
             except (ValueError, KeyError) as e:
                 raise ValueError(f"bad TIFF LZW strip: {e}") from None
         elif compression == 32773:
@@ -862,6 +871,14 @@ def _tiff_lzw_compress(data: bytes) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w])
+        # the decoder performs ONE more insertion while decoding this
+        # flush code and may widen before reading EOD — mirror it, or
+        # EOD goes out one bit narrow when the stream ends exactly on a
+        # width boundary (found by randomized round-trip fuzz)
+        if next_code < 4096:
+            next_code += 1
+            if next_code >= (1 << code_len) and code_len < 12:
+                code_len += 1
     emit(257)
     buf = bytearray()
     acc = nbits = 0
@@ -890,7 +907,7 @@ def _packbits_encode(data: bytes) -> bytes:
             continue
         lit_start = i
         i += run
-        while i < n and len(out) >= 0 and (i - lit_start) < 128:
+        while i < n and (i - lit_start) < 128:
             nxt = 1
             while i + nxt < n and nxt < 3 and data[i + nxt] == data[i]:
                 nxt += 1

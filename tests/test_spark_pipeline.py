@@ -1019,6 +1019,97 @@ class TestImageDecode:
         data = bytes((i * 2654435761 >> 9) & 0xFF for i in range(60000))
         assert _lzw_decode(_tiff_lzw_compress(data)) == data
 
+    def test_tiff_lzw_randomized_inversion(self):
+        """Randomized round-trip fuzz (fixed seed): includes the
+        end-on-width-boundary shapes that exposed the encoder's EOD
+        width bug (review r7 — the decoder widens on its final flush
+        insertion; the encoder must mirror it before emitting EOD)."""
+        import random
+
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _lzw_decode,
+        )
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _tiff_lzw_compress,
+        )
+
+        rng = random.Random(42)
+        for _ in range(400):
+            n = rng.choice([0, 1, 5, 768, 1817, rng.randint(1, 3000)])
+            data = bytes(rng.randrange(256) for _ in range(n))
+            assert _lzw_decode(_tiff_lzw_compress(data)) == data
+
+    def test_tiff_lzw_bomb_bounded(self):
+        """An LZW strip inflating far past the declared raster must
+        fail as ValueError at the caller bound, never allocate
+        attacker-sized buffers (review r7: a 941-byte strip inflated
+        unbounded before the size check)."""
+        import pytest as _pytest
+
+        from deepseek_ocr_customvllm_spark.extractor.pdf_extract import (
+            _lzw_decode,
+        )
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _decode_tiff,
+            _tiff_lzw_compress,
+            image_feature_row,
+            synth_tiff,
+        )
+
+        with _pytest.raises(ValueError, match="caller bound"):
+            _lzw_decode(_tiff_lzw_compress(b"\x00" * 300000), max_out=768)
+        # whole-file shape: take a valid LZW TIFF and splice in a strip
+        # that inflates past the raster
+        import struct as _s
+
+        t = bytearray(synth_tiff(3, 8, 4, gray=True, compression=5))
+        bomb = _tiff_lzw_compress(b"\x00" * 200000)
+        n_tags = _s.unpack_from("<H", t, 8)[0]
+        off_at = cnt_at = None
+        for i in range(n_tags):
+            pos = 10 + 12 * i
+            tag = _s.unpack_from("<H", t, pos)[0]
+            if tag == 273:
+                off_at = pos + 8
+            elif tag == 279:
+                cnt_at = pos + 8
+        _s.pack_into("<I", t, off_at, len(t))
+        _s.pack_into("<I", t, cnt_at, len(bomb))
+        t += bomb
+        with _pytest.raises(ValueError):
+            _decode_tiff(bytes(t))
+        assert image_feature_row(1, bytes(t))["media_type"] == "unsupported"
+
+    def test_tiff_surplus_strips_and_zero_count_tag_reject(self):
+        import struct as _s
+
+        import pytest as _pytest
+
+        from deepseek_ocr_customvllm_spark.operators.multimodal import (
+            _decode_tiff,
+            synth_tiff,
+        )
+
+        good = synth_tiff(3, 8, 4, gray=True)
+        # zero-count width tag must be a ValueError, not IndexError
+        b = bytearray(good)
+        n_tags = _s.unpack_from("<H", b, 8)[0]
+        for i in range(n_tags):
+            pos = 10 + 12 * i
+            if _s.unpack_from("<H", b, pos)[0] == 256:
+                _s.pack_into("<I", b, pos + 4, 0)  # count = 0
+        with _pytest.raises(ValueError):
+            _decode_tiff(bytes(b))
+        # strip count disagreeing with the image height must reject
+        # (surplus strips previously sliced with a negative bound)
+        b2 = bytearray(good)
+        for i in range(n_tags):
+            pos = 10 + 12 * i
+            if _s.unpack_from("<H", b2, pos)[0] == 278:
+                _s.pack_into("<H", b2, pos + 8, 1)  # rows_per_strip=1
+        with _pytest.raises(ValueError, match="strip count"):
+            _decode_tiff(bytes(b2))
+
     def test_tiff_malformed_and_gates(self):
         import pytest as _pytest
 
