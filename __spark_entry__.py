@@ -2044,9 +2044,25 @@ def _q_lineage_rollup(spark, sf_dir):
 
 def _q_tpch_q1(spark, sf_dir):
     from deepseek_ocr_customvllm_spark.operators.textstats import dsum, dtrunc
+    from deepseek_ocr_customvllm_spark.plans.layout import spread_input
 
     _ensure_utc(spark)
-    li = load_table(spark, sf_dir, "lineitem")
+    # narrow projection, then the layout guard: the exact decimal sums
+    # (dsum) are the per-row cost here, and a single-row-group source
+    # otherwise serializes them onto one task (guide §2.5; no-op on a
+    # properly split table — decimal sums are order-independent exact
+    # integer arithmetic, so results are unchanged by placement)
+    li = spread_input(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        )
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count("*")

@@ -265,30 +265,48 @@ def minhash_lsh_duplicates(
     table a production pipeline would materialize anyway between the
     signature and verify stages.
 
-    NOTE: ``persist=True`` is eager at construction (the
-    localCheckpoint runs Spark jobs before this function returns).
-    ``persist=False`` keeps the historical fully-lazy plan: the shingle
-    pipeline recomputes per consumer (3x), with the signature branch
-    reading the cheaper non-distinct stream — the right shape when a
-    caller embeds this operator inside a larger plan it will optimize
-    as a whole.
+    NOTE: since round 8 ``persist=True`` materializes via the SQL cache
+    (MEMORY_AND_DISK persist) instead of ``localCheckpoint`` — lazy (no
+    jobs run at construction; the first action populates the cache),
+    partitioning-preserving (a checkpoint degraded every downstream
+    consumer to ``UnknownPartitioning``), and shared by all consumers
+    including both sides of the banded self-join.  ``persist=False``
+    keeps the historical fully-lazy plan: the shingle pipeline
+    recomputes per consumer (3x), with the signature branch reading the
+    cheaper non-distinct stream — the right shape when a caller embeds
+    this operator inside a larger plan it will optimize as a whole.
 
     ``max_bucket`` caps hot LSH buckets (see ``_cap_hot_buckets``).
     """
     if persist:
+        from pyspark import StorageLevel
+
         sh = _shingle_table_with_sizes(df)
-        sig = minhash_signatures(sh.select("doc_id", "sh"))
-    else:
-        sh = shingles(df)
-        # min is duplicate-blind, so the lazy signature branch skips the
-        # distinct shuffle by reading the raw stream
-        sig = minhash_signatures(shingles(df, distinct=False))
+        # the signature table feeds BOTH sides of the banded self-join;
+        # without its own cache Spark re-runs the signature aggregation
+        # once per side (no common-subplan sharing).  One (doc_id,
+        # m0..m7) row per document — the signature store a production
+        # pipeline materializes anyway.
+        sig = minhash_signatures(sh.select("doc_id", "sh")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        cand = lsh_candidate_pairs(sig, max_bucket=max_bucket)
+        out = jaccard_verify(cand, sh)
+        # the SQL cache is not GC-owned: expose the cached tables so a
+        # long-lived caller can release executor storage once it has
+        # materialized (or finished with) the result
+        out._graft_caches = (sh, sig)
+        return out
+    sh = shingles(df)
+    # min is duplicate-blind, so the lazy signature branch skips the
+    # distinct shuffle by reading the raw stream
+    sig = minhash_signatures(shingles(df, distinct=False))
     cand = lsh_candidate_pairs(sig, max_bucket=max_bucket)
     return jaccard_verify(cand, sh)
 
 
 def _shingle_table_with_sizes(df: DataFrame) -> DataFrame:
-    """The fused pipeline's checkpointed shingle table:
+    """The fused pipeline's materialized shingle table:
     ``(doc_id, sh, n)`` — distinct shingles with the doc's
     distinct-shingle count carried on every row — built behind ONE
     Exchange (pinned by ``tests/test_plans.py``): the explicit
@@ -296,20 +314,42 @@ def _shingle_table_with_sizes(df: DataFrame) -> DataFrame:
     partitioning on a subset of the grouping keys co-locates every
     group) and the window count, so neither adds a shuffle.
 
-    Trade vs ``shingles(df)`` (distinct): the repartition ships the RAW
-    shingle stream (no map-side partial dedup — within-doc duplicate
-    shingles, typically a 10-20% overhead on natural text) but saves a
-    second corpus-wide Exchange for the sizes, the sizes aggregate, and
-    two corpus-wide joins downstream.  A document is bounded by the
-    ingest size gate, so the per-doc grouping cannot skew a partition.
+    Round-8 changes (both measured; see OPTIMIZATION_r08.md):
+
+    - the repartition moved BEFORE the shingle explode: it now ships the
+      normalized *documents* (one row per doc) instead of the raw
+      shingle stream (~3 rows per word — each word lands in 3 shingles),
+      so the one Exchange carries roughly a third of the bytes AND the
+      explode itself parallelizes past a single-split source.  Shingling
+      is row-local, so doc co-location (what the dedup + window need) is
+      preserved.
+    - ``persist`` (MEMORY_AND_DISK) instead of ``localCheckpoint``: a
+      checkpoint erases the plan's partitioning metadata
+      (``UnknownPartitioning`` on the ExistingRDD scan), which made
+      every downstream doc_id-keyed consumer re-Exchange and re-sort the
+      table; the in-memory cache keeps the ``repartition(doc_id)``
+      partitioning visible to Catalyst, and all three consumers (the
+      signature aggregation and both sides of the verify join) share ONE
+      materialization instead of re-reading checkpoint blocks through
+      separate subplans.
+
+    Trade vs ``shingles(df)`` (distinct): unchanged — one Exchange total
+    against a sizes aggregate plus two corpus-wide joins downstream.  A
+    document is bounded by the ingest size gate, so the per-doc grouping
+    cannot skew a partition.
     """
-    raw = shingles(df, distinct=False)
+    from pyspark import StorageLevel
+
     w = Window.partitionBy("doc_id")
+    # explicit projection BEFORE the exchange (guide §2.3): ship only the
+    # two columns the shingler reads, whatever the caller's frame carries
+    raw = shingles(
+        df.select("doc_id", "text").repartition("doc_id"), distinct=False
+    )
     return (
-        raw.repartition("doc_id")
-        .dropDuplicates(["doc_id", "sh"])
+        raw.dropDuplicates(["doc_id", "sh"])
         .withColumn("n", F.count("*").over(w))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -531,10 +571,25 @@ def simhash_signatures(df: DataFrame, salt: str | None = None) -> DataFrame:
     """60-bit simhash per document (md5-derived, dialect-portable).
 
     Value-identical to the DuckDB oracle's aggregate formulation, but
-    shaped for fast Spark codegen: exploding the bit positions keeps
-    every expression tiny (a single giant 60-aggregate operator costs
-    >10 s of Janino compilation on first execution), and the extra
-    (doc_id, bit) shuffle is map-side-combined.
+    ONE aggregation instead of the historical explode shape: 30 packed
+    ones-count sum aggregates (two 31-bit fields per long) over the
+    token-value stream, composed into the signature in a
+    post-aggregation projection.  Versus the round-1..7 shape
+    (60-way bit explode -> (doc_id, bit) aggregate -> signature
+    aggregate) this deletes the 60x row explosion and TWO corpus-wide
+    Exchanges: the only shuffle left carries 31 longs per (partition,
+    doc) of partial state — less than the (doc_id, v, cnt) rows the
+    old first Exchange shipped.  Measured (sf0.1, local[32]): steady
+    state 2.4 s -> ~1.2 s, signatures bit-identical; the packed width
+    keeps the first-execution whole-stage compile at ~0.5 s (the
+    round-2 note about a >10 s Janino compile was for a wide aggregate
+    whose every term re-derived the token hash; over a precomputed
+    ``v`` column the expressions are tiny).
+
+    The input is :func:`~..plans.layout.spread_input`-guarded: a
+    single-row-group parquet source otherwise serializes the token
+    explode + md5 hashing onto one task (guide §2.5 input skew); at
+    production scale the guard is a no-op.
 
     ``salt`` (optional) prepends a literal to every token before
     hashing, producing an INDEPENDENT signature family over the same
@@ -542,9 +597,12 @@ def simhash_signatures(df: DataFrame, salt: str | None = None) -> DataFrame:
     (:func:`simhash_near_pairs_x2`).  ``None`` keeps the historical
     unsalted signature bit-for-bit.
     """
+    from ..plans.layout import spread_input
+
     norm = norm_text("text")
     toks = (
-        df.select("doc_id", norm.alias("t"))
+        spread_input(df.select("doc_id", "text"))
+        .select("doc_id", norm.alias("t"))
         .filter(F.col("t") != "")
         .select("doc_id", F.explode(F.split("t", " ")).alias("tok"))
     )
@@ -557,39 +615,58 @@ def simhash_signatures(df: DataFrame, salt: str | None = None) -> DataFrame:
 
         ensure_safe_salt(salt)
         tok_expr = f"'{salt}' || tok"
+    # Spark-only fast twin of ``hex_to_bigint_sql(tok_expr, 15)``: the
+    # first 15 md5 hex chars as a base-16 number — conv() computes the
+    # identical integer in one call instead of 15 instr/substr terms
+    # (and one md5 instead of relying on subexpression elimination to
+    # fold 15 of them).  The DuckDB oracle keeps the portable nibble
+    # formulation; values are equal by definition of base-16.
     vals = toks.select(
-        "doc_id", F.expr(hex_to_bigint_sql(tok_expr, 15)).alias("v")
-    )
-    # Collapse repeated tokens BEFORE the 60-way bit explode: natural text
-    # repeats words heavily, so (doc_id, v, count) rows are several times
-    # fewer than occurrences — the majority vote weighs by count, which is
-    # exactly the per-occurrence sum.  Both groupBys partial-aggregate
-    # map-side, so shuffle volume stays tiny; the explode volume (the CPU
-    # cost) is what shrinks.
-    cnts = vals.groupBy("doc_id", "v").agg(F.count("*").alias("cnt"))
-    bits = cnts.select(
         "doc_id",
-        "v",
-        "cnt",
-        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b"),
+        F.expr(
+            f"cast(conv(substring(md5({tok_expr}), 1, 15), 16, 10) as bigint)"
+        ).alias("v"),
     )
-    # shiftright, NOT float division: v has up to 60 significant bits,
-    # beyond double's 53-bit mantissa.
-    sign_cnt = F.when(
-        F.expr("shiftright(v, b) % 2") == 1, F.col("cnt")
-    ).otherwise(-F.col("cnt"))
-    per_bit = bits.groupBy("doc_id", "b").agg(F.sum(sign_cnt).alias("s"))
-    return (
-        per_bit.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
-                ).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
-        .select("doc_id", F.col("simhash").cast("bigint").alias("simhash"))
+    # Per-bit majority vote as PACKED sum aggregates: 30 sums, each
+    # accumulating TWO 31-bit ones-counters in one bigint (bit 2j in the
+    # low field, bit 2j+1 shifted to bit 31).  Fields cannot interact:
+    # every row adds 0/1 per field and a field's total is the doc's
+    # ones-count for that bit, bounded by its token count < 2^30 (a JVM
+    # string caps at 2^31-1 chars, so even a degenerate 1-char-token doc
+    # stays under 2^30 tokens) — provably no carry into the next field,
+    # and the packed sum stays under 2^62.  The vote ``sign(2*ones - n)``
+    # with ``n = count(*)`` equals the historical count-weighted ±1 sum
+    # exactly (integer arithmetic, commutative at any partitioning).
+    # Width trade (measured): 60 plain ±1 sums compile ~1.3 s of
+    # whole-stage codegen on first execution, the 30 packed sums ~0.5 s,
+    # for identical results — and the bench cold run is what the driver
+    # times.  shiftright, NOT float division: v has up to 60 significant
+    # bits, beyond double's 53-bit mantissa.
+    # one selectExpr call = one py4j round trip for all 30 packed terms
+    # (a Column-DSL build of the same costs ~100 round trips of driver
+    # wall); the project fuses into the partial aggregation under
+    # whole-stage codegen, so the shape is unchanged
+    packed = vals.selectExpr(
+        "doc_id",
+        *[
+            f"(shiftright(v, {2 * j}) % 2)"
+            f" + shiftleft(shiftright(v, {2 * j + 1}) % 2, 31) as c{j}"
+            for j in range(SIMHASH_BITS // 2)
+        ],
     )
+    aggs = [F.sum(f"c{j}").alias(f"p{j}") for j in range(SIMHASH_BITS // 2)]
+    aggs.append(F.count("*").alias("n"))
+    per_doc = packed.groupBy("doc_id").agg(*aggs)
+    # ONE parsed expression for the 60-term composition: a python-side
+    # chain of Column ops costs ~300 py4j round trips (~0.8 s of driver
+    # wall per query build); a single F.expr is one parse
+    mask = (1 << 31) - 1
+    sig_sql = "cast(" + " + ".join(
+        f"(case when 2 * (shiftright(p{b // 2}, {31 * (b % 2)}) & {mask})"
+        f" > n then {1 << b} else 0 end)"
+        for b in range(SIMHASH_BITS)
+    ) + " as bigint)"
+    return per_doc.select("doc_id", F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -597,8 +674,20 @@ def simhash_near_pairs(
     hamming_max: int = HAMMING_MAX,
     n_bands: int = SIMHASH_BANDS,
     max_bucket: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs: block on signature bands, verify Hamming distance.
+
+    ``persist=True`` (default) caches the signature input
+    (MEMORY_AND_DISK) before the banded self-join.  Spark does not share
+    common subplans: without the cache BOTH sides of the self-join
+    re-run the whole upstream signature pipeline (token explode + md5 +
+    aggregation — observed as two full copies of it in the physical
+    plan), doubling its compute and codegen.  The cached table is tiny
+    (one ``(doc_id, simhash)`` row per document) and is exactly the
+    signature store a production pipeline materializes between the
+    signature and pairing stages; re-persisting an already-cached frame
+    is a no-op, so callers that manage their own caching are unaffected.
 
     Banding is the corpus-size knob (pigeonhole: ``n_bands`` bands of
     ``60 / n_bands`` bits give GUARANTEED recall for
@@ -622,6 +711,10 @@ def simhash_near_pairs(
     """
     if SIMHASH_BITS % n_bands:
         raise ValueError(f"n_bands must divide {SIMHASH_BITS}, got {n_bands}")
+    if persist:
+        from pyspark import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     band_bits = SIMHASH_BITS // n_bands
     band_mod = 2 ** band_bits
     byte_keys = F.array(
@@ -659,9 +752,15 @@ def simhash_near_pairs(
         .distinct()
     )
     hamming = F.expr("bit_count(sim_a ^ sim_b)")
-    return pairs.select(
+    out = pairs.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= hamming_max)
+    if persist:
+        # expose the cached signature table for caller-side release
+        # (the SQL cache is not GC-owned) — same contract as
+        # minhash_lsh_duplicates
+        out._graft_caches = (sig,)
+    return out
 
 
 def simhash_near_pairs_x2(
@@ -708,11 +807,25 @@ def simhash_near_pairs_x2(
         simhash_signatures(docs, salt=SIMHASH_X2_SALT),
         hamming_max=hamming_max, n_bands=n_bands, max_bucket=max_bucket,
     )
-    return (
+    out = (
         s1.unionByName(s2)
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+    # propagate the tiers' pinned signature caches for caller release
+    out._graft_caches = tuple(
+        getattr(s1, "_graft_caches", ()) + getattr(s2, "_graft_caches", ())
+    )
+    return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist the cached tables a dedup operator pinned for plan
+    sharing (``_graft_caches``); no-op for frames without them.  Call
+    once the result is materialized (e.g. checkpointed or written) —
+    the frame stays valid afterwards, it would just recompute."""
+    for c in getattr(df, "_graft_caches", ()):
+        c.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -791,22 +904,24 @@ def dedup_recall_report(
     )
     # the unsalted simhash tier is BOTH a reported method and half of
     # the x2 tier: checkpoint it once (with hamming) and feed it to x2
-    # so the unsalted pipeline never runs twice
-    s1 = simhash_near_pairs(simhash_signatures(sub)).localCheckpoint()
+    # so the unsalted pipeline never runs twice.  Each tier's pinned
+    # signature/shingle caches are released as soon as the checkpoint
+    # has materialized the pairs — this report is called once per
+    # corpus, and leaving its internal caches registered would hold
+    # executor storage for the life of the session.
+    s1_raw = simhash_near_pairs(simhash_signatures(sub))
+    s1 = s1_raw.localCheckpoint()
+    release_caches(s1_raw)
+    mh_raw = minhash_lsh_duplicates(sub)
+    mh = mh_raw.select("id_a", "id_b").localCheckpoint()
+    release_caches(mh_raw)
+    x2_raw = simhash_near_pairs_x2(sub, s1_pairs=s1)
+    x2 = x2_raw.select("id_a", "id_b").localCheckpoint()
+    release_caches(x2_raw)
     tiers = [
-        (
-            "minhash_lsh",
-            minhash_lsh_duplicates(sub)
-            .select("id_a", "id_b")
-            .localCheckpoint(),
-        ),
+        ("minhash_lsh", mh),
         ("simhash", s1.select("id_a", "id_b")),
-        (
-            "simhash_x2",
-            simhash_near_pairs_x2(sub, s1_pairs=s1)
-            .select("id_a", "id_b")
-            .localCheckpoint(),
-        ),
+        ("simhash_x2", x2),
     ]
     base = truth.agg(F.count("*").alias("n_truth"))
     rows = []

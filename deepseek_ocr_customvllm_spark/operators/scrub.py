@@ -98,31 +98,43 @@ def paragraph_dedup(docs: DataFrame, max_df: int = 10) -> DataFrame:
     """
     paras = split_paragraphs(docs)
     freq = frequent_paragraphs(paras, max_df)
-    kept = paras.join(
-        F.broadcast(freq),
-        F.md5(F.col("para").cast("binary")) == F.col("ph"),
-        "left_anti",
+    # Round 8 fusion (same values, fewer corpus-wide operators): flag
+    # boilerplate membership with a broadcast LEFT join instead of an
+    # anti-join, then derive the reassembly, the kept count, AND the
+    # total count in ONE per-document aggregation — the historical
+    # shape ran a second corpus-wide aggregate (totals) plus an outer
+    # join to merge them.  collect_list skips nulls, so the
+    # when()-guarded struct keeps exactly the non-boilerplate
+    # paragraphs; all-boilerplate documents survive with clean_text ''
+    # from concat_ws over the empty array.
+    flagged = paras.join(
+        F.broadcast(freq.select(F.col("ph").alias("_bph"))),
+        F.md5(F.col("para").cast("binary")) == F.col("_bph"),
+        "left",
     )
-    reassembled = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            PARA_SEP,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "para"))),
-                lambda x: x["para"],
-            ),
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    is_kept = F.col("_bph").isNull()
     return (
-        totals.join(reassembled, "doc_id", "left")
+        flagged.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                PARA_SEP,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(is_kept, F.struct("idx", "para"))
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+            ).alias("clean_text"),
+            F.sum(F.when(is_kept, 1).otherwise(0)).alias("n_kept"),
+            F.count("*").alias("n_paras"),
+        )
         .select(
             "doc_id",
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
-            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("int")
-            .alias("n_dropped"),
+            "clean_text",
+            F.col("n_kept").cast("int").alias("n_kept"),
+            (F.col("n_paras") - F.col("n_kept")).cast("int").alias("n_dropped"),
         )
     )
 

@@ -53,7 +53,13 @@ def _dot(a: str, b: str) -> F.Column:
 def topk_dot_neighbors(
     emb: DataFrame, top_k: int = TOP_K, query_mod: int = QUERY_MOD
 ) -> DataFrame:
-    """Exact top-k max-inner-product neighbors for the query subset."""
+    """Exact top-k max-inner-product neighbors for the query subset.
+
+    NOT layout-guarded on purpose (round-8 measurement): spreading the
+    corpus side puts an Exchange under the broadcast build's subtree
+    too, serializing the broadcast behind a shuffle stage — a net cold
+    loss at sandbox scale; at production scale the scan is already
+    split."""
     q = quantized(emb).select("vec_id", "qe")
     queries = q.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("qe").alias("qv")

@@ -572,6 +572,13 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, idf_scale: int = 10_000) -> DataF
         .select("source", F.explode(F.split("t", " ")).alias("term"))
         .filter(F.col("term") != "")
     )
+    # tf feeds three consumers (the scoring join, the document
+    # frequency, and the source count), and Spark shares no common
+    # subplans, so the explode+aggregate runs three times.  A
+    # MEMORY_AND_DISK persist of tf was measured this round and
+    # REJECTED: the cache build + extra AQE stage cost ~0.3 s while the
+    # re-derived scans cost less at sandbox SF.  At true corpus scale a
+    # production job materializes tf between stages; revisit there.
     tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_sources = tf.select(F.count_distinct("source").alias("n"))

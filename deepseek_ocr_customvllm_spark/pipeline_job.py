@@ -60,6 +60,7 @@ from deepseek_ocr_customvllm_spark.operators.dedup import (
     cluster_size_report,
     duplicate_components,
     minhash_lsh_duplicates,
+    release_caches as dedup_release_caches,
 )
 from deepseek_ocr_customvllm_spark.operators.extract import extract_pages
 from deepseek_ocr_customvllm_spark.plans.session import get_spark
@@ -159,6 +160,9 @@ def run_pipeline(
         n_before = funnel_rows[-1]["n_kept"] if funnel_rows else 0
         kept = drop_non_canonical(kept, comp, keep=near_dedup).persist()
         n_dedup_dropped = n_before - kept.count()
+        # kept is now materialized and the dedup telemetry collected:
+        # drop the MinHash pass's pinned shingle/signature caches
+        dedup_release_caches(pairs)
     else:
         pairs = minhash_lsh_duplicates(
             docs.select("doc_id", "text"), max_bucket=max_bucket
@@ -169,6 +173,14 @@ def run_pipeline(
                 duplicate_components(pairs.select("id_a", "id_b"))
             ).collect()
         ]
+        dedup_release_caches(pairs)
+        # telemetry-only path: kept still feeds THREE actions (the pack
+        # write, the markdown byte-sum, and the WET write); without a
+        # persist each re-derives funnel_apply from the persisted
+        # extracted frame, re-paying the funnel's fingerprint Exchange
+        # up to 3x (VERDICT r07).  The near-dedup path above persists
+        # its post-keeper kept the same way.
+        kept = kept.persist()
 
     packs = sequence_pack_rows(
         kept.select("doc_id", "text"), seq_len=seq_len, n_shards=n_shards
@@ -188,8 +200,7 @@ def run_pipeline(
     n_wet_chunks = spark.read.parquet(f"{out_dir}/wet").count()
 
     extracted.unpersist()
-    if near_dedup is not None:
-        kept.unpersist()
+    kept.unpersist()
     wall = time.time() - t0
     return {
         "n_extracted": n_extracted,

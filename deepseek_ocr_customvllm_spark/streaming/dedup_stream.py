@@ -513,7 +513,9 @@ def run_incremental_dedup_stream(
             if s.startswith(ledger_prefix) and s != key
         ]
         docs = batch_df.select("doc_id", "text")
-        sh_new = D._shingle_table_with_sizes(docs)  # ckpt (doc_id, sh, n)
+        # persisted (doc_id, sh, n) — unpersisted at the end of the sink
+        # so a months-running stream cannot accumulate cached batches
+        sh_new = D._shingle_table_with_sizes(docs)
         sig_new = D.minhash_signatures(sh_new.select("doc_id", "sh"))
         bands_new = D._banded(sig_new).localCheckpoint()
 
@@ -601,6 +603,10 @@ def run_incremental_dedup_stream(
             stream_id=key,
             batch_id=batch_id,
         )
+        # every consumer of the batch's shingle table has run; drop the
+        # cache blocks before the next batch arrives (the ledger commit
+        # above is the last reader)
+        sh_new.unpersist()
 
     stream = (
         spark.readStream.schema(DOCS_STREAM_SCHEMA)

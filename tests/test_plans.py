@@ -492,21 +492,27 @@ def test_minhash_fused_shingle_table_is_one_exchange(spark):
     docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
     ).select("doc_id", "text")
-    raw = dedup.shingles(docs, distinct=False)
-    pre_ckpt = (
-        raw.repartition("doc_id")
-        .dropDuplicates(["doc_id", "sh"])
+    # round 8: the repartition moved BEFORE the shingle explode (ships
+    # documents, not the 3x shingle stream) — same single Exchange
+    raw = dedup.shingles(docs.repartition("doc_id"), distinct=False)
+    pre_mat = (
+        raw.dropDuplicates(["doc_id", "sh"])
         .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     )
-    plan = _formatted(pre_ckpt)
+    plan = _formatted(pre_mat)
     # formatted explain prints each Exchange twice (tree + detail)
     assert plan.count("Exchange") <= 2, plan
 
-    # and the fused verify reads the checkpoint, never re-aggregating
-    # sizes: no second groupBy(doc_id) aggregate in the final plan
+    # and the fused verify reads the persisted shingle/signature tables
+    # (round 8: SQL cache instead of localCheckpoint — partitioning
+    # metadata survives, and the self-join's two sides share ONE
+    # materialization), never re-aggregating sizes
     out = dedup.minhash_lsh_duplicates(docs)  # persist=True default
-    final = _formatted(out)
-    assert "Scan ExistingRDD" in final  # reads the checkpointed table
+    try:
+        final = _formatted(out)
+        assert "InMemoryTableScan" in final  # reads the cached tables
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_minhash_fused_matches_lazy_shape(spark):

@@ -49,13 +49,16 @@ class TestParagraphDedup:
 
     def test_frequent_set_joins_as_broadcast(self, spark):
         """The membership test against the frequent set must be a
-        broadcast anti-join — shuffling the full paragraph table for it
-        would be the 100 TB bottleneck."""
+        broadcast join — shuffling the full paragraph table for it
+        would be the 100 TB bottleneck.  (Round 8: a broadcast LEFT
+        join + null-flag, so the kept/total counts and the reassembly
+        fuse into one aggregation; previously a broadcast anti-join
+        plus a second corpus-wide aggregate.)"""
         docs = spark.createDataFrame(
             [(i, f"banner\n\nbody {i}") for i in range(6)], ["doc_id", "text"]
         )
         plan = scrub.paragraph_dedup(docs, max_df=2)._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
 
 
 class TestCanonicalUrls:

@@ -1465,18 +1465,25 @@ class TestMinhashHotBucketCap:
         assert capped < full  # the 30-copy m0 bucket is gone
 
     def test_persist_true_releases_the_cache(self, spark, degenerate_docs):
-        """persist=True must not leak executor storage across invocations:
-        after the call, only the (returned, caller-owned) checkpointed
-        result may remain registered."""
+        """persist=True must not leak executor storage UNBOUNDEDLY:
+        round 8 switched the materialization from localCheckpoint to
+        the SQL cache (lazy, partitioning-preserving, shared by both
+        self-join sides), which pins exactly two enumerable tables
+        (shingles + signatures).  The contract is now: bounded, exposed
+        on ``_graft_caches``, and fully releasable via
+        ``release_caches`` once the result is materialized."""
         from deepseek_ocr_customvllm_spark.operators import dedup
 
         before = _n_persistent(spark)
         out = dedup.minhash_lsh_duplicates(degenerate_docs, persist=True)
         assert out.count() > 0
-        assert _n_persistent(spark) <= before + 1
+        assert len(out._graft_caches) == 2
+        assert _n_persistent(spark) <= before + 2
+        dedup.release_caches(out)
+        assert _n_persistent(spark) <= before
         out2 = dedup.ngram_jaccard_pairs(degenerate_docs, persist=True)
         out2.count()
-        assert _n_persistent(spark) <= before + 2
+        assert _n_persistent(spark) <= before + 1
 
 
 class TestDuplicateComponents:
