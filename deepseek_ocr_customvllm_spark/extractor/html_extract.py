@@ -114,12 +114,14 @@ class _Block:
 _ASCII_WS = " \t\n\r\x0b\f\x1c\x1d\x1e\x1f"
 
 
+_ASCII_WS_BYTES = _ASCII_WS.encode("ascii")
+
+
 def _nonspace_len(s: str) -> int:
-    if s.isascii():  # C-speed count path; identical result for ASCII
-        n = len(s)
-        for c in _ASCII_WS:
-            n -= s.count(c)
-        return n
+    if s.isascii():  # C-speed path; identical result for ASCII
+        # one encode (latin-1 memcpy fast path) + one translate pass,
+        # instead of nine per-char count() scans
+        return len(s.encode("ascii").translate(None, _ASCII_WS_BYTES))
     return sum(1 for c in s if not c.isspace())
 
 
@@ -313,51 +315,74 @@ _SIMPLE_TAG_RE = re.compile(
 
 _EV_DATA, _EV_START, _EV_END, _EV_STARTEND = 0, 1, 2, 3
 
+# Memoized tag-token -> event (False = token needs the stdlib fallback).
+# Real documents repeat a tiny tag vocabulary ('<p>', '</td>', ...)
+# endlessly, so the per-token classification (isascii/isalnum/lower or
+# the _SIMPLE_TAG_RE match) runs once per distinct token instead of per
+# occurrence.  Pure function of the token, so the cache is correct in a
+# reused Python worker; size-capped against adversarial tag storms.
+_TAG_EVENT_CACHE: dict = {}
+_TAG_EVENT_CACHE_MAX = 8192
+
+
+def _classify_tag(tok: str):
+    """Event tuple for one ``<...>`` token, or False for stdlib quirks.
+
+    attr-less shortcut: '<p>' / '</div>' style tags are the vast
+    majority; ASCII-alnum names match _SIMPLE_TAG_RE exactly (leading
+    letter enforced), so the regex is skipped.  The isascii() guard
+    keeps unicode-alnum names on the regex path, which rejects them
+    just like the stdlib tokenizer."""
+    if tok[1] != "/":
+        body = tok[1:-1]
+        if body.isascii() and body.isalnum() and body[0].isalpha():
+            return (_EV_START, body.lower())
+    else:
+        name = tok[2:-1]
+        if name.isascii() and name.isalnum() and name[:1].isalpha():
+            return (_EV_END, name.lower())
+    t = _SIMPLE_TAG_RE.fullmatch(tok)
+    if t is None:
+        return False
+    closing, name, attrs, selfclose = t.groups()
+    if closing and (selfclose or attrs.strip()):
+        return False  # '</x/>' / '</x a=b>' -> stdlib quirk paths
+    if closing:
+        return (_EV_END, name.lower())
+    if selfclose:
+        return (_EV_STARTEND, name.lower())
+    return (_EV_START, name.lower())
+
 
 def _fast_events(html_text: str):
     """Token events mirroring HTMLParser, or None when the document needs
     the stdlib parser (never dispatches anything on failure)."""
     if _RISKY_RE.search(html_text):
         return None
+    # findall, not finditer: _TOKEN_RE's alternation TILES any string —
+    # at a non-'<' position the [^<]+ branch matches, at a '<' either
+    # the tag branch or the lone-'<' branch does — so consecutive
+    # matches are provably gap-free and the per-match start/end
+    # bookkeeping (a Match object per token) is pure overhead.  A
+    # dangling '<abc' at EOF tokenizes as '<' + 'abc', two DATA events
+    # whose concatenation handle_data sees identically to the stdlib
+    # parser's single flushed-'<abc' data call (byte-equality fuzzed in
+    # tests/test_realistic_html.py).
     events = []
-    pos = 0
-    for m in _TOKEN_RE.finditer(html_text):
-        if m.start() != pos:
-            return None
-        pos = m.end()
-        tok = m.group()
+    append = events.append
+    cache = _TAG_EVENT_CACHE
+    for tok in _TOKEN_RE.findall(html_text):
         if tok[0] == "<" and len(tok) > 1:
-            # attr-less shortcut: '<p>' / '</div>' style tags are the vast
-            # majority; ASCII-alnum names match _SIMPLE_TAG_RE exactly
-            # (leading letter enforced), so the regex is skipped.  The
-            # isascii() guard keeps unicode-alnum names on the regex path,
-            # which rejects them just like the stdlib tokenizer.
-            if tok[1] != "/":
-                body = tok[1:-1]
-                if body.isascii() and body.isalnum() and body[0].isalpha():
-                    events.append((_EV_START, body.lower()))
-                    continue
-            else:
-                name = tok[2:-1]
-                if name.isascii() and name.isalnum() and name[:1].isalpha():
-                    events.append((_EV_END, name.lower()))
-                    continue
-            t = _SIMPLE_TAG_RE.fullmatch(tok)
-            if t is None:
+            ev = cache.get(tok)
+            if ev is None:
+                ev = _classify_tag(tok)
+                if len(cache) < _TAG_EVENT_CACHE_MAX:
+                    cache[tok] = ev
+            if ev is False:
                 return None
-            closing, name, attrs, selfclose = t.groups()
-            if closing and (selfclose or attrs.strip()):
-                return None  # '</x/>' / '</x a=b>' -> stdlib quirk paths
-            if closing:
-                events.append((_EV_END, name.lower()))
-            elif selfclose:
-                events.append((_EV_STARTEND, name.lower()))
-            else:
-                events.append((_EV_START, name.lower()))
+            append(ev)
         else:
-            events.append((_EV_DATA, tok))
-    if pos != len(html_text):
-        return None  # dangling '<...' at EOF
+            append((_EV_DATA, tok))
     return events
 
 

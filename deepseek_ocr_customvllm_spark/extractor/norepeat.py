@@ -76,16 +76,23 @@ def suppress_repeated_ngrams(
     from itertools import accumulate
 
     joined = " ".join(toks)
-    offs = list(accumulate((len(t) + 1 for t in toks), initial=0))
+    # list comprehension, not a genexpr: the per-item generator frame
+    # switch is measurable at one call per token per page
+    offs = list(accumulate([len(t) + 1 for t in toks], initial=0))
     seen_w = set()
     add_w = seen_w.add
     first_dup = -1  # start index of the FIRST repeated window's 2nd copy
-    for i in range(n_stream - n + 1):
-        w = joined[offs[i] : offs[i + n] - 1]
+    i = 0
+    # zip over (start, end) offset pairs: same windows as indexing
+    # offs[i]/offs[i+n], minus two list index ops per token (this scan
+    # runs once per page over every token)
+    for a, b in zip(offs, offs[n:]):
+        w = joined[a : b - 1]
         if w in seen_w:
             first_dup = i
             break
         add_w(w)
+        i += 1
     if first_dup < 0:
         return text
 

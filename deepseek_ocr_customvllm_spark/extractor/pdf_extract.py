@@ -231,16 +231,25 @@ def _hex_string_at(data: bytes, pos: int):
         return None, j + 1
 
 
+# bytes.isspace()'s exact character set, for int-membership tests in the
+# per-byte tokenizer loop (a 1-byte slice per character allocates; an
+# index yields an int and `int in bytes` is a C memchr)
+_PY_WS = b" \t\n\r\x0b\x0c"
+_NAME_RE = re.compile(rb"/[^\s\[\]<>()/]*")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
 def _tokenize(data: bytes):
     """Yield ('str', raw_bytes) | ('num', float) | ('name', str) |
     ('op', name) | ('arr', list)."""
     i = 0
     n = len(data)
     while i < n:
-        c = data[i : i + 1]
-        if c.isspace():
+        ch0 = data[i]
+        if ch0 in _PY_WS:
             i += 1
             continue
+        c = data[i : i + 1]
         if c == b"(":
             depth = 1
             j = i + 1
@@ -278,12 +287,12 @@ def _tokenize(data: bytes):
             # collect until matching ]; only strings matter (TJ arrays)
             j = i + 1
             elems: List[Tuple[str, object]] = []
-            while j < n and data[j : j + 1] != b"]":
-                sub = data[j : j + 1]
-                if sub.isspace():
+            while j < n and data[j] != 0x5D:  # ']'
+                sj = data[j]
+                if sj in _PY_WS:
                     j += 1
                     continue
-                if sub == b"(":
+                if sj == 0x28:  # '('
                     depth = 1
                     k = j + 1
                     buf = bytearray()
@@ -305,7 +314,7 @@ def _tokenize(data: bytes):
                     elems.append(("str", _unescape_literal(bytes(buf))))
                     j = k
                     continue
-                if sub == b"<":  # hex string (CID TJ arrays kern these)
+                if sj == 0x3C:  # '<' hex string (CID TJ arrays kern these)
                     if data[j : j + 2] == b"<<":
                         # malformed: a dict inside a TJ array — swallow
                         # it WHOLE (depth-matched, string-aware), or its
@@ -330,10 +339,13 @@ def _tokenize(data: bytes):
             i = j + 1
             continue
         if c == b"/":
-            m = re.match(rb"/[^\s\[\]<>()/]*", data[i:])
+            # position-anchored match: re.match on data[i:] copies the
+            # whole remaining stream per name token (quadratic on long
+            # streams)
+            m = _NAME_RE.match(data, i)
             if m:
                 yield ("name", m.group()[1:].decode("latin-1"))
-                i += m.end()
+                i = m.end()
             else:
                 i += 1
             continue
@@ -342,7 +354,7 @@ def _tokenize(data: bytes):
             yield ("num", float(m.group()))
             i = m.end()
             continue
-        m = re.match(rb"[A-Za-z'\"*]+", data[i:])
+        m = _OP_RE.match(data, i)
         if m:
             if m.group() == b"BI":
                 # inline image (spec §8.9.7): skip dict + BINARY payload
@@ -364,7 +376,7 @@ def _tokenize(data: bytes):
                     k = j + 2
                 continue
             yield ("op", m.group().decode("latin-1"))
-            i += m.end()
+            i = m.end()
             continue
         i += 1
 
