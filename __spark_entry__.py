@@ -599,16 +599,20 @@ def _q_dedup_components(spark, sf_dir):
     propagation, iterative distributed rounds) over the MinHash-LSH
     verified pair set."""
     pairs = dedup.minhash_lsh_duplicates(_augmented_docs(_docs(spark, sf_dir)))
-    return dedup.duplicate_components(pairs.select("id_a", "id_b"))
+    comp = dedup.duplicate_components(pairs.select("id_a", "id_b"))
+    # components are eagerly materialized; drop the MinHash caches so
+    # they cannot slow every later query's cache lookups in this session
+    dedup.release_caches(pairs)
+    return comp
 
 
 def _q_dup_cluster_histogram(spark, sf_dir):
     """Near-dup cluster-size histogram (template-farm telemetry) over
     the MinHash components — two tiny aggregates past the pair set."""
     pairs = dedup.minhash_lsh_duplicates(_augmented_docs(_docs(spark, sf_dir)))
-    return dedup.cluster_size_report(
-        dedup.duplicate_components(pairs.select("id_a", "id_b"))
-    )
+    comp = dedup.duplicate_components(pairs.select("id_a", "id_b"))
+    dedup.release_caches(pairs)  # components materialized; caches done
+    return dedup.cluster_size_report(comp)
 
 
 def _q_lang_stratified_sample(spark, sf_dir):
@@ -781,6 +785,7 @@ def _q_corpus_dedup_apply(spark, sf_dir):
     aug = _augmented_docs(_docs(spark, sf_dir))
     pairs = dedup.minhash_lsh_duplicates(aug)
     comp = dedup.duplicate_components(pairs.select("id_a", "id_b"))
+    dedup.release_caches(pairs)  # components materialized; caches done
     non_canon = comp.filter(F.col("doc_id") != F.col("component_id")).select(
         "doc_id"
     )

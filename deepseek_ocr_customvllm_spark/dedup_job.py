@@ -79,6 +79,9 @@ def run_dedup_job(
         raise ValueError(f"keep must be 'min_id' or 'best', got {keep!r}")
     pairs = dedup.minhash_lsh_duplicates(docs, max_bucket=max_bucket)
     comp = dedup.duplicate_components(pairs.select("id_a", "id_b"))
+    # components are eagerly materialized and drop_non_canonical reads
+    # only docs + comp: the MinHash pass's pinned caches are done
+    dedup.release_caches(pairs)
     return drop_non_canonical(docs, comp, keep=keep)
 
 

@@ -981,8 +981,11 @@ def dedup_keep_best(docs: DataFrame, quality: DataFrame) -> DataFrame:
     anti-join); a production run materializes it once alongside the
     corpus — here it is a stateless single-scan projection.
     """
-    pairs = minhash_lsh_duplicates(docs).select("id_a", "id_b")
-    comp = duplicate_components(pairs)
+    pairs_raw = minhash_lsh_duplicates(docs)
+    comp = duplicate_components(pairs_raw.select("id_a", "id_b"))
+    # components are materialized (eager rounds): the MinHash pass's
+    # pinned caches are no longer needed by anything downstream
+    release_caches(pairs_raw)
     q = quality.select("doc_id", "quality_score")
     scored = comp.join(q, "doc_id", "left").select(
         "doc_id",
@@ -1025,10 +1028,9 @@ def domain_dup_report(docs: DataFrame) -> DataFrame:
     """
     from ..functions.columns import dtrunc
 
-    pairs = minhash_lsh_duplicates(docs.select("doc_id", "text")).select(
-        "id_a", "id_b"
-    )
-    comp = duplicate_components(pairs)
+    pairs_raw = minhash_lsh_duplicates(docs.select("doc_id", "text"))
+    comp = duplicate_components(pairs_raw.select("id_a", "id_b"))
+    release_caches(pairs_raw)  # components materialized; caches done
     non_canon = (
         comp.filter(F.col("doc_id") != F.col("component_id"))
         .select("doc_id")

@@ -20,6 +20,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+try:  # imported at module load so the probe never pays it inside a query
+    import pyarrow.parquet as _pq
+except Exception:  # pragma: no cover - pyarrow is a runtime dependency
+    _pq = None
+
 # Footer-probe budget: if the source has at least this many files the
 # guard is already false, so footers are never read for wide tables and
 # the probe cost is bounded by (target) local footer reads.
@@ -51,13 +56,11 @@ def _parallel_units(df: DataFrame, target: int) -> int:
         path = f[7:] if f.startswith("file://") else f
         if not path.startswith("/"):
             return target  # remote FS: footer probe not worth a roundtrip
-        if not path.endswith((".parquet", ".pq")):
+        if _pq is None or not path.endswith((".parquet", ".pq")):
             units += 1
             continue
         try:
-            import pyarrow.parquet as pq
-
-            units += max(1, pq.ParquetFile(path).metadata.num_row_groups)
+            units += max(1, _pq.ParquetFile(path).metadata.num_row_groups)
         except Exception:
             units += 1
         if units >= target:

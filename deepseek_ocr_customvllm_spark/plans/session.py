@@ -53,6 +53,9 @@ def _warm_engine(spark: SparkSession) -> None:
     if app in _WARMED:
         return
     _WARMED.add(app)
+    # driver-side module imports the first query would otherwise pay for
+    # (the layout probe reads parquet footers via pyarrow)
+    from . import layout as _layout  # noqa: F401
     df = spark.range(0, 20000, 1, 8).select(
         "id",
         (F.col("id") % 97).alias("k"),
