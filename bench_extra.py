@@ -88,6 +88,9 @@ def main() -> None:
     for name in names:
         walls = []
         for rep in range(args.reps):
+            # rep isolation: persist-shaped queries would cache-HIT
+            # later reps on the first rep's materialized intermediates
+            spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"{name} rep{rep}")
             t0 = time.time()
             df = queries[name](spark, args.sf_dir)

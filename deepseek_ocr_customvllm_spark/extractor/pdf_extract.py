@@ -112,27 +112,33 @@ def _default_decode(raw: bytes) -> str:
         return raw.decode("latin-1")
 
 
+_ESC_MAP = {
+    ord("n"): b"\n",
+    ord("r"): b"\r",
+    ord("t"): b"\t",
+    ord("b"): b"\b",
+    ord("f"): b"\f",
+    ord("("): b"(",
+    ord(")"): b")",
+    ord("\\"): b"\\",
+}
+
+
 def _unescape_literal(raw: bytes) -> bytes:
     """Literal-string unescape per PDF spec §7.3.4.2 (bytes -> bytes; the
     character decode happens later so font ``/Differences`` maps can act
     on the raw codes)."""
+    if 0x5C not in raw and 0x0D not in raw:
+        # no backslash, no CR: nothing to rewrite (the common case)
+        return raw
     out = bytearray()
     i = 0
     n = len(raw)
+    mapping = _ESC_MAP
     while i < n:
         c = raw[i]
         if c == 0x5C and i + 1 < n:  # backslash
             nxt = raw[i + 1]
-            mapping = {
-                ord("n"): b"\n",
-                ord("r"): b"\r",
-                ord("t"): b"\t",
-                ord("b"): b"\b",
-                ord("f"): b"\f",
-                ord("("): b"(",
-                ord(")"): b")",
-                ord("\\"): b"\\",
-            }
             if nxt in mapping:
                 out += mapping[nxt]
                 i += 2

@@ -116,6 +116,11 @@ def _run_arm(cores: int, path: str) -> float:
     try:
         wall = None
         for _ in range(2):  # rep 2 = steady state
+            # rep isolation: the round-8 persist-shaped pipeline would
+            # otherwise cache-HIT rep 2 on rep 1's materialized
+            # shingle/signature tables and measure cached reads, not
+            # the pipeline this smoke exists to scale-test
+            spark.catalog.clearCache()
             docs = spark.read.parquet(path)
             t0 = time.time()
             dedup.minhash_lsh_duplicates(docs).write.mode(
