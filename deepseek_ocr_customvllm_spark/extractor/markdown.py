@@ -72,9 +72,10 @@ def clean_page(
     _, image_tags, other_tags = find_tags(content)
 
     heading_level = 0
-    found = _HEADING_RE.findall(content)
-    if found:
-        heading_level = len(found[-1])
+    if "#" in content:  # cheap guard: ^(#+)\s+ needs a '#' somewhere
+        found = _HEADING_RE.findall(content)
+        if found:
+            heading_level = len(found[-1])
 
     for img_idx, tag in enumerate(image_tags):
         content = content.replace(tag, f"![](images/{page_idx}_{img_idx}.jpg)\n")

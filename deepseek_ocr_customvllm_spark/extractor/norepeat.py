@@ -38,7 +38,11 @@ _TABLE_LINE_RE = re.compile(r"<table|<td|</td|<tr", re.IGNORECASE)
 
 def _is_exempt_line(line: str) -> bool:
     stripped = line.lstrip()
-    return stripped.startswith("|") or bool(_TABLE_LINE_RE.search(line))
+    # '<' guard: the table-markup regex cannot match without one, and
+    # most lines have none
+    return stripped.startswith("|") or (
+        "<" in line and bool(_TABLE_LINE_RE.search(line))
+    )
 
 
 def suppress_repeated_ngrams(

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import ast
 import re
+from functools import lru_cache as _lru_cache
 from typing import List, Optional, Tuple
 
 EOS_TOKEN = "<｜end▁of▁sentence｜>"
@@ -43,7 +44,20 @@ def find_tags(text: str) -> Tuple[List[TagMatch], List[str], List[str]]:
 
     Mirrors ``re_match`` (postprocess_md.py:53-65): returns
     ``(all_matches, image_tag_strings, other_tag_strings)``.
+
+    The engine calls this up to three times per page on the same text
+    (per-page clean, P1 resolve, span extraction); the tiny LRU makes
+    the repeats a dict hit instead of a DOTALL regex scan.  Callers
+    never mutate the returned lists (they only iterate), so sharing the
+    result objects is safe.
     """
+    return _find_tags_cached(text)
+
+
+@_lru_cache(maxsize=8)
+def _find_tags_cached(text: str) -> Tuple[List[TagMatch], List[str], List[str]]:
+    if "<|ref|>" not in text:  # one C scan; most non-tagged pages exit here
+        return [], [], []
     matches = TAG_PATTERN.findall(text)
     image_tags: List[str] = []
     other_tags: List[str] = []
